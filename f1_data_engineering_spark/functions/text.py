@@ -1,0 +1,136 @@
+"""Text-analysis expression library (beyond-reference scope).
+
+Large-scale training-data pipeline primitives over the ``documents``
+table: tokenization, language ID, quality scoring, fingerprinting.
+All built from Spark built-ins (split / regexp / array functions /
+xxhash64) so they stay JVM-side and whole-stage-codegen'd — at 100 TB of
+text, a per-row Python UDF here would dominate the job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "bpe_ish_token_count",
+    "quality_score",
+    "language_id",
+    "doc_fingerprint",
+    "shingles",
+    "STOPWORDS",
+]
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def tokens(c: Column | str) -> Column:
+    """Whitespace tokens, lower-cased, empty-string-free."""
+    t = F.lower(F.trim(_col(c)))
+    return F.filter(F.split(t, r"\s+"), lambda x: x != "")
+
+
+def token_count(c: Column | str) -> Column:
+    """Whitespace token count; empty/NULL text → 0."""
+    return F.coalesce(F.size(tokens(c)), F.lit(0)).cast("long")
+
+
+#: GPT-2-style pretokenizer shape: contractions, letter runs, digit runs,
+#: punctuation runs (leading space attached), remaining whitespace.
+_BPE_ISH = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
+def bpe_ish_token_count(c: Column | str) -> Column:
+    """Approximate BPE token count: matches of a GPT-2-ish pretokenizer
+    regex.  A cheap, deterministic stand-in for a real tokenizer that
+    tracks its count within a few percent on English text."""
+    return F.coalesce(F.regexp_count(_col(c), F.lit(_BPE_ISH)), F.lit(0)).cast("long")
+
+
+#: Small per-language stopword seeds for the n-gram/stopword heuristic.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "pas", "une", "des", "dans", "que"),
+    "es": ("el", "la", "los", "que", "de", "es", "en", "un", "una", "por"),
+    "it": ("il", "la", "che", "di", "è", "non", "per", "una", "con", "del"),
+}
+
+
+def language_id(c: Column | str) -> Column:
+    """Stopword-vote language ID: the language whose stopword list hits the
+    most tokens wins; no hits → 'und' (undetermined).
+
+    Expression-only: one ``array_intersect``-style count per language via
+    ``F.filter`` + ``F.size`` over the token array, then a greatest-vote
+    ``when`` chain.  O(tokens × languages) per row, all codegen'd.
+    """
+    toks = tokens(c)
+    scores = {
+        lang: F.size(F.filter(toks, lambda x, w=words: x.isin(*w)))
+        for lang, words in STOPWORDS.items()
+    }
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    # reversed so earlier languages win ties (when-chain precedence)
+    for lang in reversed(list(scores)):
+        out = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(out)
+    return out
+
+
+def quality_score(c: Column | str) -> Column:
+    """Heuristic document quality in [0, 1]: blends length, alpha ratio,
+    punctuation-burst penalty, stopword ratio, and mean word length —
+    the classic cheap pre-filters for web-scraped training text."""
+    t = F.trim(_col(c))
+    n_chars = F.length(t).cast("double")
+    toks = tokens(t)
+    n_tok = F.greatest(F.size(toks).cast("double"), F.lit(1.0))
+    alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", "")).cast("double")
+    punct = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", "")).cast("double")
+    all_stop = tuple({w for ws in STOPWORDS.values() for w in ws})
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(*all_stop))).cast("double")
+
+    len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    alpha_ratio = alpha / F.greatest(n_chars, F.lit(1.0))
+    punct_penalty = F.lit(1.0) - F.least(punct / F.greatest(n_chars, F.lit(1.0)) * 4, F.lit(1.0))
+    stop_score = F.least(stop_hits / n_tok * 3, F.lit(1.0))
+    mean_wlen = n_chars / n_tok
+    wlen_score = F.when((mean_wlen >= 3) & (mean_wlen <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+
+    raw = (
+        len_score * 0.25
+        + alpha_ratio * 0.25
+        + punct_penalty * 0.2
+        + stop_score * 0.2
+        + wlen_score * 0.1
+    )
+    return F.when(t.isNull() | (n_chars == 0), F.lit(0.0)).otherwise(F.round(raw, 6))
+
+
+def doc_fingerprint(c: Column | str) -> Column:
+    """64-bit content fingerprint of whitespace/case-normalized text
+    (xxhash64).  Equal fingerprints ⇔ texts equal modulo whitespace/case —
+    the exact-dedup key that avoids shuffling full document bodies."""
+    norm = F.concat_ws(" ", tokens(c))
+    return F.xxhash64(norm)
+
+
+def shingles(c: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingle array (for MinHash / Jaccard dedup).
+
+    Documents shorter than ``n`` tokens yield a single shingle of the
+    whole text so they still participate in dedup.
+    """
+    toks = tokens(c)
+    k = F.size(toks)
+    joined = F.concat_ws(" ", toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), k - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.when(k >= n, grams).otherwise(F.array(joined))

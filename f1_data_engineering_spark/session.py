@@ -1,0 +1,69 @@
+"""SparkSession factory.
+
+The engine targets a multi-executor cluster reading ~100 TB; the defaults
+here encode the scale posture (AQE on, skew-join handling, Arrow for any
+pandas interop, UTC session time) while remaining correct on ``local[N]``.
+
+Scale notes
+-----------
+* ``spark.sql.adaptive.enabled`` + ``coalescePartitions`` + ``skewJoin``:
+  runtime re-planning is the first line of defense at 100 TB — AQE converts
+  sort-merge joins to broadcast when the built side turns out small, splits
+  skewed partitions, and coalesces tiny post-shuffle partitions.
+* ``spark.sql.shuffle.partitions`` defaults to the local core count here;
+  on a real cluster set it to 2-3× total executor cores (AQE coalesces the
+  excess). It is a config, not a constant, precisely so deployments can.
+* ``spark.sql.session.timeZone=UTC``: the reference stores local wall-clock
+  strings (f1_dataExtractor.py:148-158); the engine stores UTC timestamps
+  and renders local time only at the presentation edge.
+* Arrow enabled: every pandas interop (createDataFrame, toPandas, pandas
+  UDFs for the beyond-reference ops) goes through columnar batches.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark", "DEFAULT_SHUFFLE_PARTITIONS"]
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "f1_data_engineering_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Parameters are overridable so tests can run tiny (``local[4]``) while
+    bench/production run wide; all scale-relevant settings live here in one
+    place.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    shuffle_partitions = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
