@@ -3,8 +3,11 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Parity conventions (see operators/relational.py docstring): exact
+decimal arithmetic internally, final DOUBLE casts on both sides, avgs
+derived as round(sum/count, 6), deterministic tie-breaks everywhere.
 """
 
 from __future__ import annotations
@@ -13,26 +16,113 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from f1_data_engineering_spark.operators import relational as R
+from f1_data_engineering_spark.operators import textops as TX
+from f1_data_engineering_spark.operators import dedup as DD
+from f1_data_engineering_spark.operators import similarity as SIM
+from f1_data_engineering_spark.operators import timeops as TO
+from f1_data_engineering_spark.operators import multimodal as MM
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q1-shaped pricing summary) on sf0.001."""
+    return R.q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator family from SURVEY.md §2."""
+    return {
+        # §2.4 aggregation
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "stint_summary": R.stint_summary,
+        "agg_stats": R.agg_stats,
+        "pivot_returnflag": R.pivot_returnflag,
+        "rollup_order_priority": R.rollup_order_priority,
+        # §2.2 projection / filter
+        "filter_project": R.filter_project,
+        # §2.3 joins
+        "join_customer_nation_region": R.join_customer_nation_region,
+        "revenue_by_nation": R.revenue_by_nation,
+        "semi_anti_join": R.semi_anti_join,
+        "outer_join_order_counts": R.outer_join_order_counts,
+        "range_join_events_orders": R.range_join_events_orders,
+        # §2.5 windows
+        "window_value_changes": R.window_value_changes,
+        "running_total": R.running_total,
+        "rank_orders_per_customer": R.rank_orders_per_customer,
+        # §2.6 sort / limit / top-k
+        "top_orders": R.top_orders,
+        "distinct_sorted_types": R.distinct_sorted_types,
+        "stride_downsample": R.stride_downsample,
+        # §2.7 set ops
+        "set_ops_keys": R.set_ops_keys,
+        # JSON scalar surface
+        "json_props_extract": R.json_props_extract,
+        # §2.8 time-format expression library (F2/F4/F9 round-trip, F5/F6/F8)
+        "time_format_roundtrip": TO.time_format_roundtrip,
+        "wallclock_formats": TO.wallclock_formats,
+        "boolean_normalize": TO.boolean_normalize,
+        "hourly_event_rollup": TO.hourly_event_rollup,
+        "sessionize_events": TO.sessionize_events,
+        # text analysis (beyond-reference, documents table)
+        "text_stats": TX.text_stats,
+        "language_id_confusion": TX.language_id_confusion,
+        "quality_scores": TX.quality_scores,
+        "doc_fingerprints": TX.doc_fingerprints,
+        # deduplication (beyond-reference)
+        "dedup_exact": DD.dedup_exact,
+        "ngram_jaccard_pairs": DD.ngram_jaccard_pairs,
+        "minhash_signatures": DD.minhash_signatures,
+        "minhash_lsh_pairs": DD.minhash_lsh_pairs,
+        "simhash_64": DD.simhash_64,
+        # similarity search (beyond-reference, embeddings table)
+        "ann_bruteforce_topk": SIM.ann_bruteforce_topk,
+        "lsh_bucket_histogram": SIM.lsh_bucket_histogram,
+        "embedding_nearest_neighbor": SIM.embedding_nearest_neighbor,
+        # multimodal plumbing (binary columns + typed metadata)
+        "blob_metadata": MM.blob_metadata,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL twin for each query (same column names)."""
+    out = {
+        "q1_pricing_summary": R.ORACLE_Q1,
+        "stint_summary": R.ORACLE_STINT,
+        "agg_stats": R.ORACLE_AGG_STATS,
+        "pivot_returnflag": R.ORACLE_PIVOT,
+        "rollup_order_priority": R.ORACLE_ROLLUP,
+        "filter_project": R.ORACLE_FILTER_PROJECT,
+        "join_customer_nation_region": R.ORACLE_JOIN_CNR,
+        "revenue_by_nation": R.ORACLE_REVENUE_NATION,
+        "semi_anti_join": R.ORACLE_SEMI_ANTI,
+        "outer_join_order_counts": R.ORACLE_OUTER_COUNTS,
+        "range_join_events_orders": R.ORACLE_RANGE_JOIN,
+        "window_value_changes": R.ORACLE_WINDOW_CHANGES,
+        "running_total": R.ORACLE_RUNNING_TOTAL,
+        "rank_orders_per_customer": R.ORACLE_RANK_ORDERS,
+        "top_orders": R.ORACLE_TOP_ORDERS,
+        "distinct_sorted_types": R.ORACLE_DISTINCT_TYPES,
+        "stride_downsample": R.ORACLE_STRIDE,
+        "set_ops_keys": R.ORACLE_SET_OPS,
+        "json_props_extract": R.ORACLE_JSON_PROPS,
+        "time_format_roundtrip": TO.ORACLE_TIME_ROUNDTRIP,
+        "wallclock_formats": TO.ORACLE_WALLCLOCK,
+        "boolean_normalize": TO.ORACLE_BOOLEAN,
+        "hourly_event_rollup": TO.ORACLE_HOURLY,
+        "sessionize_events": TO.ORACLE_SESSIONIZE,
+        "text_stats": TX.ORACLE_TEXT_STATS,
+        "language_id_confusion": TX.ORACLE_LANG_CONFUSION,
+        "quality_scores": TX.ORACLE_QUALITY,
+        "doc_fingerprints": TX.ORACLE_FINGERPRINTS,
+        "dedup_exact": DD.ORACLE_DEDUP_EXACT,
+        "ngram_jaccard_pairs": DD.ORACLE_JACCARD_PAIRS,
+        "minhash_signatures": DD.ORACLE_MINHASH_SIG,
+        "minhash_lsh_pairs": DD.ORACLE_MINHASH_LSH,
+        "simhash_64": DD.ORACLE_SIMHASH,
+        "ann_bruteforce_topk": SIM.ORACLE_ANN_TOPK,
+        "lsh_bucket_histogram": SIM.ORACLE_LSH_HIST,
+        "embedding_nearest_neighbor": SIM.ORACLE_NN,
+        "blob_metadata": MM.ORACLE_BLOB_METADATA,
+    }
+    return out

@@ -70,10 +70,14 @@ def language_id(c: Column | str) -> Column:
     ``when`` chain.  O(tokens × languages) per row, all codegen'd.
     """
     toks = tokens(c)
-    scores = {
-        lang: F.size(F.filter(toks, lambda x, w=words: x.isin(*w)))
-        for lang, words in STOPWORDS.items()
-    }
+
+    def _hits(words: tuple[str, ...]):
+        # NB: the lambda must take exactly one positional arg — PySpark
+        # treats a 2-parameter lambda (incl. default args) as
+        # (element, index) and silently binds the index Column.
+        return F.size(F.filter(toks, lambda x: x.isin(*words)))
+
+    scores = {lang: _hits(words) for lang, words in STOPWORDS.items()}
     best = F.greatest(*scores.values())
     out = F.lit("und")
     # reversed so earlier languages win ties (when-chain precedence)

@@ -1,0 +1,394 @@
+"""Deduplication operators over ``documents`` (beyond-reference
+training-data scope): exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the point of each operator):
+
+* **exact** — dedup key is a 64/128-bit hash of normalized text, never
+  the body: the shuffle moves 8-byte keys, not documents.
+* **n-gram Jaccard** — the inverted-index pattern: explode shingles,
+  equi-join on the shingle, count shared shingles per pair.  At 100 TB
+  you additionally drop "stop-shingles" that appear in > X docs (they
+  generate O(X²) candidate pairs and carry no signal) — the cap is a
+  config; at test SF no cap is applied so the oracle stays exact.
+* **MinHash+LSH** — constant-size signatures (K=16) replace shingle
+  sets; banding (4 bands × 4 rows) makes candidate generation an
+  EQUI-join on band keys: only probable near-dups ever meet in a
+  shuffle.  This is the only sub-quadratic near-dup path at 100 TB.
+* **SimHash** — one 60-bit token-weighted fingerprint per doc;
+  near-dup ⇔ small Hamming distance.
+
+Hash-function parity: every hash here derives from ``md5`` (the one
+cryptographic hash Spark and DuckDB share bit-for-bit) — the first 15
+hex chars as a 60-bit integer.  The engine's production path would use
+``xxhash64`` (cheaper); md5 keeps the DuckDB oracle exact, and the
+algorithms are hash-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles, tokens
+from ..sources.registry import load_table
+
+#: DuckDB token/shingle twins (keep in lock-step with functions/text.py).
+_SQL_TOKS = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
+_SQL_SHINGLES = (
+    "CASE WHEN len(toks) >= 3 THEN "
+    "list_transform(range(len(toks)-2), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) "
+    "ELSE [array_to_string(toks, ' ')] END"
+)
+
+MINHASH_K = 16
+LSH_BANDS = 4
+LSH_ROWS = 4  # MINHASH_K / LSH_BANDS
+
+
+def _md5_int(prefix: str, s: Column) -> Column:
+    """First 15 hex chars of md5(prefix || s) as a 60-bit positive long.
+
+    DuckDB twin: CAST(('0x' || substr(md5(prefix || x), 1, 15)) AS BIGINT).
+    """
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(prefix), s).cast("binary")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def _sql_md5_int(prefix_expr: str, var: str) -> str:
+    return f"CAST(('0x' || substr(md5({prefix_expr} || {var}), 1, 15)) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup census on whitespace/case-normalized text: total
+    docs, distinct contents, duplicate groups, removable docs.
+
+    Plan: project to (hash, 1) → hash aggregate → single-row summary.
+    The groupBy key is the md5 of normalized text, so the shuffle
+    carries 16 bytes/doc regardless of document size.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat_ws(" ", tokens("text")).cast("binary"))
+    per = d.select(key.alias("k")).groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+    return per.agg(
+        F.sum("c").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias("n_dup_groups"),
+        F.sum(F.col("c") - 1).alias("n_removable"),
+    )
+
+
+ORACLE_DEDUP_EXACT = f"""
+WITH per AS (
+  SELECT md5(array_to_string({_SQL_TOKS}, ' ')) AS k, COUNT(*) AS c
+  FROM documents GROUP BY 1
+)
+SELECT CAST(SUM(c) AS BIGINT) AS n_docs,
+       COUNT(*) AS n_distinct,
+       CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+       CAST(SUM(c - 1) AS BIGINT) AS n_removable
+FROM per
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-similar doc pairs by 3-gram shingle Jaccard.
+
+    Inverted-index candidate generation: explode distinct shingles,
+    self-equi-join on the shingle (shuffle partitioned by shingle — the
+    scalable shape), count shared shingles per (d1, d2), then
+    |A∩B| / (|A|+|B|-|A∩B|).  Deterministic top-k via (jaccard desc,
+    d1, d2).
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(shingles("text", 3)).alias("sh")
+    )
+    sizes = d.select("doc_id", F.size("sh").alias("sz"))
+    ex = d.select("doc_id", F.explode("sh").alias("shingle"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
+    return (
+        inter.join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            "d1",
+            "d2",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("sz1") + F.col("sz2") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "d1", "d2")
+        .limit(20)
+    )
+
+
+ORACLE_JACCARD_PAIRS = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+d AS (SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS sh FROM t),
+sizes AS (SELECT doc_id, len(sh) AS sz FROM d),
+ex AS (SELECT doc_id, unnest(sh) AS shingle FROM d),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2, n_common,
+  ROUND(CAST(n_common AS DOUBLE) / (s1.sz + s2.sz - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes s1 ON d1 = s1.doc_id
+JOIN sizes s2 ON d2 = s2.doc_id
+ORDER BY jaccard DESC, d1, d2 LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _sig_array(sh: Column) -> Column:
+    """K minhash components: min over shingles of md5-int(j || '#' || s)."""
+
+    def _comp(j: int) -> Column:
+        # single-arg lambda only: PySpark reads a 2-param lambda
+        # (incl. default args) as (element, index).
+        return F.array_min(F.transform(sh, lambda s: _md5_int(f"{j}#", s)))
+
+    return F.array(*[_comp(j) for j in range(MINHASH_K)])
+
+
+_SQL_SIG = (
+    "list_transform(range("
+    + str(MINHASH_K)
+    + "), j -> list_min(list_transform(sh, x -> "
+    + _sql_md5_int("CAST(j AS VARCHAR) || '#'", "x")
+    + ")))"
+)
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document MinHash signature, exploded to (doc_id, h, sig)
+    rows so the oracle compares scalar columns.  Signature build is a
+    map-only scan stage — the expensive part (K hashes × shingles) is
+    all JVM-side expression code."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(shingles("text", 3)).alias("sh")
+    )
+    sig = d.select("doc_id", F.posexplode(_sig_array(F.col("sh"))).alias("h", "sig"))
+    return sig.select("doc_id", F.col("h").cast("long").alias("h"), "sig").orderBy(
+        "doc_id", "h"
+    )
+
+
+ORACLE_MINHASH_SIG = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+d AS (SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS sh FROM t),
+s AS (SELECT doc_id, {_SQL_SIG} AS sig FROM d)
+SELECT doc_id, unnest(range({MINHASH_K})) AS h, unnest(sig) AS sig
+FROM s ORDER BY doc_id, h
+"""
+
+
+def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ truncated copies of the first 10 docs (doc_id+1000000)
+    — guarantees the LSH pipeline has true near-dups to find, built
+    identically by the oracle from the same table."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pert = (
+        d.filter(F.col("doc_id") < 10)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.col("text")
+            .substr(F.lit(1), ((F.length("text") * 4) / 5).cast("int"))
+            .alias("text"),
+        )
+    )
+    return d.unionByName(pert)
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: docs sharing ≥1 of 4 band keys (4 sig rows
+    per band), with estimated Jaccard = matching components / K.
+
+    The banding join is the whole trick: signatures shuffle on
+    (band, band_key) — collisions are the only pairs ever materialized,
+    so cost scales with true-duplicate density, not n².  Runs on an
+    augmented corpus (see _near_dup_corpus) so the result provably
+    contains the planted near-dups.
+    """
+    c = _near_dup_corpus(spark, sf_dir).select(
+        "doc_id", F.array_distinct(shingles("text", 3)).alias("sh")
+    )
+    sig = c.select("doc_id", _sig_array(F.col("sh")).alias("sig"))
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            F.transform(
+                                F.slice("sig", b * LSH_ROWS + 1, LSH_ROWS),
+                                lambda x: x.cast("string"),
+                            ),
+                        ).alias("key"),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    s1 = sig.select(F.col("doc_id").alias("d1"), F.col("sig").alias("sig1"))
+    s2 = sig.select(F.col("doc_id").alias("d2"), F.col("sig").alias("sig2"))
+    matches = F.aggregate(
+        F.zip_with("sig1", "sig2", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            "d1",
+            "d2",
+            F.round(matches.cast("double") / MINHASH_K, 6).alias("est_jaccard"),
+        )
+        .orderBy("d1", "d2")
+    )
+
+
+ORACLE_MINHASH_LSH = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         substr(text, 1, (length(text) * 4) // 5) AS text
+  FROM documents WHERE doc_id < 10
+),
+t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM corpus),
+d AS (SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS sh FROM t),
+s AS (SELECT doc_id, {_SQL_SIG} AS sig FROM d),
+bands AS (
+  SELECT doc_id, unnest(range({LSH_BANDS})) AS band, sig FROM s
+),
+keyed AS (
+  SELECT doc_id, band,
+    array_to_string(sig[band*{LSH_ROWS}+1 : band*{LSH_ROWS}+{LSH_ROWS}], '_') AS key
+  FROM bands
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM keyed a JOIN keyed b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT d1, d2,
+  ROUND(CAST(list_sum(list_transform(range({MINHASH_K}),
+      i -> CASE WHEN s1.sig[i+1] = s2.sig[i+1] THEN 1 ELSE 0 END)) AS DOUBLE)
+    / {MINHASH_K}, 6) AS est_jaccard
+FROM cand
+JOIN s s1 ON d1 = s1.doc_id
+JOIN s s2 ON d2 = s2.doc_id
+ORDER BY d1, d2
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60
+
+
+def simhash_64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document over distinct tokens: bit b is set
+    iff more token hashes have bit b set than clear.
+
+    One pass over the token array per bit — O(bits × tokens) of pure
+    codegen'd expression work in the scan stage, no shuffle at all.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toksh = F.transform(
+        F.array_distinct(tokens("text")), lambda t: _md5_int("sh#", t)
+    )
+    d = d.select("doc_id", toksh.alias("hs"), F.size(toksh).alias("n"))
+
+    def _ones(b: int):
+        # single-arg lambda only (see _sig_array note)
+        return F.size(
+            F.filter(
+                F.col("hs"),
+                lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
+            )
+        )
+
+    bit_terms = []
+    for b in range(SIMHASH_BITS):
+        bit_terms.append(
+            F.when(_ones(b) * 2 - F.col("n") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        )
+    sim = bit_terms[0]
+    for t in bit_terms[1:]:
+        sim = sim + t
+    return d.select(
+        "doc_id", sim.cast("long").alias("simhash"), F.col("n").cast("long").alias("n_tokens")
+    ).orderBy("doc_id")
+
+
+ORACLE_SIMHASH = f"""
+WITH t AS (
+  SELECT doc_id,
+    list_transform(list_distinct({_SQL_TOKS}),
+                   x -> {_sql_md5_int("'sh#'", "x")}) AS hs
+  FROM documents
+),
+bits AS (
+  SELECT doc_id, b,
+    CASE WHEN list_sum(list_transform(hs,
+        h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END AS bitval,
+    len(hs) AS n
+  FROM t CROSS JOIN (SELECT unnest(range({SIMHASH_BITS})) AS b)
+)
+SELECT doc_id, CAST(SUM(bitval) AS BIGINT) AS simhash,
+       CAST(MIN(n) AS BIGINT) AS n_tokens
+FROM bits GROUP BY doc_id ORDER BY doc_id
+"""

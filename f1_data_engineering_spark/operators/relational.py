@@ -10,7 +10,12 @@ row count + schema + order-insensitive value hash):
 * every computed column is aliased; names match the oracle SQL exactly;
 * double aggregates go through DECIMAL(38,4) so Spark's partial
   aggregation order and DuckDB's serial order produce bit-identical
-  sums (float addition is non-associative; decimal is exact);
+  sums (float addition is non-associative; decimal is exact) — then a
+  final ``cast("double")`` so both engines emit the same storage type
+  (converting the same exact decimal to IEEE double is deterministic);
+* averages are derived as ``round(sum_decimal_as_double / count, 6)``
+  rather than ``avg()`` — Spark's avg(decimal) returns decimal(38,8)
+  while DuckDB's returns double, which would diverge in type and ulps;
 * `first`-style picks use min_by/max_by with an explicit key — never
   "whatever row came first" (pandas row-order semantics don't exist in
   a distributed engine);
@@ -35,6 +40,30 @@ def _dec(c) -> F.Column:
     return col.cast(DEC)
 
 
+def _dec2(c) -> F.Column:
+    """Exact 2-dp decimal of a 2-dp-valued double factor.
+
+    Casting each FACTOR (price, 1-discount, 1+tax — all 2-dp values, so
+    no .xx5 rounding ties exist) and multiplying in decimal keeps the
+    product exact in both engines.  Casting the double PRODUCT instead
+    would hit .xxxx5 ties where Spark (shortest-string HALF_UP) and
+    DuckDB (scaled-multiply) round differently.  DECIMAL(12,2) keeps
+    the 3-factor product precision ≤ 36, inside DuckDB's 38 cap.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("decimal(12,2)")
+
+
+def _disc_price() -> F.Column:
+    """l_extendedprice * (1 - l_discount), exact decimal."""
+    return _dec2("l_extendedprice") * _dec2(1 - F.col("l_discount"))
+
+
+def _charge() -> F.Column:
+    """l_extendedprice * (1 - l_discount) * (1 + l_tax), exact decimal."""
+    return _disc_price() * _dec2(1 + F.col("l_tax"))
+
+
 # ---------------------------------------------------------------------------
 # §2.4 aggregation
 # ---------------------------------------------------------------------------
@@ -49,26 +78,21 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     only pre-aggregated partials — this plan is flat-optimal at 100 TB.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).alias("sum_base_price"),
-            F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
-                "sum_disc_price"
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_disc_price()).cast("double").alias("sum_disc_price"),
+            F.sum(_charge()).cast("double").alias("sum_charge"),
+            F.round(F.sum(_dec("l_quantity")).cast("double") / n, 6).alias("avg_qty"),
+            F.round(F.sum(_dec("l_extendedprice")).cast("double") / n, 6).alias(
+                "avg_price"
             ),
-            F.sum(
-                _dec(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                )
-            ).alias("sum_charge"),
-            F.avg(_dec("l_quantity")).alias("avg_qty"),
-            F.avg(_dec("l_extendedprice")).alias("avg_price"),
-            F.avg(_dec("l_discount")).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.round(F.sum(_dec("l_discount")).cast("double") / n, 6).alias("avg_disc"),
+            n.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -107,9 +131,9 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             F.countDistinct("c_nationkey").alias("n_nations"),
-            F.min(_dec("c_acctbal")).alias("min_bal"),
-            F.max(_dec("c_acctbal")).alias("max_bal"),
-            F.sum(_dec("c_acctbal")).alias("sum_bal"),
+            F.min(_dec("c_acctbal")).cast("double").alias("min_bal"),
+            F.max(_dec("c_acctbal")).cast("double").alias("max_bal"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("sum_bal"),
         )
         .orderBy("c_mktsegment")
     )
@@ -129,6 +153,11 @@ def pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("l_linestatus", ["F", "O"])
         .agg(F.sum(_dec("l_quantity")))
         .withColumnsRenamed({"F": "qty_f", "O": "qty_o"})
+        .select(
+            "l_returnflag",
+            F.col("qty_f").cast("double").alias("qty_f"),
+            F.col("qty_o").cast("double").alias("qty_o"),
+        )
         .orderBy("l_returnflag")
     )
 
@@ -139,7 +168,10 @@ def rollup_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return (
         o.rollup("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum(_dec("o_totalprice")).alias("sum_price"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+        )
         .orderBy(
             F.col("o_orderstatus").asc_nulls_first(),
             F.col("o_orderpriority").asc_nulls_first(),
@@ -166,7 +198,7 @@ def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_linenumber",
             "l_returnflag",
             "l_quantity",
-            _dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+            _disc_price().cast("double").alias("net_price"),
         )
     )
 
@@ -189,7 +221,7 @@ def join_customer_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.sum(_dec("c_acctbal")).alias("sum_bal"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("sum_bal"),
         )
         .orderBy("r_name", "n_name")
     )
@@ -210,9 +242,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
-                "revenue"
-            ),
+            F.sum(_disc_price()).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
         .orderBy("n_name")
@@ -259,41 +289,43 @@ def outer_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def range_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 interval/range join (the laps × telemetry shape,
-    f1_dataExtractor.py:251-255): count events whose ts falls in
-    [o_orderdate, o_orderdate + 1 day), bucketized.
+    f1_dataExtractor.py:251-255): for a 1-in-1000 sample of orders,
+    count lineitems (any order's) shipped in [o_orderdate,
+    o_orderdate + 7 days), bucketized.
 
     Scale design (SURVEY.md §4.2 option b): a raw theta join is
     O(n·m) BroadcastNestedLoopJoin.  Instead both sides are tagged
-    with a day bucket — the interval spans at most 2 buckets, so
-    orders are exploded to their ≤2 covering buckets via a literal
+    with a 7-day bucket — the interval spans at most 2 buckets, so
+    each order is exploded to its ≤2 covering buckets via a literal
     array (no extra scan), then it's an EQUI join on the bucket +
     a residual band filter.  Shuffle is hash-partitioned on the
     bucket; at 100 TB this is a plain sort-merge join, no nested
-    loop anywhere.  See operators/telemetry.py for the same pattern
-    on the F1-native tables.
+    loop anywhere.
     """
-    ev = load_table(spark, sf_dir, "events").select(
-        F.col("ts"), F.to_date("ts").alias("bucket")
+    week = lambda c: F.floor(F.unix_date(F.to_date(c)) / 7)  # noqa: E731
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_shipdate"), week("l_shipdate").alias("bucket")
     )
-    o = load_table(spark, sf_dir, "orders").select(
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 1000 == 0
+    ).select(
         "o_orderkey",
         "o_orderdate",
-        (F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")).alias("o_end"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAY")).alias("o_end"),
     )
     o_b = o.withColumn(
         "bucket",
         F.explode(
-            F.array_distinct(
-                F.array(F.to_date("o_orderdate"), F.to_date(F.col("o_end")))
-            )
+            F.array_distinct(F.array(week("o_orderdate"), week(F.col("o_end"))))
         ),
     )
-    joined = o_b.join(ev, "bucket").filter(
-        (F.col("ts") >= F.col("o_orderdate")) & (F.col("ts") < F.col("o_end"))
+    joined = o_b.join(li, "bucket").filter(
+        (F.col("l_shipdate") >= F.col("o_orderdate"))
+        & (F.col("l_shipdate") < F.col("o_end"))
     )
     return (
         joined.groupBy("o_orderkey")
-        .agg(F.count(F.lit(1)).alias("n_events"))
+        .agg(F.count(F.lit(1)).alias("n_shipped"))
         .orderBy("o_orderkey")
     )
 
@@ -337,7 +369,7 @@ def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        F.sum(_dec("value")).over(w).alias("running_value"),
+        F.sum(_dec("value")).over(w).cast("double").alias("running_value"),
     ).orderBy("user_id", "event_id")
 
 
@@ -350,7 +382,12 @@ def rank_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("o_custkey", "o_orderkey", _dec("o_totalprice").alias("totalprice"), "rn")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            _dec("o_totalprice").cast("double").alias("totalprice"),
+            "rn",
+        )
         .orderBy("o_custkey", "rn")
     )
 
@@ -367,7 +404,11 @@ def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return (
         o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-        .select("o_orderkey", "o_custkey", _dec("o_totalprice").alias("totalprice"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            _dec("o_totalprice").cast("double").alias("totalprice"),
+        )
         .limit(10)
     )
 
@@ -423,9 +464,10 @@ def set_ops_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction on events.props (beyond-reference scalar surface,
-    SURVEY.md §2.8 tail): parse once with from_json, aggregate typed
-    fields.  get_json_object would re-parse per field; from_json parses
-    the document once per row."""
+    SURVEY.md §2.8 tail): a single ``get_json_object`` path extraction —
+    for one field this is equivalent to ``from_json`` (one parse per
+    row); if more fields are ever pulled, switch to ``from_json`` with a
+    multi-field schema so the document is still parsed only once."""
     ev = load_table(spark, sf_dir, "events")
     parsed = ev.select(
         "event_type",
@@ -441,3 +483,205 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL twins (driver contract: same column names, same values)
+# ---------------------------------------------------------------------------
+
+ORACLE_Q1 = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(12,2)) * CAST(1+l_tax AS DECIMAL(12,2))) AS DOUBLE) AS sum_charge,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE)/COUNT(*), 6) AS avg_qty,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)/COUNT(*), 6) AS avg_price,
+  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(38,4))) AS DOUBLE)/COUNT(*), 6) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+ORACLE_STINT = """
+WITH ranked AS (
+  SELECT user_id, event_type, ts, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE event_type IS NOT NULL
+)
+SELECT user_id, event_type,
+  max(CASE WHEN rn = 1 THEN value END) AS first_value,
+  min(ts) AS start_ts, max(ts) AS end_ts,
+  count(*) AS n_events
+FROM ranked
+GROUP BY user_id, event_type
+ORDER BY user_id, event_type
+"""
+
+ORACLE_AGG_STATS = """
+SELECT c_mktsegment,
+  COUNT(*) AS n_customers,
+  COUNT(DISTINCT c_nationkey) AS n_nations,
+  CAST(MIN(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE) AS min_bal,
+  CAST(MAX(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE) AS max_bal,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE) AS sum_bal
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+ORACLE_PIVOT = """
+SELECT l_returnflag,
+  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(38,4)) END) AS DOUBLE) AS qty_f,
+  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(38,4)) END) AS DOUBLE) AS qty_o
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+ORACLE_ROLLUP = """
+SELECT o_orderstatus, o_orderpriority,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+ORACLE_FILTER_PROJECT = """
+SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(12,2)) AS DOUBLE) AS net_price
+FROM lineitem
+WHERE l_shipdate IS NOT NULL AND l_quantity > 0 AND l_returnflag IN ('A','R')
+"""
+
+ORACLE_JOIN_CNR = """
+SELECT r_name, n_name,
+  COUNT(*) AS n_customers,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE) AS sum_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name ORDER BY r_name, n_name
+"""
+
+ORACLE_REVENUE_NATION = """
+SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+ORACLE_SEMI_ANTI = """
+SELECT c_mktsegment, COUNT(*) AS n, TRUE AS has_orders
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_mktsegment
+UNION ALL
+SELECT c_mktsegment, COUNT(*) AS n, FALSE AS has_orders
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment, has_orders
+"""
+
+ORACLE_OUTER_COUNTS = """
+WITH per_cust AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+ORACLE_RANGE_JOIN = """
+SELECT o_orderkey, COUNT(*) AS n_shipped
+FROM orders JOIN lineitem
+  ON l_shipdate >= o_orderdate AND l_shipdate < o_orderdate + INTERVAL 7 DAY
+WHERE o_orderkey % 1000 = 0
+GROUP BY o_orderkey ORDER BY o_orderkey
+"""
+
+ORACLE_WINDOW_CHANGES = """
+WITH x AS (
+  SELECT user_id,
+    CASE WHEN lag(event_type) OVER w IS NULL THEN 0
+         WHEN event_type <> lag(event_type) OVER w THEN 1
+         ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, CAST(SUM(chg) AS BIGINT) AS n_type_changes,
+       COUNT(*) AS n_events
+FROM x GROUP BY user_id ORDER BY user_id
+"""
+
+ORACLE_RUNNING_TOTAL = """
+SELECT event_id, user_id,
+  CAST(SUM(CAST(value AS DECIMAL(38,4))) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+FROM events ORDER BY user_id, event_id
+"""
+
+ORACLE_RANK_ORDERS = """
+WITH r AS (
+  SELECT o_custkey, o_orderkey,
+    CAST(CAST(o_totalprice AS DECIMAL(38,4)) AS DOUBLE) AS totalprice,
+    row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, totalprice, rn
+FROM r WHERE rn <= 3 ORDER BY o_custkey, rn
+"""
+
+ORACLE_TOP_ORDERS = """
+SELECT o_orderkey, o_custkey,
+  CAST(CAST(o_totalprice AS DECIMAL(38,4)) AS DOUBLE) AS totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+ORACLE_DISTINCT_TYPES = """
+SELECT DISTINCT event_type FROM events
+WHERE event_type IS NOT NULL ORDER BY event_type
+"""
+
+ORACLE_STRIDE = """
+WITH n AS (SELECT COUNT(*) AS n FROM events),
+r AS (
+  SELECT event_id, ts, value,
+         row_number() OVER (ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT event_id, ts, value
+FROM r, n
+WHERE (rn - 1) % GREATEST(1, CAST(CEIL(n / 10.0) AS BIGINT)) = 0
+ORDER BY event_id
+"""
+
+ORACLE_SET_OPS = """
+WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+     s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+SELECT nationkey, 'both' AS relation
+FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)
+UNION ALL
+SELECT nationkey, 'customer_only' AS relation
+FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)
+ORDER BY relation, nationkey
+"""
+
+ORACLE_JSON_PROPS = """
+WITH p AS (
+  SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events
+)
+SELECT event_type, COUNT(*) AS n,
+  CAST(SUM(k) AS BIGINT) AS sum_k,
+  MIN(k) AS min_k, MAX(k) AS max_k
+FROM p GROUP BY event_type ORDER BY event_type
+"""

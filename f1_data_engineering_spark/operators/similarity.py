@@ -1,0 +1,195 @@
+"""Similarity search over the ``embeddings`` table (beyond-reference
+training-data scope): brute-force cosine top-k, hyperplane-LSH
+bucketing, and all-pairs nearest neighbor.
+
+Scale design:
+
+* **brute force** is the baseline AND often the right answer: the dot
+  products run inside the scan stage (zip_with/aggregate — JVM, no
+  Python), so a 100 TB sweep is bandwidth-bound with a tiny top-k
+  shuffle (per-partition heaps → driver merge).  Query vectors
+  broadcast.
+* **hyperplane LSH** is the candidate-reduction path: 8 deterministic
+  hyperplanes → 8-bit bucket; vectors shuffle once on the bucket and
+  only same-bucket pairs are scored.  Planes are integer-arithmetic
+  pseudo-random (no libm) so Spark and DuckDB compute bit-identical
+  weights.
+* FP parity: cosine components fold left-to-right over the array in
+  both engines; outputs are rounded to 6 decimals, and rankings use a
+  1e-9-rounded sim with vec_id tie-break so ulp-level engine noise
+  cannot reorder results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity
+from ..sources.registry import load_table
+
+N_PLANES = 8
+DIM = 64
+_P1, _P2, _MOD = 8191, 2654435761, 1000003
+
+
+def _plane_weight(p: int, d: int) -> float:
+    """Deterministic pseudo-random weight in [-0.5, 0.5) from exact
+    integer arithmetic — identical in Python, Spark and SQL."""
+    return ((p * _P1 + d) * _P2 % _MOD) / _MOD - 0.5
+
+
+def _bucket_expr(vec: Column) -> Column:
+    """8-bit LSH bucket: bit p = (Σ_d w[p][d]·v[d] > 0)."""
+    bits = []
+    for p in range(N_PLANES):
+        w = F.array(*[F.lit(_plane_weight(p, d)) for d in range(DIM)])
+        dot = F.aggregate(
+            F.zip_with(vec, w, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+_SQL_COS = """
+list_sum(list_transform(list_zip(a.embedding, b.embedding),
+         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+/ (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+ * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+"""
+
+
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 neighbors (including self) for query vectors vec_id < 5 by
+    cosine.  Queries broadcast; scoring is scan-side; ranking is a
+    per-query-partition window (k·q rows total shuffle)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    sim = cosine_similarity("qvec", "embedding")
+    pairs = e.join(F.broadcast(q)).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(sim, 9).alias("sim_key"),
+        F.round(sim, 6).alias("sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim_key").desc(), "neighbor_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank"))
+        .orderBy("query_id", "rank")
+    )
+
+
+ORACLE_ANN_TOPK = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+    ROUND({_SQL_COS}, 9) AS sim_key, ROUND({_SQL_COS}, 6) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < 5
+),
+r AS (
+  SELECT query_id, neighbor_id, sim,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY sim_key DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, sim, rank
+FROM r WHERE rank <= 3 ORDER BY query_id, rank
+"""
+
+
+def lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket occupancy of the 8-hyperplane LSH: (bucket, n_vectors).
+    The histogram is the health check for the ANN scale path — a
+    degenerate plane set (one huge bucket) means the candidate join
+    degrades toward n²."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select(_bucket_expr(F.col("embedding")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("bucket")
+    )
+
+
+def _sql_plane_weight() -> str:
+    return f"((p * {_P1} + d) * {_P2} % {_MOD}) / {_MOD}.0 - 0.5"
+
+
+ORACLE_LSH_HIST = f"""
+WITH planes AS (
+  SELECT p, list_transform(range({DIM}), d -> {_sql_plane_weight()}) AS w
+  FROM (SELECT unnest(range({N_PLANES})) AS p)
+),
+dots AS (
+  SELECT e.vec_id, pl.p,
+    list_sum(list_transform(list_zip(e.embedding, pl.w),
+             z -> CAST(z[1] AS DOUBLE) * z[2])) AS dot
+  FROM embeddings e CROSS JOIN planes pl
+),
+buckets AS (
+  SELECT vec_id,
+    CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT)
+      AS bucket
+  FROM dots GROUP BY vec_id
+)
+SELECT bucket, COUNT(*) AS n_vectors FROM buckets
+GROUP BY bucket ORDER BY bucket
+"""
+
+
+def embedding_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest other vector for each query in a 1-in-100 query sample
+    (vec_id % 100 == 0): brute-force cosine, deterministic tie-breaks.
+    The sample keeps the pair count linear in table size so the same
+    query runs at every SF (at 100 TB you'd bucket first — see
+    lsh_bucket_histogram)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    sim = cosine_similarity("qvec", "embedding")
+    pairs = (
+        e.join(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            F.round(sim, 9).alias("sim_key"),
+            F.round(sim, 6).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim_key").desc(), "neighbor_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "neighbor_id", "neighbor_label", "sim")
+        .orderBy("query_id")
+    )
+
+
+ORACLE_NN = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+    b.label AS neighbor_label,
+    ROUND({_SQL_COS}, 9) AS sim_key, ROUND({_SQL_COS}, 6) AS sim
+  FROM embeddings a JOIN embeddings b
+    ON a.vec_id % 100 = 0 AND b.vec_id <> a.vec_id
+),
+r AS (
+  SELECT query_id, neighbor_id, neighbor_label, sim,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY sim_key DESC, neighbor_id) AS rn
+  FROM pairs
+)
+SELECT query_id, neighbor_id, neighbor_label, sim
+FROM r WHERE rn = 1 ORDER BY query_id
+"""

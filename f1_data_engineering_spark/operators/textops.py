@@ -1,0 +1,168 @@
+"""Text-analysis queries over the ``documents`` table (beyond-reference
+training-data scope): token counting, language ID, quality scoring,
+fingerprinting — each with a DuckDB oracle twin.
+
+All expression-only (functions/text.py): the hot path is regex/array
+built-ins inside whole-stage codegen.  At 100 TB of text these queries
+are scan-bound map-only jobs (the only shuffles are the final tiny
+aggregates), which is the optimal shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    STOPWORDS,
+    bpe_ish_token_count,
+    language_id,
+    quality_score,
+    token_count,
+    tokens,
+)
+from ..sources.registry import load_table
+
+#: DuckDB expression for the engine's whitespace tokens (lower/trim/split).
+_SQL_TOKENS = (
+    "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
+)
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts: whitespace tokens + BPE-ish regex
+    tokens (GPT-2 pretokenizer shape) + char length."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+        "n_chars",
+    ).orderBy("doc_id")
+
+
+ORACLE_TEXT_STATS = f"""
+SELECT doc_id,
+  CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tokens,
+  CAST(len(regexp_extract_all(text,
+    '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+'))
+    AS BIGINT) AS n_bpe_tokens,
+  CAST(length(text) AS BIGINT) AS n_chars_measured,
+  n_chars
+FROM documents ORDER BY doc_id
+"""
+
+
+def language_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID vs the table's labeled ``lang`` —
+    confusion-matrix counts.  (zh has no stopword list → 'und'.)"""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(language_id("text").alias("lang_pred"), "lang")
+        .groupBy("lang_pred", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang_pred", "lang")
+    )
+
+
+def _sql_lang_scores() -> str:
+    parts = []
+    for lang, words in STOPWORDS.items():
+        inlist = ", ".join(f"'{w}'" for w in words)
+        parts.append(
+            f"len(list_filter(toks, x -> x IN ({inlist}))) AS score_{lang}"
+        )
+    return ",\n    ".join(parts)
+
+
+def _sql_lang_case() -> str:
+    langs = list(STOPWORDS)
+    best = "GREATEST(" + ", ".join(f"score_{lg}" for lg in langs) + ")"
+    whens = "\n      ".join(
+        f"WHEN score_{lg} = {best} AND {best} > 0 THEN '{lg}'" for lg in langs
+    )
+    return f"CASE {whens} ELSE 'und' END"
+
+
+ORACLE_LANG_CONFUSION = f"""
+WITH t AS (
+  SELECT lang, {_SQL_TOKENS} AS toks FROM documents
+),
+s AS (
+  SELECT lang,
+    {_sql_lang_scores()}
+  FROM t
+)
+SELECT {_sql_lang_case()} AS lang_pred, lang, COUNT(*) AS n
+FROM s GROUP BY lang_pred, lang ORDER BY lang_pred, lang
+"""
+
+
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score in [0,1] per document (length / alpha
+    ratio / punctuation burst / stopword ratio / word length blend)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score("text").alias("quality")).orderBy("doc_id")
+
+
+_ALL_STOP = sorted({w for ws in STOPWORDS.values() for w in ws})
+
+ORACLE_QUALITY = f"""
+WITH base AS (
+  SELECT doc_id, trim(text) AS t,
+    CAST(length(trim(text)) AS DOUBLE) AS n_chars,
+    list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, t, n_chars,
+    GREATEST(CAST(len(toks) AS DOUBLE), 1.0) AS n_tok,
+    CAST(length(regexp_replace(t, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+    CAST(length(regexp_replace(t, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct,
+    CAST(len(list_filter(toks,
+      x -> x IN ({", ".join(f"'{w}'" for w in _ALL_STOP)}))) AS DOUBLE) AS stop_hits
+  FROM base
+),
+sc AS (
+  SELECT doc_id, t, n_chars,
+    LEAST(n_chars / 500.0, 1.0) AS len_score,
+    alpha / GREATEST(n_chars, 1.0) AS alpha_ratio,
+    1.0 - LEAST(punct / GREATEST(n_chars, 1.0) * 4, 1.0) AS punct_penalty,
+    LEAST(stop_hits / n_tok * 3, 1.0) AS stop_score,
+    CASE WHEN n_chars / n_tok >= 3 AND n_chars / n_tok <= 10
+         THEN 1.0 ELSE 0.5 END AS wlen_score
+  FROM m
+)
+SELECT doc_id,
+  CASE WHEN t IS NULL OR n_chars = 0 THEN 0.0
+       ELSE ROUND(len_score * 0.25 + alpha_ratio * 0.25 + punct_penalty * 0.2
+                  + stop_score * 0.2 + wlen_score * 0.1, 6) END AS quality
+FROM sc ORDER BY doc_id
+"""
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints of whitespace/case-normalized text: an
+    md5 hex fingerprint (oracle-checkable — DuckDB lacks xxhash64) and
+    the n_chars of the normalized form.  The engine's scale path keys
+    exact dedup on xxhash64 of the same normalization (64-bit int beats
+    a 32-hex string for shuffle width); equal-by-md5 ⇔ equal-by-xxhash
+    modulo collisions, so the oracle check covers the semantics."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.concat_ws(" ", tokens("text"))
+    return d.select(
+        "doc_id",
+        F.md5(norm.cast("binary")).alias("fp_md5"),
+        F.length(norm).cast("long").alias("n_norm_chars"),
+    ).orderBy("doc_id")
+
+
+ORACLE_FINGERPRINTS = f"""
+WITH n AS (
+  SELECT doc_id, array_to_string({_SQL_TOKENS}, ' ') AS norm FROM documents
+)
+SELECT doc_id, md5(norm) AS fp_md5,
+       CAST(length(norm) AS BIGINT) AS n_norm_chars
+FROM n ORDER BY doc_id
+"""

@@ -1,0 +1,258 @@
+"""Time/boolean expression-library queries over the driver test tables.
+
+Exercises the domain core of SURVEY.md §2.8 (F2/F4/F9 duration
+format+parse round-trip, F5/F6/F8 wall-clock rendering, F16/F17 boolean
+normalization) plus the windowed-time surface (tumbling rollup ≈ the
+weather sampling of §2.9, gap-based sessionization ≈ session windows /
+stint detection) — each with a DuckDB oracle twin.
+
+Parity notes:
+
+* the round-trip query uses the TRUNCATING formatter variants
+  (f1_dataTransformer.py:67-95 semantics) — ``floor(|s|*1000)`` is the
+  same IEEE double op in Spark and DuckDB, so strings match byte-for-byte
+  (the half-even extractor variant is unit-tested in tests/ instead;
+  DuckDB's ``round()`` is ties-away so exact .5 ms ties would diverge,
+  and ties cannot occur in this table's 2-decimal values anyway);
+* gaps are measured in exact integer microseconds (``unix_micros`` /
+  ``epoch_us``), never float seconds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.booleans import to_bool_or_numeric, to_bool_strict
+from ..functions.timefmt import (
+    fmt_hhmmssms,
+    fmt_mmssms,
+    iso_utc,
+    parse_f1_duration,
+    wallclock_hhmmss,
+    wallclock_hhmmssms,
+)
+from ..sources.registry import load_table
+
+SESSION_GAP_US = 3_600_000_000  # 1 hour
+
+
+def time_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/F4 format → F9 parse round-trip on events.value (seconds).
+
+    ``parsed_sec`` must equal ``floor(value*1000)/1000`` — the
+    transformer's truncation contract (f1_dataTransformer.py:67-95).
+    Pure scan-side expressions: no shuffle, whole-stage codegen'd.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    mmssms = fmt_mmssms("value", rounding="trunc")
+    hhmmssms = fmt_hhmmssms("value", rounding="trunc")
+    return ev.select(
+        "event_id",
+        "value",
+        mmssms.alias("dur_mmssms"),
+        hhmmssms.alias("dur_hhmmssms"),
+        parse_f1_duration(hhmmssms).alias("parsed_sec"),
+        (parse_f1_duration(hhmmssms) - parse_f1_duration(mmssms)).alias("parse_diff"),
+    ).orderBy("event_id")
+
+
+ORACLE_TIME_ROUNDTRIP = """
+WITH f AS (
+  SELECT event_id, value,
+    CAST(FLOOR(ABS(value)*1000) AS BIGINT) AS ms,
+    CASE WHEN value < 0 THEN '-' ELSE '' END AS sgn
+  FROM events
+),
+s AS (
+  SELECT event_id, value,
+    sgn || printf('%02d:%02d:%03d', ms//60000, (ms%60000)//1000, ms%1000)
+      AS dur_mmssms,
+    sgn || printf('%02d:%02d:%02d:%03d', ms//3600000, (ms%3600000)//60000,
+                  (ms%60000)//1000, ms%1000) AS dur_hhmmssms
+  FROM f
+),
+p AS (
+  SELECT event_id, value, dur_mmssms, dur_hhmmssms,
+    (CASE WHEN regexp_extract(dur_hhmmssms,
+        '^([+-]?)(\\d+):(\\d{2}):(\\d{2}):(\\d{3})$', 1) = '-'
+      THEN -1.0 ELSE 1.0 END) * (
+      CAST(regexp_extract(dur_hhmmssms, '^([+-]?)(\\d+):(\\d{2}):(\\d{2}):(\\d{3})$', 2) AS DOUBLE)*3600
+      + CAST(regexp_extract(dur_hhmmssms, '^([+-]?)(\\d+):(\\d{2}):(\\d{2}):(\\d{3})$', 3) AS DOUBLE)*60
+      + CAST(regexp_extract(dur_hhmmssms, '^([+-]?)(\\d+):(\\d{2}):(\\d{2}):(\\d{3})$', 4) AS DOUBLE)
+      + CAST(regexp_extract(dur_hhmmssms, '^([+-]?)(\\d+):(\\d{2}):(\\d{2}):(\\d{3})$', 5) AS DOUBLE)/1000
+    ) AS hh_sec,
+    (CASE WHEN regexp_extract(dur_mmssms,
+        '^([+-]?)(\\d+):(\\d{2}):(\\d{3})$', 1) = '-'
+      THEN -1.0 ELSE 1.0 END) * (
+      CAST(regexp_extract(dur_mmssms, '^([+-]?)(\\d+):(\\d{2}):(\\d{3})$', 2) AS DOUBLE)*60
+      + CAST(regexp_extract(dur_mmssms, '^([+-]?)(\\d+):(\\d{2}):(\\d{3})$', 3) AS DOUBLE)
+      + CAST(regexp_extract(dur_mmssms, '^([+-]?)(\\d+):(\\d{2}):(\\d{3})$', 4) AS DOUBLE)/1000
+    ) AS mm_sec
+  FROM s
+)
+SELECT event_id, value, dur_mmssms, dur_hhmmssms,
+       hh_sec AS parsed_sec, hh_sec - mm_sec AS parse_diff
+FROM p ORDER BY event_id
+"""
+
+
+def wallclock_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5/F6/F8 wall-clock rendering of events.ts (engine stores UTC;
+    local rendering = from_utc_timestamp at the presentation edge)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        wallclock_hhmmss("ts").alias("t_hhmmss"),
+        wallclock_hhmmssms("ts").alias("t_hhmmssms"),
+        iso_utc("ts").alias("t_iso"),
+    ).orderBy("event_id")
+
+
+ORACLE_WALLCLOCK = """
+SELECT event_id,
+  strftime(ts, '%H:%M:%S') AS t_hhmmss,
+  strftime(ts, '%H:%M:%S') || ':' || printf('%03d', (epoch_us(ts) % 1000000) // 1000)
+    AS t_hhmmssms,
+  strftime(ts, '%Y-%m-%dT%H:%M:%S') || 'Z' AS t_iso
+FROM events ORDER BY event_id
+"""
+
+
+def boolean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16/F17 boolean normalization over synthesized spellings.
+
+    Spellings are derived deterministically from event_id so Spark and
+    the oracle construct the identical input column, then both apply the
+    strict map (IsAccurate, streamlit_app.py:85-89) and the
+    bool-then-numeric fallback (Rainfall, streamlit_app.py:127-139).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    m = F.col("event_id") % 8
+    spelling = (
+        F.when(m == 0, "True")
+        .when(m == 1, "false")
+        .when(m == 2, "1")
+        .when(m == 3, "0.0")
+        .when(m == 4, "yes")
+        .when(m == 5, "")
+        .when(m == 6, "nan")
+        .otherwise("0.75")
+    )
+    return (
+        ev.select(
+            spelling.alias("spelling"),
+            to_bool_strict(spelling).alias("as_strict"),
+            to_bool_or_numeric(spelling).alias("as_numeric_fallback"),
+        )
+        .groupBy("spelling", "as_strict", "as_numeric_fallback")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("spelling")
+    )
+
+
+ORACLE_BOOLEAN = """
+WITH sp AS (
+  SELECT CASE event_id % 8
+    WHEN 0 THEN 'True' WHEN 1 THEN 'false' WHEN 2 THEN '1'
+    WHEN 3 THEN '0.0' WHEN 4 THEN 'yes' WHEN 5 THEN ''
+    WHEN 6 THEN 'nan' ELSE '0.75' END AS spelling
+  FROM events
+),
+b AS (
+  SELECT spelling,
+    lower(trim(spelling)) IN ('true','1','1.0') AS as_strict,
+    COALESCE(
+      CASE WHEN lower(trim(spelling)) IN ('true','1','1.0') THEN TRUE
+           WHEN lower(trim(spelling)) IN ('false','0','0.0','nan','none','') THEN FALSE
+           ELSE TRY_CAST(spelling AS DOUBLE) > 0 END,
+      FALSE) AS as_numeric_fallback
+  FROM sp
+)
+SELECT spelling, as_strict, as_numeric_fallback, COUNT(*) AS n
+FROM b GROUP BY spelling, as_strict, as_numeric_fallback
+ORDER BY spelling
+"""
+
+
+def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate on events (§2.9 batch twin of
+    the streaming weather/telemetry rollup).  ``window()`` compiles to
+    a plain hash aggregate on the bucket — one shuffle, map-side
+    partials; identical plan shape at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+ORACLE_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type
+"""
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (batch twin of Structured Streaming's
+    ``session_window``; ≈ stint detection, SURVEY.md §2.9): a new
+    session starts when a user's inter-event gap exceeds 1 hour.
+
+    lag → boundary flag → running sum = session id; one shuffle on
+    user_id, then two window passes over the same sort order (Spark
+    reuses the sort).  Microsecond-exact gap arithmetic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev = F.lag(us).over(w)
+    boundary = F.when(prev.isNull() | ((us - prev) > SESSION_GAP_US), 1).otherwise(0)
+    sess = (
+        ev.withColumn("boundary", boundary)
+        .withColumn(
+            "session_id",
+            F.sum("boundary").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        )
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 3600000000
+         THEN 1 ELSE 0 END AS boundary
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+    CAST(SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM g
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
+"""

@@ -15,10 +15,22 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..schemas import TEST_TABLES, TEST_TABLE_NAMES
 
 __all__ = ["load_table", "load_tables", "register_views", "default_sf_dir"]
+
+#: Columns stored as parquet TIMESTAMP(NANOS) — Spark has no nanosecond
+#: timestamp type, so these are read as raw INT64 nanos (requires
+#: ``spark.sql.legacy.parquet.nanosAsLong``-compatible schema, i.e. we
+#: just declare LongType) and truncated to microseconds.  The driver
+#: data carries no sub-microsecond component, so this is lossless.
+#: Cost at scale: a ts predicate no longer prunes parquet row groups on
+#: this column (the scan filter applies post-conversion) — for a real
+#: deployment, land the data as TIMESTAMP(MICROS) instead.
+NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
 def default_sf_dir() -> str:
@@ -30,7 +42,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TEST_TABLES:
         raise KeyError(f"unknown test table {name!r}; known: {TEST_TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
-    return spark.read.schema(TEST_TABLES[name]).parquet(path)
+    schema = TEST_TABLES[name]
+    ns_cols = NANOS_TS_COLS.get(name, ())
+    if not ns_cols:
+        return spark.read.schema(schema).parquet(path)
+    read_schema = T.StructType(
+        [
+            T.StructField(
+                f.name,
+                T.LongType() if f.name in ns_cols else f.dataType,
+                f.nullable,
+            )
+            for f in schema.fields
+        ]
+    )
+    df = spark.read.schema(read_schema).parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
 
 
 def load_tables(
