@@ -1,0 +1,89 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Each query executes end-to-end via the noop sink (full compute, no
+driver materialization — Catalyst can't prune work the way a bare
+count() would).  Session warm-up (JVM + first parquet footer reads) is
+excluded via one untimed warm-up action.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod
+from f1_data_engineering_spark.session import get_spark
+
+#: Headline set: one per operator family, weighted toward the shapes
+#: that dominate at 100 TB (scan-agg, shuffle joins, windows, text/
+#: dedup/similarity map-heavy scans).
+BENCH_QUERIES = (
+    "q1_pricing_summary",
+    "filter_project",
+    "revenue_by_nation",
+    "outer_join_order_counts",
+    "range_join_events_orders",
+    "window_value_changes",
+    "running_total",
+    "rank_orders_per_customer",
+    "hourly_event_rollup",
+    "sessionize_events",
+    "time_format_roundtrip",
+    "text_stats",
+    "quality_scores",
+    "dedup_exact",
+    "simhash_64",
+    "minhash_lsh_pairs",
+    "ann_bruteforce_topk",
+    "embedding_nearest_neighbor",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark(
+        app_name="f1des-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    qs = entry_mod.queries()
+
+    # warm-up: JVM, codegen, parquet footers
+    qs["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall time, noop sink",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
