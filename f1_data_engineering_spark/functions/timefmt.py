@@ -59,6 +59,12 @@ def duration_seconds(c: Column | str) -> Column:
     return _col(c).try_cast("double")
 
 
+def _is_missing(s: Column) -> Column:
+    """NULL or NaN — the reference's pd.isna guard (NaN seconds must
+    render NULL, not '00:00:000' via the NaN→long cast)."""
+    return s.isNull() | F.isnan(s.cast("double"))
+
+
 def _unit_count(seconds: Column, scale: int, rounding: str) -> tuple[Column, Column]:
     """abs magnitude in 1/scale-second units + sign prefix string."""
     s = seconds.cast("double")
@@ -89,7 +95,7 @@ def fmt_mmssms(c: Column | str, rounding: str = "half_even") -> Column:
         ((ms % 60000) / 1000).cast("long"),
         ms % 1000,
     )
-    return F.when(s.isNull(), F.lit(None).cast("string")).otherwise(out)
+    return F.when(_is_missing(s), F.lit(None).cast("string")).otherwise(out)
 
 
 def fmt_hhmmss(c: Column | str, rounding: str = "half_even") -> Column:
@@ -103,7 +109,7 @@ def fmt_hhmmss(c: Column | str, rounding: str = "half_even") -> Column:
         ((secs % 3600) / 60).cast("long"),
         secs % 60,
     )
-    return F.when(s.isNull(), F.lit(None).cast("string")).otherwise(out)
+    return F.when(_is_missing(s), F.lit(None).cast("string")).otherwise(out)
 
 
 def fmt_hhmmssms(c: Column | str, rounding: str = "half_even") -> Column:
@@ -123,7 +129,7 @@ def fmt_hhmmssms(c: Column | str, rounding: str = "half_even") -> Column:
         ((ms % 60000) / 1000).cast("long"),
         ms % 1000,
     )
-    return F.when(s.isNull(), F.lit(None).cast("string")).otherwise(out)
+    return F.when(_is_missing(s), F.lit(None).cast("string")).otherwise(out)
 
 
 # --- parsing ---------------------------------------------------------------
@@ -185,20 +191,62 @@ def parse_f1_duration(c: Column | str) -> Column:
     )
 
 
-def safe_duration_seconds(c: Column | str) -> Column:
-    """F14 ``safe_to_timedelta_seconds`` (streamlit_app.py:41-59).
+_RE_SAFE3 = r"^([+-]?)(\d+):(\d+):(\d+):(\d+)$"
+_RE_SAFE2 = r"^([+-]?)(\d+):(\d+):(\d+(?:\.\d+)?)$"
+_RE_SAFE_INT = r"^[+-]?\d+$"
 
-    The dashboard's lenient reader: a string with exactly three colons has
-    its LAST colon flipped to a dot (``HH:MM:SS:mmm`` → ``HH:MM:SS.mmm``)
-    before timedelta parsing; other shapes go through the normal parse;
-    bare numerics cast directly.
+
+def safe_duration_seconds(c: Column | str) -> Column:
+    """F14 ``safe_to_timedelta_seconds`` (streamlit_app.py:41-59),
+    reference-exact.
+
+    The dashboard flips the LAST colon to a dot iff the string has
+    exactly three colons, then hands everything to
+    ``pd.to_timedelta(errors='coerce')``.  Reproduced faithfully:
+
+    * 3 colons → ``HH:MM:SS.frac`` — the last group is a DECIMAL
+      FRACTION of a second (pandas semantics: ``:45`` → 0.45 s, not 45
+      ms), fields unbounded;
+    * 2 colons → ``HH:MM:SS`` with UNBOUNDED seconds — pandas parses
+      ``01:30:456`` as 1 h 30 m 456 s = 5856 s.  NB this means the
+      transformer's own ``MM:SS:mmm`` lap strings MISPARSE here
+      (90.456 s renders as ``01:30:456`` and reads back as 5856 s);
+      that is the reference dashboard's actual behavior
+      (streamlit_app.py:49-55 feeding pd.to_timedelta), so parity
+      keeps it.  Use :func:`parse_f1_duration` for the format-aware
+      parse that round-trips correctly;
+    * bare INTEGER strings → nanoseconds (``'42'`` → 4.2e-8 s — pandas
+      treats unitless integers as ns);
+    * anything else (incl. 1-colon strings and float strings like
+      ``'12.5'`` — pandas coerces both to NaT) → NULL.
+
+    All cases verified against ``pd.to_timedelta(errors='coerce')``
+    directly.
     """
     s = F.trim(_col(c))
-    n_colons = F.length(s) - F.length(F.regexp_replace(s, ":", ""))
+
+    def sign(regex: str) -> Column:
+        return F.when(F.regexp_extract(s, regex, 1) == "-", F.lit(-1.0)).otherwise(
+            F.lit(1.0)
+        )
+
+    def g(regex: str, i: int) -> Column:
+        return F.regexp_extract(s, regex, i).cast("double")
+
+    frac = F.concat(F.lit("0."), F.regexp_extract(s, _RE_SAFE3, 5)).cast("double")
     return (
-        F.when(n_colons == 3, parse_f1_duration(s))  # identical value semantics
-        .when(n_colons == 2, parse_f1_duration(s))
-        .otherwise(s.try_cast("double"))
+        F.when(
+            s.rlike(_RE_SAFE3),
+            sign(_RE_SAFE3)
+            * (g(_RE_SAFE3, 2) * 3600 + g(_RE_SAFE3, 3) * 60 + g(_RE_SAFE3, 4) + frac),
+        )
+        .when(
+            s.rlike(_RE_SAFE2),
+            sign(_RE_SAFE2)
+            * (g(_RE_SAFE2, 2) * 3600 + g(_RE_SAFE2, 3) * 60 + g(_RE_SAFE2, 4)),
+        )
+        .when(s.rlike(_RE_SAFE_INT), s.cast("double") / 1e9)
+        .otherwise(F.lit(None).cast("double"))
     )
 
 

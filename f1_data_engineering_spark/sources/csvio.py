@@ -22,39 +22,44 @@ from pyspark.sql import types as T
 
 __all__ = ["NULL_TOKENS", "read_csv_all_string", "read_csv_inferred"]
 
-#: Null spellings the reference treats as missing
-#: (src/transform/f1_dataTransformer.py:132-134 na_values list, lower-cased).
+#: Null spellings the reference treats as missing — the EXACT,
+#: CASE-SENSITIVE na_values list passed to pd.read_csv at
+#: src/transform/f1_dataTransformer.py:132-134.  Values like '?',
+#: 'NONE' or 'Nat' are ordinary data there and survive the scan, so
+#: they survive here too (an earlier case-insensitive superset was a
+#: silent divergence).
 NULL_TOKENS = (
     "",
-    "nan",
-    "nat",
-    "none",
-    "null",
-    "n/a",
-    "na",
-    "<na>",
-    "#n/a",
+    "#N/A",
+    "#N/A N/A",
+    "#NA",
+    "-1.#IND",
+    "-1.#QNAN",
+    "-NaN",
     "-nan",
-    "1.#ind",
-    "-1.#ind",
-    "1.#qnan",
-    "-1.#qnan",
-    "#na",
-    "?",
+    "1.#IND",
+    "1.#QNAN",
+    "<NA>",
+    "N/A",
+    "NULL",
+    "NaN",
+    "None",
+    "nan",
+    "null",
 )
 
 
 def _nullify(df: DataFrame, tokens: tuple[str, ...] = NULL_TOKENS) -> DataFrame:
-    """Map any token spelling (case-insensitive) to SQL NULL, all columns."""
-    lowered = [t for t in tokens if t]
+    """Map the reference's token spellings (case-sensitive, untrimmed —
+    matching pandas na_values semantics) to SQL NULL, all columns."""
+    nonempty = [t for t in tokens if t]
     exprs = []
     for name in df.columns:
         c = F.col(name)
-        exprs.append(
-            F.when(c.isNull() | (F.trim(c) == "") | F.lower(F.trim(c)).isin(lowered), None)
-            .otherwise(c)
-            .alias(name)
-        )
+        cond = c.isNull() | c.isin(nonempty)
+        if "" in tokens:
+            cond = cond | (c == "")
+        exprs.append(F.when(cond, None).otherwise(c).alias(name))
     return df.select(*exprs)
 
 

@@ -115,10 +115,17 @@ def test_parse_f1_duration(spark):
 
 
 def test_safe_duration_seconds(spark):
+    # expectations = pd.to_timedelta ground truth (the reference's F14
+    # path, streamlit_app.py:41-59), verified directly against pandas
     vectors = [
         ("01:02:03:456", 3723.456),  # 3 colons → last colon is the ms dot
+        ("00:01:02:45", 62.45),      # last group is a decimal FRACTION
+        ("01:30:456", 5856.0),       # 2 colons = HH:MM:SS, seconds overflow
         ("01:02:03", 3723.0),
-        ("12.5", 12.5),
+        ("-00:01:30", -90.0),
+        ("42", 4.2e-8),              # bare int = nanoseconds in pandas
+        ("12.5", None),              # float strings coerce to NaT
+        ("12:34", None),             # 1-colon coerces to NaT
         ("xx", None),
         (None, None),
     ]
@@ -150,10 +157,22 @@ def test_roundtrip_property(spark, values):
         assert math.isclose(g, expected, abs_tol=2e-3)
 
 
+def test_fmt_nan_guard(spark):
+    """NaN seconds must render NULL (reference pd.isna guard), not the
+    '00:00:000' a NaN→long cast would produce."""
+    vals = [float("nan"), 1.5, None]
+    assert run_expr(spark, vals, fmt_mmssms) == [None, "00:01:500", None]
+    assert run_expr(spark, vals, fmt_hhmmss) == [None, "00:00:02", None]
+    assert run_expr(spark, vals, fmt_hhmmssms) == [None, "00:00:01:500", None]
+
+
 def test_to_bool_strict(spark):
     vectors = [
         ("True", True), ("true", True), ("1", True), ("1.0", True),
         ("False", False), ("0", False), ("nan", False), ("", False),
+        # 'yes'/'t' are NOT in the reference maps (streamlit_app.py:85-89)
+        # → unmapped → False; the lenient variant accepts them instead
+        ("yes", False), ("t", False),
         ("weird", False), (None, False),
     ]
     got = run_expr(spark, [v for v, _ in vectors], to_bool_strict, in_type="string")
