@@ -1,0 +1,92 @@
+"""Dashboard query layer — EP3 parity (streamlit_app.py display_*
+functions as named DataFrame queries, SURVEY.md §3 entry point 3).
+
+Each function takes typed silver DataFrames (schemas.py family A) and
+returns the exact relation the corresponding dashboard view renders —
+callable from any front end.  Formats (MM:SS:mmm strings etc.) are
+applied only here, at the presentation edge; everything upstream stays
+double-seconds/timestamps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.timefmt import fmt_mmssms
+
+__all__ = [
+    "lap_times",
+    "session_results_sorted",
+    "weather_trends",
+    "stint_pivot",
+    "telemetry_compare",
+]
+
+
+def lap_times(laps: DataFrame, drivers: list[str] | None = None) -> DataFrame:
+    """display_lap_times (streamlit_app.py:76-93,228-246): accurate
+    laps only, positive lap time, key columns non-null, optional driver
+    IN-list, sorted by (Driver, LapNumber); LapTime re-rendered
+    MM:SS:mmm at the edge."""
+    out = (
+        laps.na.drop(subset=["LapNumber", "LapTimeSeconds", "Driver"])
+        .filter(F.col("LapTimeSeconds") > 0)
+        .filter(F.col("IsAccurate"))
+    )
+    if drivers is not None:
+        out = out.filter(F.col("Driver").isin(drivers))
+    return out.select(
+        "Driver",
+        "LapNumber",
+        "LapTimeSeconds",
+        fmt_mmssms("LapTimeSeconds").alias("LapTime"),
+        "Compound",
+        "Stint",
+    ).orderBy("Driver", "LapNumber")
+
+
+def session_results_sorted(results: DataFrame) -> DataFrame:
+    """display_session_results (streamlit_app.py:96-110,203-206): sort
+    by Position when present, else by finishing time."""
+    has_pos = results.filter(F.col("Position").isNotNull()).count() > 0
+    key = "Position" if has_pos else "TimeSeconds"
+    return results.orderBy(F.col(key).asc_nulls_last())
+
+
+def weather_trends(weather: DataFrame, n_ticks: int = 10) -> DataFrame:
+    """display_weather (streamlit_app.py:249-311): weather columns with
+    an O7-style deterministic stride downsample flag for axis ticks
+    (every ⌈n/ticks⌉-th sample by session time)."""
+    n = weather.count()
+    step = max(1, -(-n // n_ticks))
+    w = W.orderBy("SessionTimeSeconds")
+    return (
+        weather.withColumn("rn", F.row_number().over(w))
+        .withColumn("is_tick", ((F.col("rn") - 1) % step) == 0)
+        .drop("rn")
+    )
+
+
+def stint_pivot(stints: DataFrame) -> DataFrame:
+    """display_tyre_stints stacked bar (A7, streamlit_app.py:385-389):
+    laps per driver pivoted by compound."""
+    compounds = ["SOFT", "MEDIUM", "HARD", "INTERMEDIATE", "WET"]
+    return (
+        stints.groupBy("Driver")
+        .pivot("Compound", compounds)
+        .sum("NumLapsInStint")
+        .orderBy("Driver")
+    )
+
+
+def telemetry_compare(
+    summary: DataFrame, drivers: list[str], metric: str = "AvgSpeed"
+) -> DataFrame:
+    """display_telemetry comparison (streamlit_app.py:407-444): chosen
+    drivers' per-lap metric, sorted for plotting."""
+    return (
+        summary.filter(F.col("Driver").isin(drivers))
+        .select("Driver", "LapNumber", metric)
+        .orderBy("Driver", "LapNumber")
+    )

@@ -1,0 +1,154 @@
+"""Telemetry-engine tests (EP1 step 5) against hand-computed synthetic
+session data — both join strategies must agree with each other and
+with directly-computed expectations."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from f1_data_engineering_spark.operators.telemetry import (
+    lap_telemetry_summary,
+    range_join_telemetry,
+    tyre_stint_summary,
+)
+from f1_data_engineering_spark.operators.f1_queries import (
+    lap_times,
+    stint_pivot,
+    telemetry_compare,
+    weather_trends,
+)
+
+
+@pytest.fixture(scope="module")
+def session_data(spark):
+    """2 drivers × 3 laps × 10 samples/lap, fully deterministic."""
+    laps = []
+    telem = []
+    for di, drv in enumerate(["VER", "HAM"]):
+        for lap in range(1, 4):
+            start = 100.0 * lap + 10.0 * di
+            laps.append(
+                (
+                    drv, di + 1, "T", lap,
+                    90.0,  # LapTimeSeconds
+                    30.0, 30.0, 30.0,
+                    None, None, None,
+                    start, None, None, None,
+                    1 if lap < 3 else 2,           # Stint
+                    "SOFT" if lap < 3 else "HARD",  # Compound
+                    lap, True,
+                )
+            )
+            for i in range(10):
+                telem.append(
+                    (
+                        drv,
+                        start + i * 9.0,          # inside [start, start+90)
+                        100.0 + i,                # Speed
+                        10000.0 + 100 * i,        # RPM
+                        50.0 + i,                 # Throttle
+                        i % 2 == 0,               # Brake
+                        3 + (i % 2),              # Gear alternates -> 9 changes
+                        8 if (di == 0 and i == 5) else 0,  # DRS for VER only
+                    )
+                )
+    laps_df = spark.createDataFrame(
+        laps,
+        schema=(
+            "Driver string, DriverNumber int, Team string, LapNumber int,"
+            "LapTimeSeconds double, Sector1TimeSeconds double,"
+            "Sector2TimeSeconds double, Sector3TimeSeconds double,"
+            "LapEndTime timestamp, PitInTime timestamp, PitOutTime timestamp,"
+            "LapStartSessionSeconds double, Sector1SessionSeconds double,"
+            "Sector2SessionSeconds double, Sector3SessionSeconds double,"
+            "Stint int, Compound string, TyreLife int, IsAccurate boolean"
+        ),
+    )
+    telem_df = spark.createDataFrame(
+        telem,
+        schema=(
+            "Driver string, SessionTimeSeconds double, Speed double,"
+            "RPM double, Throttle double, Brake boolean, Gear int, DRS int"
+        ),
+    )
+    return laps_df, telem_df
+
+
+def test_range_join_strategies_agree(spark, session_data):
+    laps, telem = session_data
+    a = range_join_telemetry(telem, laps, "broadcast").orderBy(
+        "Driver", "LapNumber", "SessionTimeSeconds"
+    )
+    b = range_join_telemetry(telem, laps, "bucket").orderBy(
+        "Driver", "LapNumber", "SessionTimeSeconds"
+    )
+    assert a.collect() == b.collect()
+    assert a.count() == 60  # every sample lands in exactly one lap
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "bucket"])
+def test_lap_telemetry_summary(spark, session_data, strategy):
+    laps, telem = session_data
+    rows = {
+        (r["Driver"], r["LapNumber"]): r
+        for r in lap_telemetry_summary(telem, laps, strategy).collect()
+    }
+    assert len(rows) == 6
+    r = rows[("VER", 1)]
+    # hand-computed: speeds 100..109
+    assert r["AvgSpeed"] == pytest.approx(104.5)
+    assert r["MaxSpeed"] == 109.0 and r["MinSpeed"] == 100.0
+    assert r["AvgRPM"] == pytest.approx(10450.0)
+    assert r["AvgThrottle"] == pytest.approx(54.5)
+    assert r["AvgBrake"] == pytest.approx(0.5)
+    # gear alternates every sample after the first -> 9 changes
+    assert r["TotalGearChanges"] == 9
+    assert r["DRSActive"] is True
+    assert rows[("HAM", 1)]["DRSActive"] is False
+    # distance: sum over steps i=1..9 of speed_i/3.6 * 9s
+    exp_dist = sum((100.0 + i) / 3.6 * 9.0 for i in range(1, 10))
+    assert r["MaxDistance"] == pytest.approx(exp_dist)
+    assert r["TelemetryLapStartTime_seconds"] == pytest.approx(100.0)
+
+
+def test_tyre_stint_summary(spark, session_data):
+    laps, _ = session_data
+    got = {
+        (r["Driver"], r["StintNumber"]): r
+        for r in tyre_stint_summary(laps).collect()
+    }
+    assert got[("VER", 1)]["Compound"] == "SOFT"
+    assert got[("VER", 1)]["StartLap"] == 1
+    assert got[("VER", 1)]["EndLap"] == 2
+    assert got[("VER", 1)]["NumLapsInStint"] == 2
+    assert got[("HAM", 2)]["Compound"] == "HARD"
+    assert got[("HAM", 2)]["NumLapsInStint"] == 1
+
+
+def test_lap_times_and_pivot(spark, session_data):
+    laps, telem = session_data
+    lt = lap_times(laps, drivers=["VER"]).collect()
+    assert [r["LapNumber"] for r in lt] == [1, 2, 3]
+    assert lt[0]["LapTime"] == "01:30:000"
+    piv = {r["Driver"]: r for r in stint_pivot(tyre_stint_summary(laps)).collect()}
+    assert piv["VER"]["SOFT"] == 2 and piv["VER"]["HARD"] == 1
+    assert piv["VER"]["WET"] is None
+
+    cmp_rows = telemetry_compare(
+        lap_telemetry_summary(telem, laps), ["VER", "HAM"], "MaxSpeed"
+    ).collect()
+    assert len(cmp_rows) == 6 and cmp_rows[0]["MaxSpeed"] == 109.0
+
+
+def test_weather_trends_downsample(spark):
+    w = spark.createDataFrame(
+        [(float(i), 20.0 + i) for i in range(25)],
+        schema="SessionTimeSeconds double, AirTemp double",
+    )
+    out = weather_trends(w, n_ticks=10).collect()
+    ticks = [r["SessionTimeSeconds"] for r in out if r["is_tick"]]
+    # step = ceil(25/10) = 3 -> ticks at 0,3,6,...,24
+    assert ticks == [float(i) for i in range(0, 25, 3)]
