@@ -1,0 +1,116 @@
+"""Structured Streaming surface — SURVEY.md §2.9.
+
+The reference is batch-only ("Real-time data updates" is an
+unimplemented wish-list item, reference README.md:357); the natural
+streaming surface of the rebuild is the telemetry/event stream:
+append-mode sources → windowed aggregates with watermarks → sinks.
+
+Every transformation here is expressed on a generic streaming
+DataFrame so the same code serves a file source (tests), Kafka
+(production), or rate source (load tests).  Batch/stream parity is
+tested by running the identical aggregation in both modes
+(tests/test_streaming.py) — the Spark guarantee that makes a lambda
+architecture unnecessary.
+
+Scale notes:
+
+* watermarks bound state: without one, a windowed agg on a 100 TB/day
+  stream grows state forever; 10 min here mirrors telemetry latency.
+* ``availableNow`` triggers give incremental batch over a growing
+  directory — the idiomatic replacement for the reference's
+  "re-run the extractor" refresh model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import TEST_TABLES
+
+__all__ = [
+    "events_file_stream",
+    "tumbling_rollup",
+    "sliding_avg",
+    "session_windows",
+    "write_stream_to_memory",
+]
+
+
+def events_file_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of event rows (parquet files appearing under
+    ``path``).  Schema must be declared for streaming reads; ts arrives
+    as typed timestamp here (tests write µs-typed files)."""
+    schema = TEST_TABLES["events"]
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def tumbling_rollup(stream: DataFrame, window: str = "1 hour", watermark: str = "10 minutes") -> DataFrame:
+    """Tumbling-window count/sum per event_type — the streaming twin of
+    operators/timeops.hourly_event_rollup (same output columns, so
+    batch parity is assertable)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"), "event_type", "n_events", "sum_value"
+        )
+    )
+
+
+def sliding_avg(
+    stream: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Sliding-window average value — the weather-trend smoother
+    (streamlit_app.py:249-311) in streaming form."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("w_start"), F.col("w.end").alias("w_end"), "n", "avg_value")
+    )
+
+
+def session_windows(
+    stream: DataFrame, gap: str = "1 hour", watermark: str = "1 hour"
+) -> DataFrame:
+    """Per-user session windows with an inactivity gap — streaming
+    stint detection (the stateful twin of
+    operators/timeops.sessionize_events)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def write_stream_to_memory(df: DataFrame, name: str):
+    """Run a streaming query to completion over the currently-available
+    input (availableNow) into an in-memory table; returns the query
+    after awaiting termination.  Complete mode so windowed aggregates
+    emit their final state without requiring watermark expiry."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

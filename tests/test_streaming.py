@@ -1,0 +1,70 @@
+"""Streaming tests: batch/stream parity on the same input — the
+windowed streaming aggregates must equal their batch twins."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from f1_data_engineering_spark.sources.registry import load_table
+from f1_data_engineering_spark.streaming.events import (
+    events_file_stream,
+    session_windows,
+    tumbling_rollup,
+    write_stream_to_memory,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """Re-land the events table as µs-typed parquet files (two chunks,
+    so the stream sees multiple files)."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    ev = load_table(spark, sf_dir, "events")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(out)
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(out)
+    return out
+
+
+def test_tumbling_rollup_matches_batch(spark, sf_dir, events_dir):
+    stream = events_file_stream(spark, events_dir)
+    assert stream.isStreaming
+    write_stream_to_memory(tumbling_rollup(stream), "t_rollup")
+    got = {
+        (r["hour_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.table("t_rollup").collect()
+    }
+    batch = load_table(spark, sf_dir, "events")
+    exp = {
+        (r["hour_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in (
+            batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(38,4)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+            .select(
+                F.col("w.start").alias("hour_start"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
+            .collect()
+        )
+    }
+    assert got == exp
+
+
+def test_session_windows_stream(spark, events_dir):
+    stream = events_file_stream(spark, events_dir)
+    write_stream_to_memory(session_windows(stream, gap="1 hour"), "t_sessions")
+    rows = spark.table("t_sessions").collect()
+    assert len(rows) > 0
+    # session invariants: start <= end, positive event counts
+    for r in rows:
+        assert r["session_start"] <= r["session_end"]
+        assert r["n_events"] >= 1
