@@ -1,0 +1,62 @@
+"""Plan-quality tests: the 100 TB posture asserted on real plans —
+pushdown, column pruning, broadcast selection, no nested-loop joins."""
+
+from __future__ import annotations
+
+import pytest
+
+from f1_data_engineering_spark.operators import relational as R
+from f1_data_engineering_spark.operators import dedup as DD
+from f1_data_engineering_spark.plans import (
+    assert_broadcast_join,
+    assert_column_pruned,
+    assert_no_cartesian,
+    assert_pushed_filters,
+    count_exchanges,
+    physical_plan,
+)
+
+
+def test_filter_pushdown(spark, sf_dir):
+    df = R.filter_project(spark, sf_dir)
+    assert_pushed_filters(df, "IsNotNull(l_shipdate)", "GreaterThan(l_quantity,0.0)")
+    # IN-list also reaches the scan
+    assert_pushed_filters(df, "In(l_returnflag")
+
+
+def test_q1_column_pruning(spark, sf_dir):
+    # Q1 touches 7 of 11 lineitem columns; the scan must not read more
+    df = R.q1_pricing_summary(spark, sf_dir)
+    assert_column_pruned(df, "lineitem.parquet", 7)
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    assert_broadcast_join(R.join_customer_nation_region(spark, sf_dir), at_least=2)
+    assert_broadcast_join(R.revenue_by_nation(spark, sf_dir), at_least=1)
+
+
+def test_range_join_is_not_nested_loop(spark, sf_dir):
+    """The bucketized interval join must compile to an equi join —
+    a theta join would be a BroadcastNestedLoopJoin (O(n·m) at scale)."""
+    df = R.range_join_events_orders(spark, sf_dir)
+    assert_no_cartesian(df)
+    plan = physical_plan(df, "simple")
+    assert "Join" in plan  # an actual (hash/merge) equi join exists
+
+
+def test_lsh_join_is_equi(spark, sf_dir):
+    assert_no_cartesian(DD.minhash_lsh_pairs(spark, sf_dir))
+
+
+def test_q1_single_shuffle(spark, sf_dir):
+    """Scan → partial agg → ONE exchange on the group keys → final agg
+    (+ the orderBy's range exchange on 6 rows)."""
+    assert count_exchanges(R.q1_pricing_summary(spark, sf_dir)) <= 2
+
+
+def test_codegen_in_scan_stage(spark, sf_dir):
+    # AQE's pre-execution plan hides codegen stars; 'codegen' mode
+    # reports the compiled subtrees directly
+    plan = physical_plan(R.q1_pricing_summary(spark, sf_dir), "codegen")
+    assert "WholeStageCodegen subtrees" in plan
+    assert "Found 0 WholeStageCodegen" not in plan
