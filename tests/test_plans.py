@@ -55,8 +55,12 @@ def test_q1_single_shuffle(spark, sf_dir):
 
 
 def test_codegen_in_scan_stage(spark, sf_dir):
-    # AQE's pre-execution plan hides codegen stars; 'codegen' mode
-    # reports the compiled subtrees directly
-    plan = physical_plan(R.q1_pricing_summary(spark, sf_dir), "codegen")
+    # An un-executed adaptive plan reports 0 codegen subtrees; disable
+    # AQE for the snapshot to see the compiled stages.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = physical_plan(R.q1_pricing_summary(spark, sf_dir), "codegen")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert "WholeStageCodegen subtrees" in plan
     assert "Found 0 WholeStageCodegen" not in plan
