@@ -38,6 +38,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_stats": R.agg_stats,
         "pivot_returnflag": R.pivot_returnflag,
         "rollup_order_priority": R.rollup_order_priority,
+        "q6_forecast_revenue": R.q6_forecast_revenue,
+        "cube_status_priority": R.cube_status_priority,
         # §2.2 projection / filter
         "filter_project": R.filter_project,
         # §2.3 joins
@@ -69,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id_confusion": TX.language_id_confusion,
         "quality_scores": TX.quality_scores,
         "doc_fingerprints": TX.doc_fingerprints,
+        "top_ngrams": TX.top_ngrams,
         # deduplication (beyond-reference)
         "dedup_exact": DD.dedup_exact,
         "ngram_jaccard_pairs": DD.ngram_jaccard_pairs,
@@ -79,6 +82,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce_topk": SIM.ann_bruteforce_topk,
         "lsh_bucket_histogram": SIM.lsh_bucket_histogram,
         "embedding_nearest_neighbor": SIM.embedding_nearest_neighbor,
+        "embedding_centroids": SIM.embedding_centroids,
         # multimodal plumbing (binary columns + typed metadata)
         "blob_metadata": MM.blob_metadata,
     }
@@ -92,6 +96,8 @@ def oracle_sql() -> dict[str, str]:
         "agg_stats": R.ORACLE_AGG_STATS,
         "pivot_returnflag": R.ORACLE_PIVOT,
         "rollup_order_priority": R.ORACLE_ROLLUP,
+        "q6_forecast_revenue": R.ORACLE_Q6,
+        "cube_status_priority": R.ORACLE_CUBE,
         "filter_project": R.ORACLE_FILTER_PROJECT,
         "join_customer_nation_region": R.ORACLE_JOIN_CNR,
         "revenue_by_nation": R.ORACLE_REVENUE_NATION,
@@ -115,6 +121,7 @@ def oracle_sql() -> dict[str, str]:
         "language_id_confusion": TX.ORACLE_LANG_CONFUSION,
         "quality_scores": TX.ORACLE_QUALITY,
         "doc_fingerprints": TX.ORACLE_FINGERPRINTS,
+        "top_ngrams": TX.ORACLE_TOP_NGRAMS,
         "dedup_exact": DD.ORACLE_DEDUP_EXACT,
         "ngram_jaccard_pairs": DD.ORACLE_JACCARD_PAIRS,
         "minhash_signatures": DD.ORACLE_MINHASH_SIG,
@@ -123,6 +130,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_bruteforce_topk": SIM.ORACLE_ANN_TOPK,
         "lsh_bucket_histogram": SIM.ORACLE_LSH_HIST,
         "embedding_nearest_neighbor": SIM.ORACLE_NN,
+        "embedding_centroids": SIM.ORACLE_CENTROIDS,
         "blob_metadata": MM.ORACLE_BLOB_METADATA,
     }
     return out

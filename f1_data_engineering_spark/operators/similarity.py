@@ -193,3 +193,42 @@ r AS (
 SELECT query_id, neighbor_id, neighbor_label, sim
 FROM r WHERE rn = 1 ORDER BY query_id
 """
+
+
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label per-dimension centroid of the embedding vectors —
+    the k-means-style reduction over array columns.
+
+    posexplode → groupBy (label, dim) → exact decimal mean.  One
+    shuffle of (label, dim, partial) — at 100 TB the map-side partial
+    aggregation means the shuffle is labels × dims rows per partition,
+    independent of vector count."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("dim", "x"))
+    return (
+        ex.groupBy("label", "dim")
+        .agg(
+            F.round(
+                F.sum(F.col("x").cast("decimal(38,10)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("centroid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("dim") < 8)  # keep the checked slice compact
+        .orderBy("label", "dim")
+    )
+
+
+ORACLE_CENTROIDS = """
+WITH ex AS (
+  SELECT label, unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) - 1 AS dim
+  FROM embeddings
+)
+SELECT label, dim,
+  ROUND(CAST(SUM(CAST(x AS DECIMAL(38,10))) AS DOUBLE) / COUNT(*), 6) AS centroid,
+  COUNT(*) AS n
+FROM ex WHERE dim < 8
+GROUP BY label, dim ORDER BY label, dim
+"""

@@ -166,3 +166,32 @@ SELECT doc_id, md5(norm) AS fp_md5,
        CAST(length(norm) AS BIGINT) AS n_norm_chars
 FROM n ORDER BY doc_id
 """
+
+
+def top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 tokens by document frequency: explode the
+    token set per doc (the UDTF/lateral-view surface), count, top-k
+    with deterministic tie-break.
+
+    Scale shape: explode → partial count per partition → one shuffle of
+    (token, partial) pairs → top-k.  Token cardinality ≪ corpus size,
+    so the shuffle is tiny relative to the scan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.array_distinct(tokens("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), "token")
+        .limit(20)
+    )
+
+
+ORACLE_TOP_NGRAMS = f"""
+WITH t AS (
+  SELECT doc_id, unnest(list_distinct({_SQL_TOKENS})) AS token FROM documents
+)
+SELECT token, COUNT(*) AS doc_freq
+FROM t GROUP BY token
+ORDER BY doc_freq DESC, token LIMIT 20
+"""
