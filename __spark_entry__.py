@@ -22,6 +22,7 @@ from f1_data_engineering_spark.operators import dedup as DD
 from f1_data_engineering_spark.operators import similarity as SIM
 from f1_data_engineering_spark.operators import timeops as TO
 from f1_data_engineering_spark.operators import multimodal as MM
+from f1_data_engineering_spark.operators import pandas_ops as PD
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -83,8 +84,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_bucket_histogram": SIM.lsh_bucket_histogram,
         "embedding_nearest_neighbor": SIM.embedding_nearest_neighbor,
         "embedding_centroids": SIM.embedding_centroids,
+        "embedding_near_dup_pairs": SIM.embedding_near_dup_pairs,
         # multimodal plumbing (binary columns + typed metadata)
         "blob_metadata": MM.blob_metadata,
+        # Arrow-batched grouped-map UDF surface
+        "zscore_by_user": PD.zscore_by_user,
     }
 
 
@@ -131,6 +135,8 @@ def oracle_sql() -> dict[str, str]:
         "lsh_bucket_histogram": SIM.ORACLE_LSH_HIST,
         "embedding_nearest_neighbor": SIM.ORACLE_NN,
         "embedding_centroids": SIM.ORACLE_CENTROIDS,
+        "embedding_near_dup_pairs": SIM.ORACLE_NEAR_DUP,
+        "zscore_by_user": PD.ORACLE_ZSCORE,
         "blob_metadata": MM.ORACLE_BLOB_METADATA,
     }
     return out

@@ -232,3 +232,84 @@ SELECT label, dim,
 FROM ex WHERE dim < 8
 GROUP BY label, dim ORDER BY label, dim
 """
+
+
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection, LSH-bucketed: candidate
+    pairs come only from shared hyperplane buckets, then exact cosine
+    filters at >= 0.99.
+
+    Runs on an augmented corpus (embeddings ∪ verbatim copies of
+    vec_id < 5 at vec_id+100000) so the planted duplicates — identical
+    vectors, hence identical buckets, cosine 1.0 — are provably found.
+    Scale shape: one shuffle on the bucket; pair scoring is confined
+    to bucket-local candidates (cost tracks duplicate density, not n²).
+    """
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = e.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    c = e.unionByName(planted).withColumn(
+        "bucket", _bucket_expr(F.col("embedding"))
+    )
+    a = c.select(
+        F.col("vec_id").alias("id1"),
+        F.col("embedding").alias("v1"),
+        "bucket",
+    )
+    b = c.select(
+        F.col("vec_id").alias("id2"),
+        F.col("embedding").alias("v2"),
+        "bucket",
+    )
+    sim = cosine_similarity("v1", "v2")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", F.round(sim, 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.99)
+        .orderBy("id1", "id2")
+    )
+
+
+_SQL_COS_V = """
+list_sum(list_transform(list_zip(a.v1, b.v2),
+         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+/ (sqrt(list_sum(list_transform(a.v1, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+ * sqrt(list_sum(list_transform(b.v2, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+"""
+
+ORACLE_NEAR_DUP = f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 5
+),
+planes AS (
+  SELECT p, list_transform(range({DIM}), d -> {_sql_plane_weight()}) AS w
+  FROM (SELECT unnest(range({N_PLANES})) AS p)
+),
+dots AS (
+  SELECT c.vec_id, pl.p,
+    list_sum(list_transform(list_zip(c.embedding, pl.w),
+             z -> CAST(z[1] AS DOUBLE) * z[2])) AS dot
+  FROM corpus c CROSS JOIN planes pl
+),
+buckets AS (
+  SELECT vec_id,
+    CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT)
+      AS bucket
+  FROM dots GROUP BY vec_id
+),
+cb AS (
+  SELECT c.vec_id, c.embedding, b.bucket
+  FROM corpus c JOIN buckets b ON c.vec_id = b.vec_id
+),
+pairs AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2,
+    ROUND({_SQL_COS_V.replace("a.v1", "a.embedding").replace("b.v2", "b.embedding")}, 6) AS cos_sim
+  FROM cb a JOIN cb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id1, id2, cos_sim FROM pairs
+WHERE cos_sim >= 0.99 ORDER BY id1, id2
+"""
