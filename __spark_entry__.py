@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": DD.minhash_signatures,
         "minhash_lsh_pairs": DD.minhash_lsh_pairs,
         "simhash_64": DD.simhash_64,
+        "dedup_clusters": DD.dedup_clusters,  # iterative; rows-only check
         # similarity search (beyond-reference, embeddings table)
         "ann_bruteforce_topk": SIM.ann_bruteforce_topk,
         "lsh_bucket_histogram": SIM.lsh_bucket_histogram,

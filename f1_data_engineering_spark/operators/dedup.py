@@ -477,3 +477,53 @@ SELECT doc_id, CAST(SUM(bitval) AS BIGINT) AS simhash,
        CAST(MIN(n) AS BIGINT) AS n_tokens
 FROM bits GROUP BY doc_id ORDER BY doc_id
 """
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH candidate-pair graph:
+    every doc labeled with the min doc_id of its near-dup cluster —
+    the final "keep one per cluster" step of a dedup pipeline.
+
+    Iterative label propagation (min-label flood): labels converge in
+    O(log(diameter)) rounds; each round is one join + aggregate.  This
+    is the canonical Spark iterative-algorithm shape (no SQL oracle —
+    the driver records a rows-only check; invariants are pytest-ed
+    instead).  At 100 TB you'd checkpoint labels every few rounds to
+    truncate lineage; pair graphs from LSH are tiny relative to the
+    corpus, so each round's shuffle is proportional to duplicate
+    density.
+    """
+    pairs = minhash_lsh_pairs(spark, sf_dir).filter(
+        F.col("est_jaccard") >= 0.5
+    ).select("d1", "d2").cache()
+    # undirected edge list + self-loops so singletons keep their label
+    edges = pairs.unionByName(
+        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    )
+    nodes = edges.select(F.col("d1").alias("node")).distinct()
+    labels = nodes.withColumn("label", F.col("node"))
+    for _ in range(5):  # diameter of LSH dup clusters is tiny
+        neighbor_min = (
+            edges.join(labels, edges.d2 == labels.node)
+            .groupBy(edges.d1.alias("node2"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.node2, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # truncate lineage
+        labels = new_labels
+    return (
+        labels.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.sort_array(F.collect_list("node")).alias("members"),
+        )
+        .orderBy("label")
+    )

@@ -80,6 +80,20 @@ def stint_pivot(stints: DataFrame) -> DataFrame:
     )
 
 
+def stint_chart_rows(stints: DataFrame) -> DataFrame:
+    """display_tyre_stints bar rows (streamlit_app.py:382-389) incl.
+    the F20 concat label ``'VER - Stint 1'``."""
+    return stints.select(
+        "Driver",
+        "StintNumber",
+        "Compound",
+        "NumLapsInStint",
+        F.concat_ws(
+            "", F.col("Driver"), F.lit(" - Stint "), F.col("StintNumber").cast("string")
+        ).alias("StintIdentifier"),
+    ).orderBy("Driver", "StintNumber")
+
+
 def telemetry_compare(
     summary: DataFrame, drivers: list[str], metric: str = "AvgSpeed"
 ) -> DataFrame:

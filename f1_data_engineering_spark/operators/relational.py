@@ -514,7 +514,7 @@ WITH ranked AS (
 )
 SELECT user_id, event_type,
   max(CASE WHEN rn = 1 THEN value END) AS first_value,
-  min(ts) AS start_ts, max(ts) AS end_ts,
+  CAST(min(ts) AS TIMESTAMP) AS start_ts, CAST(max(ts) AS TIMESTAMP) AS end_ts,
   count(*) AS n_events
 FROM ranked
 GROUP BY user_id, event_type
@@ -659,7 +659,7 @@ r AS (
          row_number() OVER (ORDER BY ts, event_id) AS rn
   FROM events
 )
-SELECT event_id, ts, value
+SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, value
 FROM r, n
 WHERE (rn - 1) % GREATEST(1, CAST(CEIL(n / 10.0) AS BIGINT)) = 0
 ORDER BY event_id

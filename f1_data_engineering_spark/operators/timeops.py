@@ -198,7 +198,7 @@ def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_HOURLY = """
-SELECT date_trunc('hour', ts) AS hour_start, event_type,
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
   COUNT(*) AS n_events,
   CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type
@@ -253,6 +253,7 @@ s AS (
   FROM g
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,
-       MIN(ts) AS session_start, MAX(ts) AS session_end
+       CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+       CAST(MAX(ts) AS TIMESTAMP) AS session_end
 FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
 """

@@ -64,3 +64,16 @@ def test_codegen_in_scan_stage(spark, sf_dir):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert "WholeStageCodegen subtrees" in plan
     assert "Found 0 WholeStageCodegen" not in plan
+
+
+def test_dedup_clusters_invariants(spark, sf_dir):
+    """Iterative connected components: each planted near-dup (doc_id <
+    10 truncated copy at +1000000) must share a cluster with its
+    source, labeled by the min member."""
+    rows = DD.dedup_clusters(spark, sf_dir).collect()
+    by_label = {r["label"]: r for r in rows}
+    planted = [r for r in rows if any(m >= 1000000 for m in r["members"])]
+    assert len(planted) >= 5  # most truncated copies collide with source
+    for r in rows:
+        assert r["label"] == min(r["members"])
+        assert r["cluster_size"] == len(r["members"])

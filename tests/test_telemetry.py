@@ -152,3 +152,29 @@ def test_weather_trends_downsample(spark):
     ticks = [r["SessionTimeSeconds"] for r in out if r["is_tick"]]
     # step = ceil(25/10) = 3 -> ticks at 0,3,6,...,24
     assert ticks == [float(i) for i in range(0, 25, 3)]
+
+
+def test_stint_chart_rows_f20(spark, session_data):
+    from f1_data_engineering_spark.operators.f1_queries import stint_chart_rows
+    from f1_data_engineering_spark.operators.telemetry import tyre_stint_summary
+
+    laps, _ = session_data
+    rows = stint_chart_rows(tyre_stint_summary(laps)).collect()
+    assert rows[0]["StintIdentifier"] == "HAM - Stint 1"
+
+
+def test_shift_from_session_start(spark):
+    """F7/J2: absolute time = session start + float-second offset,
+    sub-second-safe."""
+    from f1_data_engineering_spark.functions.timefmt import shift_from_session_start
+    import datetime as dt
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 3, 2, 15, 0, 0), 90.456)],
+        schema="start timestamp, offset double",
+    )
+    got = df.select(
+        shift_from_session_start("start", "offset").alias("abs_ts")
+    ).collect()[0]["abs_ts"]
+    assert got == dt.datetime(2024, 3, 2, 15, 1, 30, 456000)
