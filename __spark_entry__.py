@@ -67,6 +67,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boolean_normalize": TO.boolean_normalize,
         "hourly_event_rollup": TO.hourly_event_rollup,
         "sessionize_events": TO.sessionize_events,
+        "asof_join_purchase": TO.asof_join_purchase,
+        "moving_hour_sum": TO.moving_hour_sum,
+        "value_percentiles": TO.value_percentiles,
+        "value_histogram": TO.value_histogram,
+        "salted_user_counts": TO.salted_user_counts,
         # text analysis (beyond-reference, documents table)
         "text_stats": TX.text_stats,
         "language_id_confusion": TX.language_id_confusion,
@@ -122,6 +127,11 @@ def oracle_sql() -> dict[str, str]:
         "boolean_normalize": TO.ORACLE_BOOLEAN,
         "hourly_event_rollup": TO.ORACLE_HOURLY,
         "sessionize_events": TO.ORACLE_SESSIONIZE,
+        "asof_join_purchase": TO.ORACLE_ASOF,
+        "moving_hour_sum": TO.ORACLE_MOVING_HOUR,
+        "value_percentiles": TO.ORACLE_PERCENTILES,
+        "value_histogram": TO.ORACLE_HISTOGRAM,
+        "salted_user_counts": TO.ORACLE_SALTED,
         "text_stats": TX.ORACLE_TEXT_STATS,
         "language_id_confusion": TX.ORACLE_LANG_CONFUSION,
         "quality_scores": TX.ORACLE_QUALITY,

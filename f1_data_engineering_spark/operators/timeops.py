@@ -257,3 +257,182 @@ SELECT user_id, session_id, COUNT(*) AS n_events,
        CAST(MAX(ts) AS TIMESTAMP) AS session_end
 FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
 """
+
+
+def asof_join_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (an operator Spark lacks natively): for every
+    'click' event, the most recent prior-or-same-time 'purchase' by the
+    same user, plus the elapsed gap.
+
+    Spark-first implementation — NOT a per-key loop: one window pass
+    over events sorted by (user_id, ts): ``last_value(purchase ts,
+    ignorenulls)`` carries the latest purchase forward, then click rows
+    project it.  Exactly one shuffle on user_id regardless of table
+    size; this is the scalable as-of pattern (union-of-sides + ordered
+    carry-forward).  Ties (same-timestamp purchase) resolve as
+    'purchase visible to the click' via ordering purchases before
+    clicks at equal ts — matched in the oracle.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    kind_rank = F.when(F.col("event_type") == "purchase", 0).otherwise(1)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"), kind_rank, "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = ev.withColumn(
+        "last_purchase_us",
+        F.last(
+            F.when(F.col("event_type") == "purchase", F.unix_micros("ts")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        carried.filter(F.col("event_type") == "click")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            F.timestamp_micros(F.col("last_purchase_us")).alias("purchase_ts"),
+            ((F.unix_micros("ts") - F.col("last_purchase_us")) / 1e6).alias(
+                "gap_seconds"
+            ),
+        )
+        .orderBy("event_id")
+    )
+
+
+ORACLE_ASOF = """
+WITH carried AS (
+  SELECT event_id, user_id, ts, event_type,
+    last_value(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END
+               IGNORE NULLS) OVER (
+      PARTITION BY user_id
+      ORDER BY epoch_us(ts),
+               CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END,
+               event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_us
+  FROM events
+)
+SELECT event_id, user_id,
+  CAST(ts AS TIMESTAMP) AS click_ts,
+  CAST(make_timestamp(last_purchase_us) AS TIMESTAMP) AS purchase_ts,
+  (epoch_us(ts) - last_purchase_us) / 1e6 AS gap_seconds
+FROM carried WHERE event_type = 'click'
+ORDER BY event_id
+"""
+
+
+def moving_hour_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based window frame: per user, sum of value over the
+    trailing 1 hour (RANGE frame on microseconds — event-time, not
+    row-count).  One shuffle on user_id; the frame is evaluated with a
+    sliding pointer over the sorted partition."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.sum(F.col("value").cast("decimal(38,4)"))
+            .over(w)
+            .cast("double")
+            .alias("hour_sum"),
+            F.count(F.lit(1)).over(w).alias("hour_n"),
+        )
+        .orderBy("event_id")
+    )
+
+
+ORACLE_MOVING_HOUR = """
+SELECT event_id, user_id,
+  CAST(SUM(CAST(value AS DECIMAL(38,4))) OVER w AS DOUBLE) AS hour_sum,
+  COUNT(*) OVER w AS hour_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (p50/p90/p99) of value per
+    event_type — the OLAP quantile staple.  Exact percentile needs a
+    per-group sort; at 100 TB swap in approx_percentile (t-digest,
+    mergeable sketch, no sort) and accept bounded error."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_PERCENTILES = """
+SELECT event_type,
+  ROUND(quantile_cont(value, 0.5), 6) AS p50,
+  ROUND(quantile_cont(value, 0.9), 6) AS p90,
+  ROUND(quantile_cont(value, 0.99), 6) AS p99,
+  COUNT(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of value (50-unit bins) — binning is a
+    scan-side floor-div, then a tiny hash aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(F.floor(F.col("value") / 50).cast("long").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bin")
+    )
+
+
+ORACLE_HISTOGRAM = """
+SELECT CAST(FLOOR(value / 50) AS BIGINT) AS bin, COUNT(*) AS n
+FROM events GROUP BY bin ORDER BY bin
+"""
+
+
+def salted_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-stage aggregate: counts per user computed via
+    (user_id, salt) partials then re-aggregated — the manual fix when
+    one key dominates a shuffle and AQE's skew handling can't apply
+    (e.g. aggregations, not joins).  The oracle is a plain GROUP BY:
+    salting must be semantically invisible.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    salted = ev.withColumn("salt", F.pmod(F.col("event_id"), F.lit(8)))
+    partial = salted.groupBy("user_id", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("value").cast("decimal(38,4)")).alias("pv"),
+    )
+    return (
+        partial.groupBy("user_id")
+        .agg(
+            F.sum("pn").alias("n_events"),
+            F.sum("pv").cast("double").alias("sum_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_SALTED = """
+SELECT user_id, COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+FROM events GROUP BY user_id ORDER BY user_id
+"""
