@@ -37,14 +37,21 @@ BENCH_QUERIES = (
     "rank_orders_per_customer",
     "hourly_event_rollup",
     "sessionize_events",
+    "asof_join_purchase",
+    "moving_hour_sum",
+    "value_percentiles",
+    "salted_user_counts",
+    "zscore_by_user",
     "time_format_roundtrip",
     "text_stats",
     "quality_scores",
     "dedup_exact",
     "simhash_64",
     "minhash_lsh_pairs",
+    "top_ngrams",
     "ann_bruteforce_topk",
     "embedding_nearest_neighbor",
+    "embedding_centroids",
 )
 
 

@@ -434,27 +434,27 @@ def simhash_64(spark: SparkSession, sf_dir: str) -> DataFrame:
     toksh = F.transform(
         F.array_distinct(tokens("text")), lambda t: _md5_int("sh#", t)
     )
-    d = d.select("doc_id", toksh.alias("hs"), F.size(toksh).alias("n"))
-
-    def _ones(b: int):
-        # single-arg lambda only (see _sig_array note)
-        return F.size(
-            F.filter(
-                F.col("hs"),
-                lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
-            )
-        )
-
-    bit_terms = []
+    # explode + plain bit-sum aggregates instead of 60 array-filter
+    # lambdas: higher-order functions are INTERPRETED per element while
+    # a hash aggregate over exploded rows is whole-stage-codegen'd —
+    # measured ~3× faster at sf0.1.  explode_outer keeps empty docs
+    # (their sums are NULL → every vote fails → simhash 0, matching the
+    # oracle's list_sum(NULL) semantics).
+    ex = d.select("doc_id", F.explode_outer(toksh).alias("h"))
+    aggs = [
+        F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"c{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    g = ex.groupBy("doc_id").agg(*aggs, F.count("h").alias("n"))
+    sim = F.lit(0)
     for b in range(SIMHASH_BITS):
-        bit_terms.append(
-            F.when(_ones(b) * 2 - F.col("n") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-        )
-    sim = bit_terms[0]
-    for t in bit_terms[1:]:
-        sim = sim + t
-    return d.select(
-        "doc_id", sim.cast("long").alias("simhash"), F.col("n").cast("long").alias("n_tokens")
+        sim = sim + F.when(
+            F.col(f"c{b}") * 2 - F.col("n") > 0, F.lit(1 << b)
+        ).otherwise(F.lit(0))
+    return g.select(
+        "doc_id",
+        sim.cast("long").alias("simhash"),
+        F.col("n").cast("long").alias("n_tokens"),
     ).orderBy("doc_id")
 
 
