@@ -114,3 +114,65 @@ def write_stream_to_memory(df: DataFrame, name: str):
     )
     q.awaitTermination()
     return q
+
+
+STATE_SCHEMA = "n_seen LONG, sum_value DOUBLE"
+COUNTER_OUTPUT = "user_id LONG, n_seen LONG, sum_value DOUBLE"
+
+
+def _counter_fn(key, pdfs, state):
+    """Custom stateful op: running per-user count/sum across batches.
+
+    GroupState carries (n_seen, sum_value) between micro-batches — the
+    applyInPandasWithState contract: iterate the group's Arrow batches,
+    update state, yield output rows.
+    """
+    import pandas as pd
+
+    n, sv = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        sv += float(pdf["value"].sum())
+    state.update((n, sv))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_seen": [n], "sum_value": [round(sv, 4)]}
+    )
+
+
+def stateful_user_counter(stream):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    cumulative per-user event count + value sum, state persisted in the
+    state store across micro-batches.
+
+    This is the escape hatch for operators watermark-windowed aggs
+    can't express (custom eviction, cross-window state machines).
+    State size is O(users) — bounded; set a timeout
+    (GroupStateTimeout) for unbounded key spaces in production.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _counter_fn,
+        outputStructType=COUNTER_OUTPUT,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def write_stream_foreach_batch(df, sink_path: str):
+    """foreachBatch silver sink: each micro-batch lands as parquet via
+    the normal batch writer — transactional per batch, and the one
+    place streaming and batch code paths share a writer."""
+
+    def _write(batch_df, batch_id: int):
+        batch_df.write.mode("append").parquet(sink_path)
+
+    q = (
+        df.writeStream.foreachBatch(_write)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", sink_path + "_chk")
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -68,3 +68,56 @@ def test_session_windows_stream(spark, events_dir):
     for r in rows:
         assert r["session_start"] <= r["session_end"]
         assert r["n_events"] >= 1
+
+
+def test_stateful_user_counter(spark, sf_dir, events_dir):
+    from f1_data_engineering_spark.streaming.events import (
+        stateful_user_counter,
+        write_stream_to_memory,
+    )
+
+    stream = events_file_stream(spark, events_dir)
+    q = (
+        stateful_user_counter(stream)
+        .writeStream.format("memory")
+        .queryName("t_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # last update per user must equal the batch totals
+    got_df = spark.table("t_state")
+    import pyspark.sql.functions as F
+
+    last = (
+        got_df.groupBy("user_id")
+        .agg(F.max("n_seen").alias("n_seen"), F.max("sum_value").alias("sum_value"))
+        .collect()
+    )
+    batch = {
+        r["user_id"]: (r["n"], round(r["s"], 4))
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    got = {r["user_id"]: (r["n_seen"], round(r["sum_value"], 4)) for r in last}
+    assert got.keys() == batch.keys()
+    mismatch = {u for u in got if got[u][0] != batch[u][0]}
+    assert not mismatch
+    for u in got:
+        assert abs(got[u][1] - batch[u][1]) < 1e-6
+
+
+def test_foreach_batch_sink(spark, events_dir, tmp_path):
+    from f1_data_engineering_spark.streaming.events import (
+        write_stream_foreach_batch,
+    )
+
+    sink = str(tmp_path / "silver")
+    stream = events_file_stream(spark, events_dir)
+    write_stream_foreach_batch(stream.select("event_id", "user_id", "value"), sink)
+    back = spark.read.parquet(sink)
+    assert back.count() == 10000 or back.count() == spark.read.parquet(events_dir).count()
+    assert set(back.columns) == {"event_id", "user_id", "value"}
