@@ -1,0 +1,98 @@
+"""Unit tests for the text/vector expression libraries (edge cases the
+corpus-level oracle queries don't isolate)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from f1_data_engineering_spark.functions.text import (
+    bpe_ish_token_count,
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    shingles,
+    token_count,
+    tokens,
+)
+from f1_data_engineering_spark.functions.vectors import (
+    cosine_similarity,
+    dot,
+    l2_norm,
+)
+
+
+def run1(spark, value, expr_builder, in_type="string"):
+    df = spark.createDataFrame([(value,)], schema=f"x {in_type}")
+    return df.select(expr_builder("x").alias("r")).collect()[0]["r"]
+
+
+def test_tokens_and_counts(spark):
+    assert run1(spark, "  Hello   WORLD  ", token_count) == 2
+    assert run1(spark, "", token_count) == 0
+    assert run1(spark, None, token_count) == 0
+    assert run1(spark, "a b c d", token_count) == 4
+
+
+def test_bpe_ish_counts(spark):
+    # "it's 42 degrees!" -> it | 's | _42 | _degrees | !
+    assert run1(spark, "it's 42 degrees!", bpe_ish_token_count) == 5
+    assert run1(spark, "", bpe_ish_token_count) == 0
+
+
+def test_language_id_votes(spark):
+    assert run1(spark, "the cat and the dog is in that house", language_id) == "en"
+    assert run1(spark, "der hund und die katze ist nicht hier", language_id) == "de"
+    assert run1(spark, "zzz qqq xxx", language_id) == "und"
+    # tie between en and de resolves to the earlier language (en)
+    assert run1(spark, "the der", language_id) == "en"
+
+
+def test_quality_score_bounds(spark):
+    for text in ["", "x", "the quick brown fox jumps over the lazy dog " * 20,
+                 "!!!! ???? ####"]:
+        q = run1(spark, text, quality_score)
+        assert 0.0 <= q <= 1.0
+    assert run1(spark, "", quality_score) == 0.0
+    good = run1(spark, "the quick brown fox jumps over the lazy dog and it is fine " * 10,
+                quality_score)
+    junk = run1(spark, "@@@@ #### $$$$ %%%%", quality_score)
+    assert good > junk
+
+
+def test_shingles(spark):
+    got = run1(spark, "a b c d", lambda c: shingles(c, 3))
+    assert got == ["a b c", "b c d"]
+    # short docs -> single whole-text shingle
+    assert run1(spark, "a b", lambda c: shingles(c, 3)) == ["a b"]
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [("Hello   World",), ("hello world",), ("hello worlds",)],
+        schema="x string",
+    )
+    fps = [r["r"] for r in df.select(doc_fingerprint("x").alias("r")).collect()]
+    assert fps[0] == fps[1]  # whitespace/case-insensitive
+    assert fps[0] != fps[2]
+
+
+def test_vector_math(spark):
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 2.0], [2.0, 4.0, 4.0])], schema="a array<double>, b array<double>"
+    )
+    r = df.select(
+        dot("a", "b").alias("d"),
+        l2_norm("a").alias("na"),
+        cosine_similarity("a", "b").alias("cos"),
+    ).collect()[0]
+    assert r["d"] == pytest.approx(2 + 8 + 8)
+    assert r["na"] == pytest.approx(3.0)
+    assert r["cos"] == pytest.approx(1.0)
+    # zero vector -> NULL similarity
+    z = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 1.0])], schema="a array<double>, b array<double>"
+    )
+    assert z.select(cosine_similarity("a", "b").alias("c")).collect()[0]["c"] is None
