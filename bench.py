@@ -68,8 +68,13 @@ def main() -> None:
     )
     qs = entry_mod.queries()
 
-    # warm-up: JVM, codegen, parquet footers
+    # warm-up: JVM, codegen, parquet footers, and the Python worker
+    # pool (so the pandas-UDF query measures steady state, not daemon
+    # startup)
     qs["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    qs["zscore_by_user"](spark, "/root/testdata/sf0.001").write.format("noop").mode(
         "overwrite"
     ).save()
 

@@ -18,8 +18,9 @@ from .timefmt import (
     iso_utc,
     shift_from_session_start,
 )
-from .booleans import to_bool_strict, to_bool_or_numeric
+from .booleans import to_bool_strict, to_bool_or_numeric, to_bool_lenient
 from .text import (
+    tokens,
     token_count,
     bpe_ish_token_count,
     quality_score,
@@ -42,6 +43,8 @@ __all__ = [
     "shift_from_session_start",
     "to_bool_strict",
     "to_bool_or_numeric",
+    "to_bool_lenient",
+    "tokens",
     "token_count",
     "bpe_ish_token_count",
     "quality_score",
