@@ -40,6 +40,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_returnflag": R.pivot_returnflag,
         "rollup_order_priority": R.rollup_order_priority,
         "q6_forecast_revenue": R.q6_forecast_revenue,
+        "q17_small_quantity_revenue": R.q17_small_quantity_revenue,
+        "q18_large_orders": R.q18_large_orders,
         "cube_status_priority": R.cube_status_priority,
         # §2.2 projection / filter
         "filter_project": R.filter_project,
@@ -85,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": DD.minhash_lsh_pairs,
         "simhash_64": DD.simhash_64,
         "dedup_clusters": DD.dedup_clusters,  # iterative; rows-only check
+        "dedup_keep_first": DD.dedup_keep_first,
         # similarity search (beyond-reference, embeddings table)
         "ann_bruteforce_topk": SIM.ann_bruteforce_topk,
         "lsh_bucket_histogram": SIM.lsh_bucket_histogram,
@@ -107,6 +110,8 @@ def oracle_sql() -> dict[str, str]:
         "pivot_returnflag": R.ORACLE_PIVOT,
         "rollup_order_priority": R.ORACLE_ROLLUP,
         "q6_forecast_revenue": R.ORACLE_Q6,
+        "q17_small_quantity_revenue": R.ORACLE_Q17,
+        "q18_large_orders": R.ORACLE_Q18,
         "cube_status_priority": R.ORACLE_CUBE,
         "filter_project": R.ORACLE_FILTER_PROJECT,
         "join_customer_nation_region": R.ORACLE_JOIN_CNR,
@@ -142,6 +147,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": DD.ORACLE_MINHASH_SIG,
         "minhash_lsh_pairs": DD.ORACLE_MINHASH_LSH,
         "simhash_64": DD.ORACLE_SIMHASH,
+        "dedup_keep_first": DD.ORACLE_DEDUP_KEEP,
         "ann_bruteforce_topk": SIM.ORACLE_ANN_TOPK,
         "lsh_bucket_histogram": SIM.ORACLE_LSH_HIST,
         "embedding_nearest_neighbor": SIM.ORACLE_NN,

@@ -527,3 +527,56 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply-the-dedup step: one survivor per exact-content group
+    (min doc_id keeps), reported as survivor counts per source.
+
+    Runs on an augmented corpus (documents ∪ verbatim copies of
+    doc_id < 20 at +500000, tagged source 'copy') so the keep-policy
+    is observable: every copy loses to its lower-id original.
+    row_number over (fingerprint) ordered by doc_id — the standard
+    scalable keep-first (single shuffle on the 8-byte fingerprint).
+    """
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    copies = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        "text",
+        F.lit("copy").alias("source"),
+    )
+    corpus = d.unionByName(copies)
+    fp = F.md5(F.concat_ws(" ", tokens("text")).cast("binary"))
+    w = W.partitionBy("fp").orderBy("doc_id")
+    kept = (
+        corpus.withColumn("fp", fp)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("source")
+    )
+
+
+ORACLE_DEDUP_KEEP = f"""
+WITH corpus AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 500000 AS doc_id, text, 'copy' AS source
+  FROM documents WHERE doc_id < 20
+),
+fps AS (
+  SELECT doc_id, source,
+    md5(array_to_string({_SQL_TOKS}, ' ')) AS fp,
+    row_number() OVER (PARTITION BY md5(array_to_string({_SQL_TOKS}, ' '))
+                       ORDER BY doc_id) AS rn
+  FROM corpus
+)
+SELECT source, COUNT(*) AS n_kept
+FROM fps WHERE rn = 1
+GROUP BY source ORDER BY source
+"""

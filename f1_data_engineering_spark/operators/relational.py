@@ -742,3 +742,97 @@ FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
 """
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (correlated scalar subquery → agg-then-join):
+    revenue from lineitems whose quantity is below 20% of their part's
+    average.
+
+    Catalyst decorrelates this into: per-part avg aggregate (one
+    shuffle on partkey) ⋈ lineitem on partkey — the aggregate side is
+    small (one row per part) so AQE usually broadcasts it.  avg is an
+    exact decimal ratio so the threshold is engine-identical.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.lit(0.2)
+            * (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)))
+        ).alias("qty_threshold")
+    )
+    return (
+        li.join(per_part, li.l_partkey == per_part.pk)
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(F.sum(_dec("l_extendedprice")).cast("double") / 7.0, 6).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+ORACLE_Q17 = """
+WITH per_part AS (
+  SELECT l_partkey AS pk,
+    0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*))
+      AS qty_threshold
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) / 7.0, 6)
+    AS avg_yearly,
+  COUNT(*) AS n_small
+FROM lineitem JOIN per_part ON l_partkey = pk
+WHERE l_quantity < qty_threshold
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (HAVING on a big aggregate, then join back to
+    the dimensions): orders whose total quantity exceeds 150, with
+    customer attribution, top-100 by (totalprice desc, orderkey).
+
+    The HAVING aggregate shuffles lineitem once on orderkey; the
+    surviving keys (~20% here, way less in real skew) join back to
+    orders/customer — AQE broadcasts the filtered aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            _dec("o_totalprice").cast("double").alias("totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+ORACLE_Q18 = """
+WITH big AS (
+  SELECT l_orderkey,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) > 150
+)
+SELECT c_name, o_orderkey, o_orderdate,
+  CAST(CAST(o_totalprice AS DECIMAL(38,4)) AS DOUBLE) AS totalprice,
+  total_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY totalprice DESC, o_orderkey LIMIT 100
+"""
