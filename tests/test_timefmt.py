@@ -186,3 +186,57 @@ def test_to_bool_or_numeric(spark):
     ]
     got = run_expr(spark, [v for v, _ in vectors], to_bool_or_numeric, in_type="string")
     assert got == [e for _, e in vectors]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["3colon", "2colon", "1colon", "int", "float", "junk"]),
+            st.integers(min_value=0, max_value=99),
+            st.integers(min_value=0, max_value=99),
+            st.integers(min_value=0, max_value=999),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+@settings(max_examples=6, deadline=None)
+def test_safe_duration_matches_pandas(spark, cases):
+    """Property: safe_duration_seconds == the reference's actual F14
+    path (3-colon flip + pd.to_timedelta(coerce)) on generated strings
+    of every shape."""
+    import pandas as pd
+
+    strings = []
+    for shape, a, b, c, neg in cases:
+        sign = "-" if neg else ""
+        if shape == "3colon":
+            s = f"{sign}{a:02d}:{b:02d}:{c % 60:02d}:{c:03d}"
+        elif shape == "2colon":
+            s = f"{sign}{a:02d}:{b:02d}:{c:03d}"
+        elif shape == "1colon":
+            s = f"{sign}{a:02d}:{b:02d}"
+        elif shape == "int":
+            s = f"{sign}{a * 1000 + c}"
+        elif shape == "float":
+            s = f"{sign}{a}.{c}"
+        else:
+            s = f"x{a}y"
+        strings.append(s)
+
+    def ref(x: str):
+        px = (
+            x.rsplit(":", 1)[0] + "." + x.rsplit(":", 1)[1]
+            if ":" in x and x.count(":") == 3
+            else x
+        )
+        return pd.to_timedelta(pd.Series([px]), errors="coerce").dt.total_seconds()[0]
+
+    got = run_expr(spark, strings, safe_duration_seconds, in_type="string")
+    for s, g in zip(strings, got):
+        e = ref(s)
+        if pd.isna(e):
+            assert g is None, (s, g, e)
+        else:
+            assert g is not None and g == pytest.approx(e, abs=1e-9), (s, g, e)
