@@ -80,6 +80,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": TX.quality_scores,
         "doc_fingerprints": TX.doc_fingerprints,
         "top_ngrams": TX.top_ngrams,
+        "corpus_quality_gate": TX.corpus_quality_gate,
+        "value_quartiles": TO.value_quartiles,
         # deduplication (beyond-reference)
         "dedup_exact": DD.dedup_exact,
         "ngram_jaccard_pairs": DD.ngram_jaccard_pairs,
@@ -142,6 +144,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": TX.ORACLE_QUALITY,
         "doc_fingerprints": TX.ORACLE_FINGERPRINTS,
         "top_ngrams": TX.ORACLE_TOP_NGRAMS,
+        "corpus_quality_gate": TX.ORACLE_QUALITY_GATE,
+        "value_quartiles": TO.ORACLE_QUARTILES,
         "dedup_exact": DD.ORACLE_DEDUP_EXACT,
         "ngram_jaccard_pairs": DD.ORACLE_JACCARD_PAIRS,
         "minhash_signatures": DD.ORACLE_MINHASH_SIG,

@@ -195,3 +195,106 @@ SELECT token, COUNT(*) AS doc_freq
 FROM t GROUP BY token
 ORDER BY doc_freq DESC, token LIMIT 20
 """
+
+
+def corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data curation pipeline in one plan: per
+    source — raw docs, docs surviving the quality gate (score ≥ 0.4
+    AND predicted lang != 'und'), survivors of exact dedup keep-first
+    among the quality-passed, and their total whitespace tokens.
+
+    This is the production shape: filters compose scan-side, the dedup
+    keep is one shuffle on the fingerprint, and the final rollup is a
+    tiny aggregate — the whole gate is 2 shuffles regardless of corpus
+    size.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        token_count("text").alias("n_tok"),
+        quality_score("text").alias("q"),
+        language_id("text").alias("lp"),
+        F.md5(F.concat_ws(" ", tokens("text")).cast("binary")).alias("fp"),
+    )
+    passed = scored.filter((F.col("q") >= 0.4) & (F.col("lp") != "und"))
+    from pyspark.sql import Window as W
+
+    keep = (
+        passed.withColumn(
+            "rn", F.row_number().over(W.partitionBy("fp").orderBy("doc_id"))
+        )
+        .filter(F.col("rn") == 1)
+    )
+    raw_counts = scored.groupBy("source").agg(F.count(F.lit(1)).alias("n_raw"))
+    pass_counts = passed.groupBy("source").agg(F.count(F.lit(1)).alias("n_quality"))
+    keep_counts = keep.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tok").alias("kept_tokens"),
+    )
+    return (
+        raw_counts.join(pass_counts, "source", "left")
+        .join(keep_counts, "source", "left")
+        .select(
+            "source",
+            "n_raw",
+            F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_QUALITY_GATE = f"""
+WITH base AS (
+  SELECT doc_id, source, trim(text) AS t,
+    CAST(length(trim(text)) AS DOUBLE) AS n_chars,
+    {_SQL_TOKENS} AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, source, t, n_chars, toks,
+    CAST(len(toks) AS BIGINT) AS n_tok,
+    GREATEST(CAST(len(toks) AS DOUBLE), 1.0) AS n_tok_d,
+    CAST(length(regexp_replace(t, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+    CAST(length(regexp_replace(t, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct,
+    CAST(len(list_filter(toks,
+      x -> x IN ({", ".join(f"'{w}'" for w in _ALL_STOP)}))) AS DOUBLE) AS stop_hits,
+    md5(array_to_string(toks, ' ')) AS fp,
+    {_sql_lang_scores()}
+  FROM base
+),
+scored AS (
+  SELECT doc_id, source, n_tok, fp,
+    CASE WHEN t IS NULL OR n_chars = 0 THEN 0.0
+      ELSE ROUND(
+        LEAST(n_chars / 500.0, 1.0) * 0.25
+        + (alpha / GREATEST(n_chars, 1.0)) * 0.25
+        + (1.0 - LEAST(punct / GREATEST(n_chars, 1.0) * 4, 1.0)) * 0.2
+        + LEAST(stop_hits / n_tok_d * 3, 1.0) * 0.2
+        + CASE WHEN n_chars / n_tok_d >= 3 AND n_chars / n_tok_d <= 10
+               THEN 1.0 ELSE 0.5 END * 0.1, 6) END AS q,
+    {_sql_lang_case()} AS lp
+  FROM m
+),
+passed AS (SELECT * FROM scored WHERE q >= 0.4 AND lp <> 'und'),
+keep AS (
+  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+  FROM passed
+),
+raw_counts AS (SELECT source, COUNT(*) AS n_raw FROM scored GROUP BY source),
+pass_counts AS (SELECT source, COUNT(*) AS n_quality FROM passed GROUP BY source),
+keep_counts AS (
+  SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_tok) AS BIGINT) AS kept_tokens
+  FROM keep WHERE rn = 1 GROUP BY source
+)
+SELECT r.source, r.n_raw,
+  COALESCE(p.n_quality, 0) AS n_quality,
+  COALESCE(k.n_kept, 0) AS n_kept,
+  COALESCE(k.kept_tokens, 0) AS kept_tokens
+FROM raw_counts r
+LEFT JOIN pass_counts p ON r.source = p.source
+LEFT JOIN keep_counts k ON r.source = k.source
+ORDER BY r.source
+"""

@@ -436,3 +436,33 @@ SELECT user_id, COUNT(*) AS n_events,
   CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
 FROM events GROUP BY user_id ORDER BY user_id
 """
+
+
+def value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile/cume_dist ranking surface: quartile assignment of events
+    by value within each event_type, with per-quartile stats."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("event_type", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+        .orderBy("event_type", "quartile")
+    )
+
+
+ORACLE_QUARTILES = """
+WITH q AS (
+  SELECT event_type, value,
+    ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id)
+      AS quartile
+  FROM events
+)
+SELECT event_type, quartile, COUNT(*) AS n,
+       MIN(value) AS min_v, MAX(value) AS max_v
+FROM q GROUP BY event_type, quartile ORDER BY event_type, quartile
+"""
