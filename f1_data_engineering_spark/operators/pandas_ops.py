@@ -51,11 +51,11 @@ def zscore_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     executor memory (users here; salt oversized groups if not).
     """
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
-    return (
-        ev.groupBy("user_id")
-        .applyInPandas(_zscore_group, schema=_ZSCORE_SCHEMA)
-        .orderBy("user_id", "event_id")
-    )
+    # NB: no final orderBy — a global sort range-partitions by SAMPLING
+    # its child, which would execute the pandas UDF twice (measured 2×
+    # the query cost).  Sort at the consumer if order matters; the
+    # differential check is order-insensitive.
+    return ev.groupBy("user_id").applyInPandas(_zscore_group, schema=_ZSCORE_SCHEMA)
 
 
 ORACLE_ZSCORE = """
