@@ -216,7 +216,7 @@ def corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score("text").alias("q"),
         language_id("text").alias("lp"),
         F.md5(F.concat_ws(" ", tokens("text")).cast("binary")).alias("fp"),
-    )
+    ).cache()  # three consumers (raw/pass/keep counts) — score once
     passed = scored.filter((F.col("q") >= 0.4) & (F.col("lp") != "und"))
     from pyspark.sql import Window as W
 
