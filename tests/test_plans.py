@@ -77,3 +77,22 @@ def test_dedup_clusters_invariants(spark, sf_dir):
     for r in rows:
         assert r["label"] == min(r["members"])
         assert r["cluster_size"] == len(r["members"])
+
+
+def test_ann_vectorized_matches_exact(spark, sf_dir):
+    """The Arrow fast path must reproduce the exact expression
+    version's neighbors/ranks (sims agree to 1e-6)."""
+    from f1_data_engineering_spark.operators import similarity as SIM
+
+    exact = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["sim"])
+        for r in SIM.ann_bruteforce_topk(spark, sf_dir).collect()
+    }
+    fast = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["sim"])
+        for r in SIM.ann_topk_vectorized(spark, sf_dir).collect()
+    }
+    assert exact.keys() == fast.keys()
+    for k in exact:
+        assert exact[k][0] == fast[k][0], (k, exact[k], fast[k])
+        assert abs(exact[k][1] - fast[k][1]) <= 1e-6
