@@ -156,36 +156,34 @@ def parse_f1_duration(c: Column | str) -> Column:
     disambiguate on the last group's width (3 digits = milliseconds).
     Empty / 'nan' / 'nat' / non-matching → NULL (warning → engine-side
     NULL, per SURVEY.md F9).
+
+    Perf note (this is the ingest hot path at scale): shapes are gated
+    by ONE rlike each, then fields come from a shared ``split`` —
+    4 regex executions per row instead of 18 with per-group
+    regexp_extract.  Field values/order match the regex version
+    exactly; the same sign handling (sign stripped before the split,
+    applied multiplicatively) keeps ``-0`` cases identical.
     """
     s = F.trim(_col(c))
+    sign = F.when(s.startswith("-"), F.lit(-1.0)).otherwise(F.lit(1.0))
+    mag = F.regexp_replace(s, r"^[+-]", "")
+    p = F.split(mag, ":")
+
+    def fld(i: int) -> Column:
+        return F.element_at(p, i).cast("double")
+
     return (
         F.when(
             s.rlike(_RE_HHMMSSMS),
-            _sign_of(s, _RE_HHMMSSMS)
-            * (
-                _ext(s, _RE_HHMMSSMS, 2) * 3600
-                + _ext(s, _RE_HHMMSSMS, 3) * 60
-                + _ext(s, _RE_HHMMSSMS, 4)
-                + _ext(s, _RE_HHMMSSMS, 5) / 1000
-            ),
+            sign * (fld(1) * 3600 + fld(2) * 60 + fld(3) + fld(4) / 1000),
         )
         .when(
             s.rlike(_RE_MMSSMS),
-            _sign_of(s, _RE_MMSSMS)
-            * (
-                _ext(s, _RE_MMSSMS, 2) * 60
-                + _ext(s, _RE_MMSSMS, 3)
-                + _ext(s, _RE_MMSSMS, 4) / 1000
-            ),
+            sign * (fld(1) * 60 + fld(2) + fld(3) / 1000),
         )
         .when(
             s.rlike(_RE_HHMMSS),
-            _sign_of(s, _RE_HHMMSS)
-            * (
-                _ext(s, _RE_HHMMSS, 2) * 3600
-                + _ext(s, _RE_HHMMSS, 3) * 60
-                + _ext(s, _RE_HHMMSS, 4)
-            ),
+            sign * (fld(1) * 3600 + fld(2) * 60 + fld(3)),
         )
         .otherwise(F.lit(None).cast("double"))
     )

@@ -72,3 +72,32 @@ def test_unmapped_table_skipped(spark):
     df = spark.createDataFrame([("x",)], schema="a string")
     _, _, n = transform_table(df, "tyre_stints_summary")
     assert n == 0
+
+
+def test_transform_csv_tree(spark, tmp_path):
+    """EP2 tree walk: year/event/session CSVs → normalized output CSVs
+    (mapped tables transformed, unmapped skipped)."""
+    import os
+
+    from f1_data_engineering_spark.sources.f1_compat import transform_csv_tree
+
+    raw = tmp_path / "in"
+    d = raw / "2024" / "Spa" / "R"
+    d.mkdir(parents=True)
+    (d / "session_results.csv").write_text(
+        "Driver,Q1,Interval\nVER,01:05:123,12.345\n"
+    )
+    (d / "tyre_stints_summary.csv").write_text("Driver,StintNumber\nVER,1\n")
+    out = str(tmp_path / "out")
+
+    stats = transform_csv_tree(spark, str(raw), out)
+    assert stats == {"session_results": 2}  # Q1 + Interval; stints skipped
+    assert not os.path.exists(os.path.join(out, "tyre_stints_summary"))
+
+    back = (
+        spark.read.option("header", True)
+        .csv(os.path.join(out, "session_results"))
+        .collect()[0]
+    )
+    assert back["Q1"] == "00:01:05:123"        # promoted to HH:MM:SS:mmm
+    assert back["Interval"] == "00:00:12:345"  # numeric -> formatted
