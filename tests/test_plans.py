@@ -96,3 +96,40 @@ def test_ann_vectorized_matches_exact(spark, sf_dir):
     for k in exact:
         assert exact[k][0] == fast[k][0], (k, exact[k], fast[k])
         assert abs(exact[k][1] - fast[k][1]) <= 1e-6
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE skew handling: a join where one key holds ~95% of rows gets
+    its oversized partition split at runtime (skew=true in the final
+    adaptive plan) — the no-code-change answer to skewed keys."""
+    from pyspark.sql import functions as F
+
+    left = spark.range(0, 200_000).select(
+        F.when(F.col("id") % 20 != 0, F.lit(7)).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = spark.range(0, 100).select(F.col("id").alias("k"), F.lit(1).alias("w"))
+    old = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": spark.conf.get(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+        ),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": spark.conf.get(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+        ),
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+    }
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        joined = left.join(right, "k")
+        # collect() executes THIS Dataset's QueryExecution (count()
+        # would run a different one, leaving this plan un-finalized)
+        assert len(joined.collect()) == 200_000
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan[:2000]
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)

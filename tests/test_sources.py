@@ -81,3 +81,14 @@ def test_dynamic_partition_overwrite(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert got == {("A", 99), ("B", 2)}
+
+
+def test_read_csv_inferred(spark, tmp_path):
+    """S8: header + inferSchema scan (dashboard-style)."""
+    from f1_data_engineering_spark.sources.csvio import read_csv_inferred
+
+    p = tmp_path / "t.csv"
+    p.write_text("a,b,c\n1,2.5,x\n2,3.5,y\n")
+    df = read_csv_inferred(spark, str(p))
+    assert dict(df.dtypes) == {"a": "int", "b": "double", "c": "string"}
+    assert df.count() == 2
