@@ -81,6 +81,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": TX.doc_fingerprints,
         "top_ngrams": TX.top_ngrams,
         "corpus_quality_gate": TX.corpus_quality_gate,
+        "repetition_stats": TX.repetition_stats,
+        "pii_scrub_stats": TX.pii_scrub_stats,
         "value_quartiles": TO.value_quartiles,
         # deduplication (beyond-reference)
         "dedup_exact": DD.dedup_exact,
@@ -145,6 +147,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": TX.ORACLE_FINGERPRINTS,
         "top_ngrams": TX.ORACLE_TOP_NGRAMS,
         "corpus_quality_gate": TX.ORACLE_QUALITY_GATE,
+        "repetition_stats": TX.ORACLE_REPETITION,
+        "pii_scrub_stats": TX.ORACLE_PII_SCRUB,
         "value_quartiles": TO.ORACLE_QUARTILES,
         "dedup_exact": DD.ORACLE_DEDUP_EXACT,
         "ngram_jaccard_pairs": DD.ORACLE_JACCARD_PAIRS,

@@ -298,3 +298,118 @@ LEFT JOIN pass_counts p ON r.source = p.source
 LEFT JOIN keep_counts k ON r.source = k.source
 ORDER BY r.source
 """
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter signal: per document, the share
+    of 3-gram shingles taken by the single most-frequent shingle —
+    high ratios flag boilerplate/spam for training-data filtering.
+
+    explode → per-(doc, shingle) count → per-doc max/sum: two partial-
+    aggregated shuffles keyed by doc_id; no document bodies move.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    from ..functions.text import shingles
+
+    ex = d.select(
+        "doc_id", F.explode(shingles("text", 3)).alias("sh")
+    )
+    per_sh = ex.groupBy("doc_id", "sh").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_sh.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_shingles"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("top_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_REPETITION = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+sh AS (
+  SELECT doc_id, unnest(CASE WHEN len(toks) >= 3 THEN
+    list_transform(range(len(toks)-2),
+                   i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+    ELSE [array_to_string(toks, ' ')] END) AS sh
+  FROM t
+),
+per_sh AS (SELECT doc_id, sh, COUNT(*) AS c FROM sh GROUP BY doc_id, sh)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_shingles,
+       COUNT(*) AS n_distinct,
+       ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_ratio
+FROM per_sh GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+#: URL/email scrub patterns (shared literally with the oracle).
+_URL_RE = r"https?://[^\s]+"
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/email scrubbing (training-data hygiene): documents get a
+    deterministic URL/email injected for doc_id % 10 == 0 (the corpus
+    has none — both engines inject identically so the scrub path is
+    actually exercised), then counts + scrubbed lengths per source.
+
+    Scan-side regexp_replace; the rollup shuffles one row per source.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    injected = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://example.com/x?id="),
+            F.col("doc_id").cast("string"),
+            F.lit(" or mail u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@test.org now"),
+        ),
+    ).otherwise(F.col("text"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(injected, _URL_RE, "<URL>"), _EMAIL_RE, "<EMAIL>"
+    )
+    return (
+        d.select(
+            "source",
+            injected.alias("t"),
+            scrubbed.alias("s"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("t").rlike(_URL_RE), 1).otherwise(0)).alias("n_url"),
+            F.sum(F.when(F.col("t").rlike(_EMAIL_RE), 1).otherwise(0)).alias(
+                "n_email"
+            ),
+            F.sum(F.length("t")).alias("len_before"),
+            F.sum(F.length("s")).alias("len_after"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_PII_SCRUB = f"""
+WITH inj AS (
+  SELECT source,
+    CASE WHEN doc_id % 10 = 0 THEN
+      text || ' see https://example.com/x?id=' || CAST(doc_id AS VARCHAR)
+           || ' or mail u' || CAST(doc_id AS VARCHAR) || '@test.org now'
+    ELSE text END AS t
+  FROM documents
+),
+scr AS (
+  SELECT source, t,
+    regexp_replace(regexp_replace(t, '{_URL_RE}', '<URL>', 'g'),
+                   '{_EMAIL_RE}', '<EMAIL>', 'g') AS s
+  FROM inj
+)
+SELECT source, COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN regexp_matches(t, '{_URL_RE}') THEN 1 ELSE 0 END) AS BIGINT) AS n_url,
+  CAST(SUM(CASE WHEN regexp_matches(t, '{_EMAIL_RE}') THEN 1 ELSE 0 END) AS BIGINT) AS n_email,
+  CAST(SUM(length(t)) AS BIGINT) AS len_before,
+  CAST(SUM(length(s)) AS BIGINT) AS len_after
+FROM scr GROUP BY source ORDER BY source
+"""
