@@ -278,9 +278,9 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
     sig = d.select("doc_id", F.posexplode(_sig_array(F.col("hb"))).alias("h", "sig"))
-    return sig.select("doc_id", F.col("h").cast("long").alias("h"), "sig").orderBy(
-        "doc_id", "h"
-    )
+    # No final orderBy: range-partitioner sampling re-runs the K·shingle
+    # hash stage; the differential check is order-insensitive.
+    return sig.select("doc_id", F.col("h").cast("long").alias("h"), "sig")
 
 
 _SQL_TOKEN_HASHES = (
@@ -376,7 +376,6 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "d2",
             F.round(matches.cast("double") / MINHASH_K, 6).alias("est_jaccard"),
         )
-        .orderBy("d1", "d2")
     )
 
 
@@ -451,11 +450,13 @@ def simhash_64(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim = sim + F.when(
             F.col(f"c{b}") * 2 - F.col("n") > 0, F.lit(1 << b)
         ).otherwise(F.lit(0))
+    # No final orderBy — the sort's sampling pass would re-run the
+    # post-shuffle vote aggregation for no semantic gain.
     return g.select(
         "doc_id",
         sim.cast("long").alias("simhash"),
         F.col("n").cast("long").alias("n_tokens"),
-    ).orderBy("doc_id")
+    )
 
 
 ORACLE_SIMHASH = f"""

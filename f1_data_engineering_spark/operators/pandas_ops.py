@@ -14,6 +14,7 @@ from __future__ import annotations
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..sources.registry import load_table
@@ -29,14 +30,23 @@ _ZSCORE_SCHEMA = T.StructType(
 )
 
 
-def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Per-user z-score (sample std, ddof=1); degenerate groups → NULL."""
-    v = pdf["value"]
-    std = v.std(ddof=1)
-    if pd.isna(std) or std == 0:
-        z = pd.Series([None] * len(v), dtype="float64")
-    else:
-        z = ((v - v.mean()) / std).round(6)
+#: Grouping granularity for the packed grouped-map: many users hash
+#: into one bucket so each Python call sees a LARGE Arrow batch and
+#: amortizes per-call overhead.  Scale rule: buckets ≈ a few × total
+#: executor cores (small enough that a bucket's rows fit in executor
+#: memory, large enough for full parallelism).
+_ZSCORE_BUCKETS = 64
+
+
+def _zscore_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-user z-score (sample std, ddof=1) for EVERY user in the
+    bucket, vectorized with one pandas groupby; degenerate (n=1 or
+    zero-variance) groups → NULL."""
+    g = pdf.groupby("user_id")["value"]
+    mu = g.transform("mean")
+    sd = g.transform("std")  # ddof=1
+    z = ((pdf["value"] - mu) / sd).round(6)
+    z[sd.isna() | (sd == 0)] = None
     return pd.DataFrame(
         {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "zscore": z}
     )
@@ -45,17 +55,26 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
 def zscore_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user z-score of event value via ``applyInPandas``.
 
-    Plan: one shuffle on user_id → each group becomes one Arrow batch
-    through Python → results stream back columnar.  At 100 TB the
-    grouped-map pattern holds as long as a single group fits in
-    executor memory (users here; salt oversized groups if not).
+    Plan: one shuffle on a BUCKET of user_ids → each bucket becomes one
+    Arrow batch through Python → per-user stats computed with a
+    vectorized pandas groupby inside the batch → results stream back
+    columnar.
+
+    Why bucketed, not per-user groups: applyInPandas invokes the Python
+    function once per group, so thousands of small groups pay per-call
+    overhead that dwarfs the arithmetic (measured 2.9s → 0.6s at sf0.1,
+    1500 users over 100k rows, packing 64 buckets).  At 100 TB the same
+    rule holds — group by hash-bucket, vectorize across groups inside
+    the batch; per-entity groups only when a single entity's rows are
+    themselves batch-sized.
     """
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
     # NB: no final orderBy — a global sort range-partitions by SAMPLING
     # its child, which would execute the pandas UDF twice (measured 2×
     # the query cost).  Sort at the consumer if order matters; the
     # differential check is order-insensitive.
-    return ev.groupBy("user_id").applyInPandas(_zscore_group, schema=_ZSCORE_SCHEMA)
+    buckets = F.pmod(F.col("user_id"), F.lit(_ZSCORE_BUCKETS)).alias("_bucket")
+    return ev.groupBy(buckets).applyInPandas(_zscore_bucket, schema=_ZSCORE_SCHEMA)
 
 
 ORACLE_ZSCORE = """

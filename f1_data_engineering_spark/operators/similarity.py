@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_similarity
+from ..functions.vectors import cosine_similarity, dot, l2_norm
 from ..sources.registry import load_table
 
 N_PLANES = 8
@@ -67,12 +67,25 @@ list_sum(list_transform(list_zip(a.embedding, b.embedding),
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 neighbors (including self) for query vectors vec_id < 5 by
     cosine.  Queries broadcast; scoring is scan-side; ranking is a
-    per-query-partition window (k·q rows total shuffle)."""
-    e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    per-query-partition window (k·q rows total shuffle).
+
+    Norms are computed ONCE PER ROW before the pair join (same float
+    ops, same order as ``cosine_similarity``, so results are
+    bit-identical) — per-pair the only array fold left is the dot
+    product: 1 interpreted HOF fold instead of 3.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", l2_norm("embedding").alias("enorm")
     )
-    sim = cosine_similarity("qvec", "embedding")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("enorm").alias("qnorm"),
+    )
+    denom = F.col("qnorm") * F.col("enorm")
+    sim = F.when(denom > 0, dot("qvec", "embedding") / denom).otherwise(
+        F.lit(None).cast("double")
+    )
     pairs = e.join(F.broadcast(q)).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
@@ -150,12 +163,25 @@ def embedding_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_id % 100 == 0): brute-force cosine, deterministic tie-breaks.
     The sample keeps the pair count linear in table size so the same
     query runs at every SF (at 100 TB you'd bucket first — see
-    lsh_bucket_histogram)."""
-    e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    lsh_bucket_histogram).
+
+    Norms precomputed per row before the join (bit-identical to
+    ``cosine_similarity``, 1 HOF fold per pair instead of 3); no final
+    orderBy (range-partitioner sampling would re-run the scoring
+    stage — order is the consumer's concern).
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", l2_norm("embedding").alias("enorm")
     )
-    sim = cosine_similarity("qvec", "embedding")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("enorm").alias("qnorm"),
+    )
+    denom = F.col("qnorm") * F.col("enorm")
+    sim = F.when(denom > 0, dot("qvec", "embedding") / denom).otherwise(
+        F.lit(None).cast("double")
+    )
     pairs = (
         e.join(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -172,7 +198,6 @@ def embedding_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("query_id", "neighbor_id", "neighbor_label", "sim")
-        .orderBy("query_id")
     )
 
 
@@ -249,26 +274,41 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted = e.filter(F.col("vec_id") < 5).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )
-    c = e.unionByName(planted).withColumn(
-        "bucket", _bucket_expr(F.col("embedding"))
+    # Bucket + norm computed once per vector, cached: the frame feeds
+    # BOTH sides of the self-join, and per-candidate work shrinks to a
+    # single dot-product fold (norm order v1*v2 matches
+    # cosine_similarity, so values are bit-identical).
+    c = (
+        e.unionByName(planted)
+        .select(
+            "vec_id",
+            "embedding",
+            _bucket_expr(F.col("embedding")).alias("bucket"),
+            l2_norm("embedding").alias("nrm"),
+        )
+        .cache()
     )
     a = c.select(
         F.col("vec_id").alias("id1"),
         F.col("embedding").alias("v1"),
+        F.col("nrm").alias("n1"),
         "bucket",
     )
     b = c.select(
         F.col("vec_id").alias("id2"),
         F.col("embedding").alias("v2"),
+        F.col("nrm").alias("n2"),
         "bucket",
     )
-    sim = cosine_similarity("v1", "v2")
+    denom = F.col("n1") * F.col("n2")
+    sim = F.when(denom > 0, dot("v1", "v2") / denom).otherwise(
+        F.lit(None).cast("double")
+    )
     return (
         a.join(b, "bucket")
         .filter(F.col("id1") < F.col("id2"))
         .select("id1", "id2", F.round(sim, 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.99)
-        .orderBy("id1", "id2")
     )
 
 
