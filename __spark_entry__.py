@@ -23,6 +23,7 @@ from f1_data_engineering_spark.operators import similarity as SIM
 from f1_data_engineering_spark.operators import timeops as TO
 from f1_data_engineering_spark.operators import multimodal as MM
 from f1_data_engineering_spark.operators import pandas_ops as PD
+from f1_data_engineering_spark.operators import profiling as PF
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -102,6 +103,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blob_metadata": MM.blob_metadata,
         # Arrow-batched grouped-map UDF surface
         "zscore_by_user": PD.zscore_by_user,
+        # profiling / sampling / sketches
+        "profile_orders": PF.profile_orders,
+        "stratified_sample_orders": PF.stratified_sample_orders,
+        "sketch_summary": PF.sketch_summary,  # sketch estimates; rows-only check
     }
 
 
@@ -163,5 +168,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup_pairs": SIM.ORACLE_NEAR_DUP,
         "zscore_by_user": PD.ORACLE_ZSCORE,
         "blob_metadata": MM.ORACLE_BLOB_METADATA,
+        "profile_orders": PF.ORACLE_PROFILE_ORDERS,
+        "stratified_sample_orders": PF.ORACLE_STRATIFIED_SAMPLE,
     }
     return out

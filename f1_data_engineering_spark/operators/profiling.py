@@ -1,0 +1,220 @@
+"""Data profiling and sampling operators (beyond-reference
+training-data scope): single-pass column profiler, deterministic
+stratified sampling, and sketch-based approximate aggregates.
+
+Scale design:
+
+* **profiler** — ONE aggregation pass computes every per-column stat
+  (null count, distinct count, numeric min/max, string length min/max),
+  then a ``stack`` unpivots the single row into per-column rows.  The
+  scan reads each column once; nothing is collected driver-side.  The
+  exact ``count(distinct)`` per column expands the aggregate input
+  (one Expand branch per distinct agg) — correct at test SF and
+  oracle-matchable; at 100 TB swap in ``approx_count_distinct`` (same
+  plan shape, no expand, ~2% error) — see :func:`sketch_summary`.
+* **stratified sample** — keep-probability decided per row from a
+  cryptographic hash of the ROW KEY, never from ``rand()``: the sample
+  is reproducible across engines, retries, and partitionings (the
+  property training-data pipelines need for auditable subsets).
+  Per-stratum rates are a broadcast map expression; the filter runs
+  scan-side so the sample never shuffles.
+* **sketches** — HLL distinct counts and KLL-style quantiles
+  (``approx_count_distinct`` / ``approx_percentile``) replace their
+  exact counterparts when a 1-5% error buys an orders-of-magnitude
+  smaller shuffle.  Mergeable sketch state is what makes them
+  cluster-scalable: partials combine associatively across partitions.
+  No DuckDB oracle (sketch internals are engine-specific); the pytest
+  bound-check against exact values is the correctness statement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.registry import load_table
+
+__all__ = [
+    "profile_orders",
+    "stratified_sample_orders",
+    "sketch_summary",
+]
+
+
+def _profile_aggs(df: DataFrame) -> tuple[list[Column], list[str]]:
+    """Per-column aggregate expressions for one profiling pass."""
+    aggs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        aggs.append((F.count(F.lit(1)) - F.count(c)).alias(f"nn_{f.name}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{f.name}"))
+        if isinstance(f.dataType, T.NumericType):
+            mn, mx = F.min(c).cast("double"), F.max(c).cast("double")
+        elif isinstance(f.dataType, T.TimestampType):
+            # epoch micros fit in a double exactly (< 2^53)
+            mn = F.min(F.unix_micros(c)).cast("double")
+            mx = F.max(F.unix_micros(c)).cast("double")
+        else:
+            mn = mx = F.lit(None).cast("double")
+        aggs.append(mn.alias(f"mn_{f.name}"))
+        aggs.append(mx.alias(f"mx_{f.name}"))
+        if isinstance(f.dataType, T.StringType):
+            ln_mn, ln_mx = F.min(F.length(c)), F.max(F.length(c))
+        else:
+            ln_mn = ln_mx = F.lit(None).cast("int")
+        aggs.append(ln_mn.cast("long").alias(f"lmn_{f.name}"))
+        aggs.append(ln_mx.cast("long").alias(f"lmx_{f.name}"))
+    return aggs, [f.name for f in df.schema.fields]
+
+
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level profile of ``orders``: one row per column with
+    null count, exact distinct count, numeric min/max (timestamps as
+    epoch micros), and string-length min/max.
+
+    Plan: scan → single hash aggregate (with Expand for the distinct
+    aggs) → 1-row result → ``stack`` unpivot.  The unpivot is driver-
+    free: column names are plan-time literals from the static schema.
+    """
+    df = load_table(spark, sf_dir, "orders")
+    aggs, names = _profile_aggs(df)
+    one = df.agg(*aggs)
+    branches = ", ".join(
+        f"'{n}', nn_{n}, nd_{n}, mn_{n}, mx_{n}, lmn_{n}, lmx_{n}" for n in names
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(names)}, {branches}) AS "
+            "(col_name, n_nulls, n_distinct, min_num, max_num, min_len, max_len)"
+        ),
+        "n_rows",
+    ).select(
+        "col_name",
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
+        "min_num",
+        "max_num",
+        "min_len",
+        "max_len",
+    )
+
+
+ORACLE_PROFILE_ORDERS = """
+WITH a AS (
+  SELECT COUNT(*) AS n_rows,
+    COUNT(o_orderkey) AS c1, COUNT(DISTINCT o_orderkey) AS d1,
+      CAST(MIN(o_orderkey) AS DOUBLE) AS mn1, CAST(MAX(o_orderkey) AS DOUBLE) AS mx1,
+    COUNT(o_custkey) AS c2, COUNT(DISTINCT o_custkey) AS d2,
+      CAST(MIN(o_custkey) AS DOUBLE) AS mn2, CAST(MAX(o_custkey) AS DOUBLE) AS mx2,
+    COUNT(o_orderstatus) AS c3, COUNT(DISTINCT o_orderstatus) AS d3,
+      CAST(MIN(LENGTH(o_orderstatus)) AS BIGINT) AS lmn3,
+      CAST(MAX(LENGTH(o_orderstatus)) AS BIGINT) AS lmx3,
+    COUNT(o_totalprice) AS c4, COUNT(DISTINCT o_totalprice) AS d4,
+      MIN(o_totalprice) AS mn4, MAX(o_totalprice) AS mx4,
+    COUNT(o_orderdate) AS c5, COUNT(DISTINCT o_orderdate) AS d5,
+      CAST(epoch_us(MIN(o_orderdate)) AS DOUBLE) AS mn5,
+      CAST(epoch_us(MAX(o_orderdate)) AS DOUBLE) AS mx5,
+    COUNT(o_orderpriority) AS c6, COUNT(DISTINCT o_orderpriority) AS d6,
+      CAST(MIN(LENGTH(o_orderpriority)) AS BIGINT) AS lmn6,
+      CAST(MAX(LENGTH(o_orderpriority)) AS BIGINT) AS lmx6
+  FROM orders
+)
+SELECT 'o_orderkey' AS col_name, n_rows, n_rows - c1 AS n_nulls, d1 AS n_distinct,
+       mn1 AS min_num, mx1 AS max_num,
+       CAST(NULL AS BIGINT) AS min_len, CAST(NULL AS BIGINT) AS max_len FROM a
+UNION ALL
+SELECT 'o_custkey', n_rows, n_rows - c2, d2, mn2, mx2, NULL, NULL FROM a
+UNION ALL
+SELECT 'o_orderstatus', n_rows, n_rows - c3, d3, NULL, NULL, lmn3, lmx3 FROM a
+UNION ALL
+SELECT 'o_totalprice', n_rows, n_rows - c4, d4, mn4, mx4, NULL, NULL FROM a
+UNION ALL
+SELECT 'o_orderdate', n_rows, n_rows - c5, d5, mn5, mx5, NULL, NULL FROM a
+UNION ALL
+SELECT 'o_orderpriority', n_rows, n_rows - c6, d6, NULL, NULL, lmn6, lmx6 FROM a
+"""
+
+
+
+#: Per-stratum keep rates (percent) for the stratified sample: rare
+#: strata oversampled, common strata thinned — the usual re-balancing
+#: shape for training-data curation.
+STRATA_RATES = {"F": 10, "O": 5, "P": 50}
+_DEFAULT_RATE = 20
+
+
+def _hash_pct(key: Column) -> Column:
+    """Deterministic [0, 100) bucket from md5 of the key's string form
+    (same 60-bit prefix trick as the dedup operators — exact in both
+    engines)."""
+    h = F.conv(F.substring(F.md5(key.cast("string").cast("binary")), 1, 15), 16, 10)
+    return h.cast("long") % 100
+
+
+def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample of ``orders`` by order status:
+    keep a row iff ``md5(o_orderkey) % 100 < rate(o_orderstatus)``.
+
+    Content-hash sampling (vs ``rand()``) is reproducible run-to-run
+    and engine-to-engine, stable under repartitioning, and auditable —
+    a row's membership can be re-derived from the row alone.  The
+    filter is scan-side (no shuffle, no sort); the per-stratum rate is
+    a literal CASE expression, so predicate pushdown still applies to
+    any further filters stacked on top.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    rate = F.lit(_DEFAULT_RATE)
+    for status, pct in sorted(STRATA_RATES.items()):
+        rate = F.when(F.col("o_orderstatus") == status, F.lit(pct)).otherwise(rate)
+    return o.filter(_hash_pct(F.col("o_orderkey")) < rate).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+_SQL_RATE = (
+    "CASE o_orderstatus WHEN 'F' THEN 10 WHEN 'O' THEN 5 WHEN 'P' THEN 50 "
+    f"ELSE {_DEFAULT_RATE} END"
+)
+
+ORACLE_STRATIFIED_SAMPLE = f"""
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM orders
+WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+      % 100 < {_SQL_RATE}
+ORDER BY o_orderkey
+"""
+
+
+def sketch_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based approximate aggregates over ``events``: HLL++
+    distinct users/types and approximate value quantiles, per
+    event_type.
+
+    This is the 100 TB face of :func:`profile_orders`'s exact distinct
+    counts: sketch partials are fixed-size and merge associatively, so
+    the shuffle carries one sketch per (partition, group) instead of
+    the key universe.  No SQL oracle — sketch estimates are
+    engine-specific; tests/test_profiling.py asserts the documented
+    error bounds against exact values (rsd 5% ⇒ observed ≲ 3σ).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.05).alias("approx_users"),
+            F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias(
+                "value_quantiles"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "event_type",
+            "approx_users",
+            F.col("value_quantiles")[0].alias("p50"),
+            F.col("value_quantiles")[1].alias("p95"),
+            F.col("value_quantiles")[2].alias("p99"),
+            "n",
+        )
+    )
