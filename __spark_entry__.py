@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_quality_gate": TX.corpus_quality_gate,
         "repetition_stats": TX.repetition_stats,
         "pii_scrub_stats": TX.pii_scrub_stats,
+        "tfidf_top_terms": TX.tfidf_top_terms,
         "value_quartiles": TO.value_quartiles,
         # deduplication (beyond-reference)
         "dedup_exact": DD.dedup_exact,
@@ -99,6 +100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_nearest_neighbor": SIM.embedding_nearest_neighbor,
         "embedding_centroids": SIM.embedding_centroids,
         "embedding_near_dup_pairs": SIM.embedding_near_dup_pairs,
+        "lsh_multiprobe_ann": SIM.lsh_multiprobe_ann,
         # multimodal plumbing (binary columns + typed metadata)
         "blob_metadata": MM.blob_metadata,
         # Arrow-batched grouped-map UDF surface
@@ -154,6 +156,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_quality_gate": TX.ORACLE_QUALITY_GATE,
         "repetition_stats": TX.ORACLE_REPETITION,
         "pii_scrub_stats": TX.ORACLE_PII_SCRUB,
+        "tfidf_top_terms": TX.ORACLE_TFIDF,
         "value_quartiles": TO.ORACLE_QUARTILES,
         "dedup_exact": DD.ORACLE_DEDUP_EXACT,
         "ngram_jaccard_pairs": DD.ORACLE_JACCARD_PAIRS,
@@ -166,6 +169,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_nearest_neighbor": SIM.ORACLE_NN,
         "embedding_centroids": SIM.ORACLE_CENTROIDS,
         "embedding_near_dup_pairs": SIM.ORACLE_NEAR_DUP,
+        "lsh_multiprobe_ann": SIM.ORACLE_MULTIPROBE_ANN,
         "zscore_by_user": PD.ORACLE_ZSCORE,
         "blob_metadata": MM.ORACLE_BLOB_METADATA,
         "profile_orders": PF.ORACLE_PROFILE_ORDERS,

@@ -406,3 +406,130 @@ def ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-probe LSH ANN (IVF-style partitioned search)
+# ---------------------------------------------------------------------------
+
+MULTIPROBE_RADIUS = 2
+MULTIPROBE_TOPK = 3
+
+#: All XOR masks within Hamming distance MULTIPROBE_RADIUS of 0, as
+#: plan-time literals: 1 + 8 + 28 = 37 probe cells of the 256.
+_PROBE_MASKS = sorted(
+    m for m in range(1 << N_PLANES) if bin(m).count("1") <= MULTIPROBE_RADIUS
+)
+
+
+def lsh_multiprobe_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-linear ANN top-k via multi-probe hyperplane LSH: the corpus
+    is partitioned into 256 hyperplane-sign cells; each query probes
+    its own cell plus every cell within Hamming distance
+    ``MULTIPROBE_RADIUS`` (37 of 256), and brute-forces only those.
+
+    Scale shape (the IVF pattern on Spark): probe cells are exploded
+    into explicit (query, bucket) keys so candidate generation is an
+    EQUI-join on the bucket — the corpus shuffles/partitions once by
+    bucket and each query's work is confined to its probed partitions,
+    ~37/256 ≈ 14% of the corpus per query at radius 2.  The mask list
+    is a plan-time literal array; nothing is data-dependent but the
+    bucket itself.
+
+    Accuracy is a measured, tunable trade (synthetic corpus at sf0.1 —
+    these embeddings have NO label/cluster structure, the hard case
+    for any partitioned ANN): radius 0 → recall@3 0.33 scanning 1.2%,
+    radius 1 → 0.40 at 6%, radius 2 → 0.60 at 18%.
+    tests/test_plans.py asserts the radius-2 floor; exact results per
+    engine are pinned by the DuckDB oracle.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        l2_norm("embedding").alias("enorm"),
+        _bucket_expr(F.col("embedding")).alias("bucket"),
+    )
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("enorm").alias("qnorm"),
+        F.col("bucket").alias("qb"),
+    )
+    probes = q.select(
+        "query_id",
+        "qvec",
+        "qnorm",
+        F.explode(
+            F.array(*[F.col("qb").bitwiseXOR(F.lit(m)) for m in _PROBE_MASKS])
+        ).alias("bucket"),
+    )
+    denom = F.col("qnorm") * F.col("enorm")
+    sim = F.when(denom > 0, dot("qvec", "embedding") / denom).otherwise(
+        F.lit(None).cast("double")
+    )
+    pairs = e.join(F.broadcast(probes), "bucket").select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(sim, 9).alias("sim_key"),
+        F.round(sim, 6).alias("sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim_key").desc(), "neighbor_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= MULTIPROBE_TOPK)
+        .select(
+            "query_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank")
+        )
+    )
+
+
+_SQL_COS_QE = """
+list_sum(list_transform(list_zip(p.qvec, e.embedding),
+         p2 -> CAST(p2[1] AS DOUBLE) * CAST(p2[2] AS DOUBLE)))
+/ (p.qnorm * e.enorm)
+"""
+
+_SQL_L2 = "sqrt(list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+ORACLE_MULTIPROBE_ANN = f"""
+WITH planes AS (
+  SELECT p, list_transform(range({DIM}), d -> {{pw}}) AS w
+  FROM (SELECT unnest(range({N_PLANES})) AS p)
+),
+dots AS (
+  SELECT e.vec_id, pl.p,
+    list_sum(list_transform(list_zip(e.embedding, pl.w),
+             z -> CAST(z[1] AS DOUBLE) * z[2])) AS dot
+  FROM embeddings e CROSS JOIN planes pl
+),
+buck AS (
+  SELECT vec_id,
+    CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT)
+      AS bucket
+  FROM dots GROUP BY vec_id
+),
+base AS (
+  SELECT e.vec_id, e.embedding, {_SQL_L2.format(v="e.embedding")} AS enorm, b.bucket
+  FROM embeddings e JOIN buck b USING (vec_id)
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qvec, enorm AS qnorm, bucket AS qb
+  FROM base WHERE vec_id % 100 = 0
+),
+p AS (
+  SELECT query_id, qvec, qnorm, xor(qb, m.m) AS bucket
+  FROM q CROSS JOIN (SELECT unnest({_PROBE_MASKS}) AS m) m
+),
+pairs AS (
+  SELECT p.query_id, e.vec_id AS neighbor_id,
+    ROUND({_SQL_COS_QE}, 9) AS sim_key, ROUND({_SQL_COS_QE}, 6) AS sim
+  FROM p JOIN base e USING (bucket)
+),
+r AS (
+  SELECT query_id, neighbor_id, sim,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY sim_key DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= {MULTIPROBE_TOPK}
+""".format(pw=_sql_plane_weight())

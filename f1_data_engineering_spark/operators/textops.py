@@ -10,7 +10,7 @@ aggregates), which is the optimal shape.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -412,4 +412,78 @@ SELECT source, COUNT(*) AS n_docs,
   CAST(SUM(length(t)) AS BIGINT) AS len_before,
   CAST(SUM(length(s)) AS BIGINT) AS len_after
 FROM scr GROUP BY source ORDER BY source
+"""
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (docs 0-99), with corpus
+    statistics computed over the WHOLE corpus.
+
+    Plan: explode tokens → per-(doc, term) count (tf) → per-term doc
+    frequency (df) by re-aggregating the tf table (no second scan of
+    the text) → join tf×df on the term → rank within doc.  At 100 TB
+    the df table is vocabulary-sized — typically small enough to
+    broadcast; here it flows through a shuffle join, which is also the
+    fallback when the vocabulary doesn't fit (Zipf tail).
+
+    FP parity: ranking never touches the float score — ties are
+    resolved on (tf DESC, df ASC, term), all integers/strings, so an
+    ulp of ln() divergence between engines cannot reorder rows.  The
+    ``tfidf`` value itself (tf · ln(N/df), rounded to 6 dp) is the one
+    float output.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("doc_id") < 100)
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term")
+    )
+    tfidf = F.round(
+        F.col("tf").cast("double")
+        * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+        6,
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            tfidf.alias("tfidf"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+ORACLE_TFIDF = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+    ROUND(CAST(tf.tf AS DOUBLE)
+          * ln(CAST(n.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE)), 6) AS tfidf,
+    row_number() OVER (PARTITION BY tf.doc_id
+                       ORDER BY tf.tf DESC, dfreq.df ASC, tf.term) AS rank
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+  WHERE tf.doc_id < 100
+)
+SELECT doc_id, term, tf, df, tfidf, rank
+FROM scored WHERE rank <= 3
 """

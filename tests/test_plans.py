@@ -133,3 +133,50 @@ def test_aqe_splits_skewed_join(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_multiprobe_ann_recall_vs_bruteforce(spark, sf_dir):
+    """Multi-probe LSH ANN (radius 2 = 37/256 cells) must recover a
+    measured floor of the exact top-3 on the UNclustered synthetic
+    corpus (the hard case): observed recall@3 is ~0.47-0.60 across
+    SFs; assert >= 0.4.  Structural contract: <= k rows per query,
+    every reported sim <= the true best sim."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from f1_data_engineering_spark.operators import similarity as SIM
+    from f1_data_engineering_spark.functions.vectors import dot, l2_norm
+    from f1_data_engineering_spark.sources.registry import load_table
+
+    ivf = {}
+    for r in SIM.lsh_multiprobe_ann(spark, sf_dir).collect():
+        ivf.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", l2_norm("embedding").alias("enorm")
+    )
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("enorm").alias("qnorm"),
+    )
+    denom = F.col("qnorm") * F.col("enorm")
+    sim = F.when(denom > 0, dot("qvec", "embedding") / denom)
+    w = W.partitionBy("query_id").orderBy(F.round(sim, 9).desc(), "vec_id")
+    exact = {}
+    ranked = (
+        e.join(F.broadcast(q))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= SIM.MULTIPROBE_TOPK)
+    )
+    for r in ranked.collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    assert set(ivf) == set(exact)
+    for qid, got in ivf.items():
+        assert len(got) <= SIM.MULTIPROBE_TOPK
+        # self always recovered: the query probes its own cell (mask 0)
+        assert qid in got, qid
+    hits = sum(len(ivf[k] & exact[k]) for k in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.4, f"recall@3 = {hits}/{total}"
