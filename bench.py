@@ -52,6 +52,11 @@ BENCH_QUERIES = (
     "ann_bruteforce_topk",
     "embedding_nearest_neighbor",
     "embedding_centroids",
+    "lsh_multiprobe_ann",
+    "tfidf_top_terms",
+    "profile_orders",
+    "stratified_sample_orders",
+    "sketch_summary",
 )
 
 
