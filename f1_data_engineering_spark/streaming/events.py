@@ -176,3 +176,89 @@ def write_stream_foreach_batch(df, sink_path: str):
     )
     q.awaitTermination()
     return q
+
+
+def streaming_dedup(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup on event_id: keep the first arrival of
+    each id, dropping replays that land within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` is the scale-correct variant:
+    state for an id is evicted once the watermark passes it, so state
+    size is O(ids per horizon), not O(ids ever seen) — the difference
+    between a bounded state store and an unbounded one on an
+    at-least-once source (Kafka replays, file re-lands).
+    """
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def stream_static_join(stream: DataFrame, customers: DataFrame) -> DataFrame:
+    """Enrich the event stream with a STATIC dimension (stream-static
+    join): per micro-batch, the static side behaves like any batch
+    join — broadcast by Catalyst when small, no streaming state at all.
+
+    This is the default enrichment shape at scale: dims that fit in
+    memory cost nothing in state; only stream-stream joins need
+    watermarked buffers.
+    """
+    dim = customers.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_name").alias("user_name"),
+        F.col("c_nationkey").alias("nation_key"),
+    )
+    return stream.join(F.broadcast(dim), "user_id", "left").select(
+        "event_id", "ts", "user_id", "user_name", "nation_key", "event_type", "value"
+    )
+
+
+def purchase_click_join(stream: DataFrame, max_gap: str = "30 minutes",
+                        watermark: str = "1 hour") -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same
+    user's clicks in the preceding ``max_gap`` (attribution shape).
+
+    Both sides are watermarked and the join predicate bounds event
+    time on BOTH ends — that pair of constraints is what lets Spark
+    evict buffered rows and keep join state finite; an unbounded
+    stream-stream equi join would buffer forever.
+    """
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("click_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("click_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {max_gap}")),
+    ).select("purchase_id", "user_id", "purchase_ts", "purchase_value", "click_id", "click_ts")
+
+
+def write_stream_append_to_memory(df: DataFrame, name: str):
+    """Append-mode availableNow run into an in-memory table (for
+    row-emitting streaming ops — dedup, joins — where complete mode
+    doesn't apply)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

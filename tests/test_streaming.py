@@ -121,3 +121,90 @@ def test_foreach_batch_sink(spark, events_dir, tmp_path):
     back = spark.read.parquet(sink)
     assert back.count() == 10000 or back.count() == spark.read.parquet(events_dir).count()
     assert set(back.columns) == {"event_id", "user_id", "value"}
+
+
+def test_streaming_dedup_drops_replays(spark, sf_dir, tmp_path):
+    """Land the same event file twice (an at-least-once replay): the
+    watermarked dedup must emit each event_id exactly once."""
+    from f1_data_engineering_spark.streaming.events import (
+        streaming_dedup,
+        write_stream_append_to_memory,
+    )
+
+    out = str(tmp_path / "replayed")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    ev.coalesce(1).write.mode("append").parquet(out)
+    ev.coalesce(1).write.mode("append").parquet(out)  # replay
+
+    stream = events_file_stream(spark, out)
+    write_stream_append_to_memory(streaming_dedup(stream), "s_dedup")
+    got = spark.table("s_dedup")
+    n_ids = ev.count()
+    assert got.count() == n_ids
+    assert got.select("event_id").distinct().count() == n_ids
+
+
+def test_stream_static_join_enriches(spark, sf_dir, events_dir):
+    from f1_data_engineering_spark.streaming.events import (
+        stream_static_join,
+        write_stream_append_to_memory,
+    )
+
+    customers = load_table(spark, sf_dir, "customer")
+    stream = events_file_stream(spark, events_dir)
+    write_stream_append_to_memory(
+        stream_static_join(stream, customers), "s_enriched"
+    )
+    got = spark.table("s_enriched")
+    ev = load_table(spark, sf_dir, "events")
+    assert got.count() == ev.count()  # left join keeps every event
+    # any user with a matching customer row is enriched
+    matched = got.filter(F.col("user_name").isNotNull()).count()
+    expected = (
+        ev.join(
+            customers.select(F.col("c_custkey").alias("user_id"), "c_name"),
+            "user_id",
+        ).count()
+    )
+    assert matched == expected
+
+
+def test_purchase_click_join_matches_batch(spark, sf_dir, events_dir):
+    """Stream-stream interval join equals the identical batch join."""
+    from f1_data_engineering_spark.streaming.events import (
+        purchase_click_join,
+        write_stream_append_to_memory,
+    )
+
+    stream = events_file_stream(spark, events_dir)
+    write_stream_append_to_memory(purchase_click_join(stream), "s_attrib")
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.table("s_attrib").collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    exp = {
+        (r["purchase_id"], r["click_id"])
+        for r in p.join(
+            c,
+            (F.col("user_id") == F.col("click_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (
+                F.col("click_ts")
+                >= F.col("purchase_ts") - F.expr("INTERVAL 30 minutes")
+            ),
+        ).collect()
+    }
+    assert len(exp) > 0
+    assert got == exp
