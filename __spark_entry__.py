@@ -24,6 +24,7 @@ from f1_data_engineering_spark.operators import timeops as TO
 from f1_data_engineering_spark.operators import multimodal as MM
 from f1_data_engineering_spark.operators import pandas_ops as PD
 from f1_data_engineering_spark.operators import profiling as PF
+from f1_data_engineering_spark.operators import tpch_shapes as TS
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -44,6 +45,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue": R.q17_small_quantity_revenue,
         "q18_large_orders": R.q18_large_orders,
         "cube_status_priority": R.cube_status_priority,
+        "q3_shipping_priority": TS.q3_shipping_priority,
+        "q4_late_shipment_orders": TS.q4_late_shipment_orders,
+        "q12_priority_by_month": TS.q12_priority_by_month,
+        "q14_promo_revenue": TS.q14_promo_revenue,
+        "q16_supplier_variety": TS.q16_supplier_variety,
+        "q19_disjunctive_revenue": TS.q19_disjunctive_revenue,
+        "q22_idle_customers": TS.q22_idle_customers,
         # §2.2 projection / filter
         "filter_project": R.filter_project,
         # §2.3 joins
@@ -124,6 +132,13 @@ def oracle_sql() -> dict[str, str]:
         "q17_small_quantity_revenue": R.ORACLE_Q17,
         "q18_large_orders": R.ORACLE_Q18,
         "cube_status_priority": R.ORACLE_CUBE,
+        "q3_shipping_priority": TS.ORACLE_Q3,
+        "q4_late_shipment_orders": TS.ORACLE_Q4,
+        "q12_priority_by_month": TS.ORACLE_Q12,
+        "q14_promo_revenue": TS.ORACLE_Q14,
+        "q16_supplier_variety": TS.ORACLE_Q16,
+        "q19_disjunctive_revenue": TS.ORACLE_Q19,
+        "q22_idle_customers": TS.ORACLE_Q22,
         "filter_project": R.ORACLE_FILTER_PROJECT,
         "join_customer_nation_region": R.ORACLE_JOIN_CNR,
         "revenue_by_nation": R.ORACLE_REVENUE_NATION,

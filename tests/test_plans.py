@@ -180,3 +180,35 @@ def test_multiprobe_ann_recall_vs_bruteforce(spark, sf_dir):
     hits = sum(len(ivf[k] & exact[k]) for k in exact)
     total = sum(len(v) for v in exact.values())
     assert hits / total >= 0.4, f"recall@3 = {hits}/{total}"
+
+
+def test_tpch_shapes_plan_quality(spark, sf_dir):
+    """The classic-shape queries must plan as their intended join
+    strategies: Q19's disjunctive predicate still hash-joins on the
+    extracted equi key; Q4's EXISTS and Q16/Q22's NOT-IN are
+    semi/anti joins (no row-multiplying inner join + distinct)."""
+    from f1_data_engineering_spark.operators import tpch_shapes as TS
+
+    q19 = TS.q19_disjunctive_revenue(spark, sf_dir)
+    assert_no_cartesian(q19)
+    assert_broadcast_join(q19, at_least=1)
+
+    for df, kind in [
+        (TS.q4_late_shipment_orders(spark, sf_dir), "LeftSemi"),
+        (TS.q16_supplier_variety(spark, sf_dir), "LeftAnti"),
+        (TS.q22_idle_customers(spark, sf_dir), "LeftAnti"),
+    ]:
+        assert kind in physical_plan(df, "simple"), kind
+
+
+def test_tpch_shapes_return_rows(spark, sf_dir):
+    """Every adapted shape is non-vacuous at the smallest SF (except
+    q22, whose anti join thins with SF — non-empty from sf0.01 up)."""
+    from f1_data_engineering_spark.operators import tpch_shapes as TS
+
+    assert TS.q3_shipping_priority(spark, sf_dir).count() == 10
+    assert TS.q4_late_shipment_orders(spark, sf_dir).count() == 5
+    assert TS.q12_priority_by_month(spark, sf_dir).count() == 12
+    assert TS.q14_promo_revenue(spark, sf_dir).first()["n_lines"] > 0
+    assert TS.q16_supplier_variety(spark, sf_dir).count() > 0
+    assert TS.q19_disjunctive_revenue(spark, sf_dir).first()["n_lines"] > 0
