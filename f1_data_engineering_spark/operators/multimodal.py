@@ -103,3 +103,96 @@ def decode_media_real(df: DataFrame) -> DataFrame:
         "use decode_media() which runs the same plumbing with a "
         "deterministic fake decoder"
     )
+
+
+#: Schema of a sampled video frame row (one row per kept frame).
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("frame_digest", T.StringType()),
+    ]
+)
+
+#: Dimension of the fake extracted feature vector.
+FEATURE_DIM = 8
+
+
+def sample_frames(df: DataFrame, every_nth: int = 10) -> DataFrame:
+    """Frame-sampling stage for video blobs: one input row (doc_id,
+    blob) → one OUTPUT ROW PER KEPT FRAME (stride sampling, frame 0
+    always kept).
+
+    mapInPandas is the right operator because the cardinality CHANGES
+    (1 → n_frames/stride rows); a scalar pandas_udf cannot do that.
+    The fake "demux" derives a frame count and per-frame digest from
+    the bytes (deterministic, engine-independent); a real
+    implementation would call ffmpeg per batch with the identical
+    signature and output schema.
+
+    Scale: output rows carry digests/indices, not frame bytes — frame
+    payloads at 100 TB should be written column-separate by a
+    downstream sink, never multiplied through a shuffle.
+    """
+    import hashlib
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "frame_idx": [],
+                "n_frames": [],
+                "frame_digest": [],
+            }
+            for doc_id, blob in zip(b["doc_id"], b["blob"]):
+                raw = bytes(blob)
+                n_frames = len(raw) // 16 + 1  # fake demux: 16 B / frame
+                for idx in range(0, n_frames, every_nth):
+                    h = hashlib.sha256(raw + idx.to_bytes(8, "big")).hexdigest()
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["n_frames"].append(n_frames)
+                    out["frame_digest"].append(h[:16])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_gen, FRAME_SCHEMA)
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Feature-extraction stage: (doc_id, blob) → (doc_id,
+    embedding: array<double>) — the bridge from multimodal blobs into
+    the similarity operators (ANN / near-dup / centroids run unchanged
+    on the output).
+
+    The fake extractor derives FEATURE_DIM floats in [-1, 1) from the
+    sha256 of the bytes — deterministic and uniform-ish, so downstream
+    LSH bucketing behaves like it would on real model output.  Swap
+    the body (not the signature) for a real vision/audio encoder;
+    batch-at-a-time is exactly the shape model inference wants.
+    """
+    import hashlib
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            embs = []
+            for blob in b["blob"]:
+                digest = hashlib.sha256(bytes(blob)).digest()
+                embs.append(
+                    [
+                        int.from_bytes(digest[4 * i : 4 * i + 4], "big")
+                        / 2**31
+                        - 1.0
+                        for i in range(FEATURE_DIM)
+                    ]
+                )
+            yield pd.DataFrame({"doc_id": b["doc_id"], "embedding": embs})
+
+    return df.mapInPandas(_gen, schema)

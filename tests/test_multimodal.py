@@ -52,3 +52,49 @@ def test_binary_survives_parquet_roundtrip(spark, media_df, tmp_path):
     orig = {r["doc_id"]: r["blob"] for r in media_df.collect()}
     got = {r["doc_id"]: r["blob"] for r in back.collect()}
     assert orig == got
+
+
+def test_sample_frames_stride_and_determinism(spark, media_df):
+    from f1_data_engineering_spark.operators.multimodal import (
+        FRAME_SCHEMA,
+        sample_frames,
+    )
+
+    out = sample_frames(media_df, every_nth=4)
+    assert out.schema == FRAME_SCHEMA
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 7: 107 bytes -> 107//16+1 = 7 frames -> kept 0 and 4
+    assert sorted(r["frame_idx"] for r in by_doc[7]) == [0, 4]
+    assert all(r["n_frames"] == 7 for r in by_doc[7])
+    # cardinality change is partition-invariant
+    again = sorted(
+        (r["doc_id"], r["frame_idx"], r["frame_digest"])
+        for r in sample_frames(media_df.repartition(7), every_nth=4).collect()
+    )
+    assert again == sorted((r["doc_id"], r["frame_idx"], r["frame_digest"]) for r in rows)
+
+
+def test_extract_features_feeds_similarity(spark, media_df):
+    from f1_data_engineering_spark.functions.vectors import cosine_similarity
+    from f1_data_engineering_spark.operators.multimodal import (
+        FEATURE_DIM,
+        extract_features,
+    )
+
+    feats = extract_features(media_df)
+    rows = feats.collect()
+    assert all(len(r["embedding"]) == FEATURE_DIM for r in rows)
+    assert all(-1.0 <= x < 1.0 for r in rows for x in r["embedding"])
+    # identical bytes -> identical embedding; the similarity operators
+    # run unchanged on the extracted column
+    a = feats.alias("a")
+    b = feats.alias("b")
+    sim = (
+        a.join(b, F.col("a.doc_id") == F.col("b.doc_id"))
+        .select(cosine_similarity(F.col("a.embedding"), F.col("b.embedding")).alias("s"))
+        .collect()
+    )
+    assert all(abs(r["s"] - 1.0) < 1e-12 for r in sim)
