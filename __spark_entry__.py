@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stride_downsample": R.stride_downsample,
         # §2.7 set ops
         "set_ops_keys": R.set_ops_keys,
+        "unpivot_measures": R.unpivot_measures,
         # JSON scalar surface
         "json_props_extract": R.json_props_extract,
         # §2.8 time-format expression library (F2/F4/F9 round-trip, F5/F6/F8)
@@ -152,6 +153,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_sorted_types": R.ORACLE_DISTINCT_TYPES,
         "stride_downsample": R.ORACLE_STRIDE,
         "set_ops_keys": R.ORACLE_SET_OPS,
+        "unpivot_measures": R.ORACLE_UNPIVOT,
         "json_props_extract": R.ORACLE_JSON_PROPS,
         "time_format_roundtrip": TO.ORACLE_TIME_ROUNDTRIP,
         "wallclock_formats": TO.ORACLE_WALLCLOCK,

@@ -869,3 +869,46 @@ JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 ORDER BY totalprice DESC, o_orderkey LIMIT 100
 """
+
+
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``unpivot``/melt (the inverse of A7's pivot): lineitem's
+    three money/quantity measures become (measure, value) rows, then a
+    per-measure summary.
+
+    ``DataFrame.unpivot`` is plan-native (an Expand, like the pivot's
+    dual) — no UDF, no union of three scans: ONE pass emits all three
+    measure rows per input row, and the downstream agg sees a
+    3-row-per-input stream with map-side partial aggregation.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 10 == 0)
+    melted = li.unpivot(
+        ids=["l_orderkey"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+    return (
+        melted.groupBy("measure")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(20,2)")).cast("double").alias("total"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+        .orderBy("measure")
+    )
+
+
+ORACLE_UNPIVOT = """
+WITH melted AS (
+  SELECT l_orderkey, measure, value
+  FROM (SELECT l_orderkey, l_quantity, l_extendedprice, l_discount
+        FROM lineitem WHERE l_orderkey % 10 = 0)
+  UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice, l_discount))
+)
+SELECT measure, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(20,2))) AS DOUBLE) AS total,
+  MIN(value) AS vmin, MAX(value) AS vmax
+FROM melted GROUP BY measure ORDER BY measure
+"""
