@@ -25,6 +25,7 @@ from f1_data_engineering_spark.operators import multimodal as MM
 from f1_data_engineering_spark.operators import pandas_ops as PD
 from f1_data_engineering_spark.operators import profiling as PF
 from f1_data_engineering_spark.operators import tpch_shapes as TS
+from f1_data_engineering_spark.operators import trainprep as TP
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -114,6 +115,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blob_metadata": MM.blob_metadata,
         # Arrow-batched grouped-map UDF surface
         "zscore_by_user": PD.zscore_by_user,
+        # training-data prep
+        "build_vocab": TP.build_vocab,
+        "pack_sequences": TP.pack_sequences,
+        "dataset_splits": TP.dataset_splits,
         # profiling / sampling / sketches
         "profile_orders": PF.profile_orders,
         "stratified_sample_orders": PF.stratified_sample_orders,
@@ -189,6 +194,9 @@ def oracle_sql() -> dict[str, str]:
         "lsh_multiprobe_ann": SIM.ORACLE_MULTIPROBE_ANN,
         "zscore_by_user": PD.ORACLE_ZSCORE,
         "blob_metadata": MM.ORACLE_BLOB_METADATA,
+        "build_vocab": TP.ORACLE_VOCAB,
+        "pack_sequences": TP.ORACLE_PACK,
+        "dataset_splits": TP.ORACLE_SPLITS,
         "profile_orders": PF.ORACLE_PROFILE_ORDERS,
         "stratified_sample_orders": PF.ORACLE_STRATIFIED_SAMPLE,
     }

@@ -1,0 +1,193 @@
+"""Training-data preparation operators (beyond-reference scope): the
+steps between a curated corpus and a tokenized training run.
+
+* **vocabulary build** — corpus term frequencies → dense integer ids
+  by (freq DESC, term) rank.  The classic two-aggregation shape; the
+  ranking window runs over the VOCABULARY (≪ corpus), and ids are
+  deterministic, so re-runs on the same corpus give identical
+  mappings — the property checkpointed tokenizers rely on.
+* **sequence packing** — greedy contiguous fill of docs into
+  fixed-token-budget bins via a running-sum window PARTITIONED BY
+  SHARD.  A global pack would serialize the corpus through one
+  partition; per-shard packing is embarrassingly parallel and loses
+  only the tail bin per shard (bounded waste, measured in the
+  output).  This is how distributed pretraining pipelines actually
+  pack (per-file / per-shard), not an approximation invented here.
+* **splits** — train/val/test assignment from a cryptographic hash of
+  the DOC ID, never rand(): membership is reproducible, re-derivable
+  row-locally, and stable under repartitioning/retries.  Split sizes
+  are verified by count, leakage by disjointness (a doc's hash puts
+  it in exactly one split by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.text import token_count, tokens
+from ..sources.registry import load_table
+
+__all__ = ["build_vocab", "pack_sequences", "dataset_splits"]
+
+VOCAB_SIZE = 1000
+PACK_BUDGET = 512  # tokens per packed sequence bin
+
+#: DuckDB twin of functions/text.tokens (keep in lock-step).
+_SQL_TOKENS = (
+    "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
+)
+
+
+def build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``VOCAB_SIZE`` corpus vocabulary with dense ids: token_id is
+    the (occurrences DESC, term ASC) rank, so the mapping is a pure
+    function of the corpus.
+
+    Plan: explode → count per term (one shuffle, map-side combined) →
+    a single ranking window over vocabulary-sized data.  The window's
+    single-partition stage holds |vocabulary| rows, not corpus rows —
+    acceptable to ~10M terms; shard the rank by first letter beyond.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("occurrences"))
+    )
+    w = W.orderBy(F.col("occurrences").desc(), "term")
+    return (
+        freq.withColumn("token_id", F.row_number().over(w).cast("long"))
+        .filter(F.col("token_id") <= VOCAB_SIZE)
+        .select("token_id", "term", "occurrences")
+    )
+
+
+ORACLE_VOCAB = f"""
+WITH tok AS (
+  SELECT unnest({_SQL_TOKENS}) AS term FROM documents
+),
+freq AS (
+  SELECT term, COUNT(*) AS occurrences FROM tok GROUP BY term
+)
+SELECT CAST(row_number() OVER (ORDER BY occurrences DESC, term) AS BIGINT)
+         AS token_id,
+       term, occurrences
+FROM freq
+QUALIFY token_id <= {VOCAB_SIZE}
+"""
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous sequence packing: within each shard (source),
+    docs in doc_id order fill ``PACK_BUDGET``-token bins; a doc starts
+    a new bin when its predecessor-cumsum crosses the budget boundary.
+
+    bin = floor(cumsum_before / budget) — oversized docs (> budget)
+    occupy their bin alone and push the next doc to a fresh bin, so
+    bins never interleave.  One shuffle (by source) + one window pass;
+    shards pack independently — the parallel unit at 100 TB is the
+    shard, and the only waste is each shard's tail bin.
+
+    Output: per (source, bin) — docs packed, token fill, and whether
+    the bin is overflowing (single oversized doc).
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count("text").alias("n_tokens")
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    binned = d.withColumn(
+        "bin", ((cum - F.col("n_tokens")) / F.lit(PACK_BUDGET)).cast("long")
+    )
+    return (
+        binned.groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("fill_tokens"),
+            F.max((F.col("n_tokens") > PACK_BUDGET).cast("int"))
+            .cast("boolean")
+            .alias("has_oversized"),
+        )
+        .orderBy("source", "bin")
+    )
+
+
+ORACLE_PACK = f"""
+WITH d AS (
+  SELECT doc_id, source, len({_SQL_TOKENS}) AS n_tokens FROM documents
+),
+b AS (
+  SELECT source,
+    CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING) - n_tokens)
+         / {PACK_BUDGET}.0) AS BIGINT) AS bin,
+    n_tokens
+  FROM d
+)
+SELECT source, bin, COUNT(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS fill_tokens,
+  MAX(n_tokens > {PACK_BUDGET}) AS has_oversized
+FROM b GROUP BY source, bin ORDER BY source, bin
+"""
+
+
+#: Split thresholds over md5(doc_id) % 100.
+SPLITS = (("train", 0, 80), ("val", 80, 90), ("test", 90, 100))
+
+
+def _split_expr() -> F.Column:
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    expr = F.lit(None).cast("string")
+    for name, lo, hi in reversed(SPLITS):
+        expr = F.when((h >= lo) & (h < hi), F.lit(name)).otherwise(expr)
+    return expr
+
+
+def dataset_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10 by
+    md5(doc_id) % 100), summarized per (source, split).
+
+    The hash makes membership a row-local pure function: any engine,
+    any retry, any partitioning reproduces the identical split —
+    and a doc can never leak across splits because it has exactly one
+    hash.  Scan-side only; the single shuffle is the summary groupBy.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count("text").alias("n_tokens")
+    )
+    return (
+        d.withColumn("split", _split_expr())
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+ORACLE_SPLITS = f"""
+WITH d AS (
+  SELECT doc_id, source, len({_SQL_TOKENS}) AS n_tokens,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100
+      AS h
+  FROM documents
+)
+SELECT source,
+  CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM d GROUP BY 1, 2 ORDER BY source, split
+"""

@@ -1,0 +1,54 @@
+"""Training-data prep operators (operators/trainprep.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from f1_data_engineering_spark.functions.text import token_count
+from f1_data_engineering_spark.operators import trainprep as TP
+from f1_data_engineering_spark.sources.registry import load_table
+
+
+def test_vocab_ids_dense_and_deterministic(spark, sf_dir):
+    v = TP.build_vocab(spark, sf_dir).collect()
+    ids = sorted(r["token_id"] for r in v)
+    assert ids == list(range(1, len(v) + 1))  # dense, 1-based
+    # rank follows (occurrences DESC, term): a re-run is identical
+    again = TP.build_vocab(spark, sf_dir).collect()
+    assert sorted(map(tuple, v)) == sorted(map(tuple, again))
+    by_id = {r["token_id"]: r for r in v}
+    for i in range(2, len(v) + 1):
+        prev, cur = by_id[i - 1], by_id[i]
+        assert (prev["occurrences"], ) >= (cur["occurrences"], )
+        if prev["occurrences"] == cur["occurrences"]:
+            assert prev["term"] < cur["term"]
+
+
+def test_pack_bins_respect_budget(spark, sf_dir):
+    bins = TP.pack_sequences(spark, sf_dir).collect()
+    assert len(bins) > 0
+    for r in bins:
+        # a bin only exceeds the budget via its LAST doc crossing the
+        # boundary (greedy contiguous fill) or a single oversized doc;
+        # it can never exceed budget + one doc's tokens
+        if not r["has_oversized"]:
+            assert r["n_docs"] >= 1
+    # bins partition the corpus: total docs/tokens preserved
+    d = load_table(spark, sf_dir, "documents")
+    tot = d.select(F.sum(token_count("text")).alias("t"), F.count("*").alias("n")).first()
+    assert sum(r["n_docs"] for r in bins) == tot["n"]
+    assert sum(r["fill_tokens"] for r in bins) == tot["t"]
+
+
+def test_splits_cover_disjointly_and_roughly_80_10_10(spark, sf_dir):
+    s = TP.dataset_splits(spark, sf_dir).collect()
+    per_split = {}
+    for r in s:
+        per_split[r["split"]] = per_split.get(r["split"], 0) + r["n_docs"]
+    n = sum(per_split.values())
+    assert n == load_table(spark, sf_dir, "documents").count()  # total cover
+    assert set(per_split) <= {"train", "val", "test"}
+    # md5 uniformity: within ±6 points of nominal
+    assert abs(per_split["train"] / n - 0.80) < 0.06
+    assert abs(per_split.get("val", 0) / n - 0.10) < 0.06
+    assert abs(per_split.get("test", 0) / n - 0.10) < 0.06
