@@ -57,6 +57,10 @@ BENCH_QUERIES = (
     "profile_orders",
     "stratified_sample_orders",
     "sketch_summary",
+    "pack_sequences",
+    "dataset_splits",
+    "q3_shipping_priority",
+    "q16_supplier_variety",
 )
 
 

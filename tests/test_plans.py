@@ -212,3 +212,51 @@ def test_tpch_shapes_return_rows(spark, sf_dir):
     assert TS.q14_promo_revenue(spark, sf_dir).first()["n_lines"] > 0
     assert TS.q16_supplier_variety(spark, sf_dir).count() > 0
     assert TS.q19_disjunctive_revenue(spark, sf_dir).first()["n_lines"] > 0
+
+
+def test_cents_fixed_point_matches_decimal_path(spark):
+    """Property: for any 2-dp money values, the fixed-point long path
+    (cents) and the exact-decimal path produce the IDENTICAL double —
+    the claim that lets Q1/Q5 run primitive sums against a decimal
+    oracle."""
+    from hypothesis import given, settings, strategies as st
+
+    from f1_data_engineering_spark.operators.relational import _cents, _dec2
+    from pyspark.sql import functions as F
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                # price: 2-dp in [0, 120k); discount/tax pct: 2-dp in [0, 1)
+                st.integers(min_value=0, max_value=12_000_000),
+                st.integers(min_value=0, max_value=99),
+                st.integers(min_value=0, max_value=99),
+            ),
+            min_size=1,
+            max_size=50,
+        )
+    )
+    def check(rows):
+        data = [
+            (cents / 100.0, d / 100.0, t / 100.0) for cents, d, t in rows
+        ]
+        df = spark.createDataFrame(data, "price double, disc double, tax double")
+        out = df.agg(
+            (
+                F.sum(
+                    _cents("price")
+                    * _cents(1 - F.col("disc"))
+                    * _cents(1 + F.col("tax"))
+                ).cast("double")
+                / 1_000_000
+            ).alias("fixed"),
+            F.sum(
+                _dec2("price") * _dec2(1 - F.col("disc")) * _dec2(1 + F.col("tax"))
+            )
+            .cast("double")
+            .alias("dec"),
+        ).first()
+        assert out["fixed"] == out["dec"], (out["fixed"], out["dec"])
+
+    check()
