@@ -440,16 +440,32 @@ def simhash_64(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (their sums are NULL → every vote fails → simhash 0, matching the
     # oracle's list_sum(NULL) semantics).
     ex = d.select("doc_id", F.explode_outer(toksh).alias("h"))
-    aggs = [
-        F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"c{b}")
-        for b in range(SIMHASH_BITS)
-    ]
+    # Packed counters: 3 per-bit vote counts share one long (21 bits
+    # each — safe while distinct tokens/doc < 2^21), cutting the 60
+    # aggregate columns to 20.  Measured 0.85s → 0.59s at sf0.1,
+    # bit-identical.  Empty docs: NULL h → NULL packed sums → every
+    # vote comparison fails → simhash 0 (same as the unpacked form).
+    aggs = []
+    for g0 in range(0, SIMHASH_BITS, 3):
+        expr = F.shiftright("h", g0).bitwiseAND(F.lit(1))
+        if g0 + 1 < SIMHASH_BITS:
+            expr = expr + F.shiftleft(
+                F.shiftright("h", g0 + 1).bitwiseAND(F.lit(1)), 21
+            )
+        if g0 + 2 < SIMHASH_BITS:
+            expr = expr + F.shiftleft(
+                F.shiftright("h", g0 + 2).bitwiseAND(F.lit(1)), 42
+            )
+        aggs.append(F.sum(expr).alias(f"p{g0}"))
     g = ex.groupBy("doc_id").agg(*aggs, F.count("h").alias("n"))
     sim = F.lit(0)
     for b in range(SIMHASH_BITS):
-        sim = sim + F.when(
-            F.col(f"c{b}") * 2 - F.col("n") > 0, F.lit(1 << b)
-        ).otherwise(F.lit(0))
+        cnt = F.shiftright(F.col(f"p{b - b % 3}"), 21 * (b % 3)).bitwiseAND(
+            F.lit((1 << 21) - 1)
+        )
+        sim = sim + F.when(cnt * 2 - F.col("n") > 0, F.lit(1 << b)).otherwise(
+            F.lit(0)
+        )
     # No final orderBy — the sort's sampling pass would re-run the
     # post-shuffle vote aggregation for no semantic gain.
     return g.select(
