@@ -25,6 +25,7 @@ from f1_data_engineering_spark.operators import multimodal as MM
 from f1_data_engineering_spark.operators import pandas_ops as PD
 from f1_data_engineering_spark.operators import profiling as PF
 from f1_data_engineering_spark.operators import tpch_shapes as TS
+from f1_data_engineering_spark.operators import tpch_shapes2 as T2
 from f1_data_engineering_spark.operators import trainprep as TP
 
 
@@ -53,6 +54,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_supplier_variety": TS.q16_supplier_variety,
         "q19_disjunctive_revenue": TS.q19_disjunctive_revenue,
         "q22_idle_customers": TS.q22_idle_customers,
+        "q2_min_cost_supplier": T2.q2_min_cost_supplier,
+        "q7_nation_trade_flows": T2.q7_nation_trade_flows,
+        "q8_market_share": T2.q8_market_share,
+        "q9_product_profit": T2.q9_product_profit,
+        "q10_returned_items": T2.q10_returned_items,
+        "q11_important_parts": T2.q11_important_parts,
+        "q15_top_supplier": T2.q15_top_supplier,
+        "q20_heavy_shippers": T2.q20_heavy_shippers,
+        "q21_waiting_suppliers": T2.q21_waiting_suppliers,
         # §2.2 projection / filter
         "filter_project": R.filter_project,
         # §2.3 joins
@@ -145,6 +155,15 @@ def oracle_sql() -> dict[str, str]:
         "q16_supplier_variety": TS.ORACLE_Q16,
         "q19_disjunctive_revenue": TS.ORACLE_Q19,
         "q22_idle_customers": TS.ORACLE_Q22,
+        "q2_min_cost_supplier": T2.ORACLE_Q2,
+        "q7_nation_trade_flows": T2.ORACLE_Q7,
+        "q8_market_share": T2.ORACLE_Q8,
+        "q9_product_profit": T2.ORACLE_Q9,
+        "q10_returned_items": T2.ORACLE_Q10,
+        "q11_important_parts": T2.ORACLE_Q11,
+        "q15_top_supplier": T2.ORACLE_Q15,
+        "q20_heavy_shippers": T2.ORACLE_Q20,
+        "q21_waiting_suppliers": T2.ORACLE_Q21,
         "filter_project": R.ORACLE_FILTER_PROJECT,
         "join_customer_nation_region": R.ORACLE_JOIN_CNR,
         "revenue_by_nation": R.ORACLE_REVENUE_NATION,
