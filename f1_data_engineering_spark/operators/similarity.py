@@ -193,11 +193,26 @@ def embedding_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(sim, 6).alias("sim"),
         )
     )
-    w = W.partitionBy("query_id").orderBy(F.col("sim_key").desc(), "neighbor_id")
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("query_id", "neighbor_id", "neighbor_label", "sim")
+    # argmax as a hash aggregate, not a row_number window: max(struct)
+    # gets map-side partial aggregation, so the shuffle carries one row
+    # per (query, partition) instead of every scored pair — the window
+    # version shuffles AND sorts the full N×Q product.  Tie-break
+    # (highest sim_key, then lowest neighbor_id) is encoded as
+    # struct(sim_key, -neighbor_id) lexicographic max.
+    best = F.max(
+        F.struct(
+            F.col("sim_key"),
+            (-F.col("neighbor_id")).alias("neg_id"),
+            F.col("neighbor_id"),
+            F.col("neighbor_label"),
+            F.col("sim"),
+        )
+    ).alias("best")
+    return pairs.groupBy("query_id").agg(best).select(
+        "query_id",
+        F.col("best.neighbor_id").alias("neighbor_id"),
+        F.col("best.neighbor_label").alias("neighbor_label"),
+        F.col("best.sim").alias("sim"),
     )
 
 
