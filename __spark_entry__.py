@@ -27,6 +27,8 @@ from f1_data_engineering_spark.operators import profiling as PF
 from f1_data_engineering_spark.operators import tpch_shapes as TS
 from f1_data_engineering_spark.operators import tpch_shapes2 as T2
 from f1_data_engineering_spark.operators import trainprep as TP
+from f1_data_engineering_spark.operators import decontam as DC
+from f1_data_engineering_spark.operators import merge as MG
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -129,6 +131,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "build_vocab": TP.build_vocab,
         "pack_sequences": TP.pack_sequences,
         "dataset_splits": TP.dataset_splits,
+        # benchmark decontamination (beyond-reference)
+        "decontaminate_ngrams": DC.decontaminate_ngrams,
+        "contamination_summary": DC.contamination_summary,
+        # incremental MERGE / SCD2 dimension maintenance
+        "scd2_customer_merge": MG.scd2_customer_merge,
         # profiling / sampling / sketches
         "profile_orders": PF.profile_orders,
         "stratified_sample_orders": PF.stratified_sample_orders,
@@ -216,6 +223,9 @@ def oracle_sql() -> dict[str, str]:
         "build_vocab": TP.ORACLE_VOCAB,
         "pack_sequences": TP.ORACLE_PACK,
         "dataset_splits": TP.ORACLE_SPLITS,
+        "decontaminate_ngrams": DC.ORACLE_DECONTAM,
+        "contamination_summary": DC.ORACLE_CONTAM_SUMMARY,
+        "scd2_customer_merge": MG.ORACLE_SCD2,
         "profile_orders": PF.ORACLE_PROFILE_ORDERS,
         "stratified_sample_orders": PF.ORACLE_STRATIFIED_SAMPLE,
     }
