@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import shingles
-from ..sources.registry import load_table
+from ..sources.registry import load_table, spread
 
 #: Contamination gram width.  5 word-grams is the common published
 #: choice (e.g. GPT-3 appendix used 13-gram / 8-gram variants; small
@@ -52,7 +52,9 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast hash join against the exploded train grams (stream side
     never shuffles); hit counts via partial-aggregated groupBy(doc_id).
     """
-    d = load_table(spark, sf_dir, "documents")
+    # spread: the 5-gram build is tokenize + string-concat per gram —
+    # compute-bound, so parallelism must not follow input byte layout
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
     eval_grams = (
         d.filter(F.col("doc_id") % 50 == 0)
         .select(F.explode(F.array_distinct(shingles("text", NGRAM_N))).alias("gram"))

@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import shingles, tokens
-from ..sources.registry import load_table
+from ..sources.registry import load_table, spread
 
 #: DuckDB token/shingle twins (keep in lock-step with functions/text.py).
 _SQL_TOKS = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
@@ -214,7 +214,10 @@ def _shingle_hash_df(df: DataFrame) -> DataFrame:
     materializes shingle strings.  Docs with < 3 tokens hash the whole
     normalized text (still participate in dedup).
     """
-    d0 = df.select("doc_id", tokens("text").alias("toks"))
+    # Spread BEFORE hashing: the md5-per-token stage is compute-bound,
+    # and scan parallelism follows input bytes, not compute cost (a
+    # single-row-group file would pin the whole hash pass to one core).
+    d0 = spread(df, "doc_id").select("doc_id", tokens("text").alias("toks"))
     d1 = d0.select(
         "doc_id",
         "toks",
@@ -429,7 +432,7 @@ def simhash_64(spark: SparkSession, sf_dir: str) -> DataFrame:
     One pass over the token array per bit — O(bits × tokens) of pure
     codegen'd expression work in the scan stage, no shuffle at all.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
     toksh = F.transform(
         F.array_distinct(tokens("text")), lambda t: _md5_int("sh#", t)
     )

@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_similarity, dot, l2_norm
-from ..sources.registry import load_table
+from ..sources.registry import load_table, spread
 
 N_PLANES = 8
 DIM = 64
@@ -74,7 +74,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical) — per-pair the only array fold left is the dot
     product: 1 interpreted HOF fold instead of 3.
     """
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = spread(load_table(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id", "embedding", l2_norm("embedding").alias("enorm")
     )
     q = e.filter(F.col("vec_id") < 5).select(
@@ -170,7 +170,7 @@ def embedding_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
     orderBy (range-partitioner sampling would re-run the scoring
     stage — order is the consumer's concern).
     """
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = spread(load_table(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id", "label", "embedding", l2_norm("embedding").alias("enorm")
     )
     q = e.filter(F.col("vec_id") % 100 == 0).select(
@@ -285,7 +285,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one shuffle on the bucket; pair scoring is confined
     to bucket-local candidates (cost tracks duplicate density, not n²).
     """
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = spread(load_table(spark, sf_dir, "embeddings"), "vec_id").select("vec_id", "embedding")
     planted = e.filter(F.col("vec_id") < 5).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )
@@ -410,7 +410,9 @@ def ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    scored = e.select("vec_id", "embedding").mapInPandas(
+    # spread: one Arrow batch per core for the matrix product (a
+    # single-row-group input would otherwise serialize the scoring)
+    scored = spread(e.select("vec_id", "embedding"), "vec_id").mapInPandas(
         score, "query_id long, neighbor_id long, sim double, sim_key double"
     )
     w = W.partitionBy("query_id").orderBy(F.col("sim_key").desc(), "neighbor_id")
@@ -458,6 +460,8 @@ def lsh_multiprobe_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_plans.py asserts the radius-2 floor; exact results per
     engine are pinned by the DuckDB oracle.
     """
+    # NO spread: bucket fan-out + candidate join dominate; a pre-exchange
+    # measured 0.97s -> 1.10s at sf0.1
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "embedding",

@@ -21,7 +21,7 @@ from ..functions.text import (
     token_count,
     tokens,
 )
-from ..sources.registry import load_table
+from ..sources.registry import load_table, spread
 
 #: DuckDB expression for the engine's whitespace tokens (lower/trim/split).
 _SQL_TOKENS = (
@@ -57,7 +57,7 @@ FROM documents ORDER BY doc_id
 def language_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-vote language ID vs the table's labeled ``lang`` —
     confusion-matrix counts.  (zh has no stopword list → 'und'.)"""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     return (
         d.select(language_id("text").alias("lang_pred"), "lang")
         .groupBy("lang_pred", "lang")
@@ -102,7 +102,7 @@ FROM s GROUP BY lang_pred, lang ORDER BY lang_pred, lang
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality score in [0,1] per document (length / alpha
     ratio / punctuation burst / stopword ratio / word length blend)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     return d.select("doc_id", quality_score("text").alias("quality")).orderBy("doc_id")
 
 
@@ -208,7 +208,7 @@ def corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny aggregate — the whole gate is 2 shuffles regardless of corpus
     size.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     scored = d.select(
         "doc_id",
         "source",
@@ -308,7 +308,7 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode → per-(doc, shingle) count → per-doc max/sum: two partial-
     aggregated shuffles keyed by doc_id; no document bodies move.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     from ..functions.text import shingles
 
     ex = d.select(
@@ -356,7 +356,7 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scan-side regexp_replace; the rollup shuffles one row per source.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     injected = F.when(
         F.col("doc_id") % 10 == 0,
         F.concat(
@@ -432,6 +432,9 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``tfidf`` value itself (tf · ln(N/df), rounded to 6 dp) is the one
     float output.
     """
+    # NO spread here: tokenize-explode is cheap relative to the two
+    # groupBy shuffles that follow — an extra full-row exchange
+    # measured 0.66s → 1.15s at sf0.1
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))

@@ -32,7 +32,7 @@ from ..functions.timefmt import (
     wallclock_hhmmss,
     wallclock_hhmmssms,
 )
-from ..sources.registry import load_table
+from ..sources.registry import load_table, spread
 
 SESSION_GAP_US = 3_600_000_000  # 1 hour
 
@@ -49,7 +49,11 @@ def time_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     time (measured 2.0s → 0.9s at sf0.1 when dropped).  Order is the
     consumer's concern; the differential check is order-insensitive.
     """
-    ev = load_table(spark, sf_dir, "events")
+    # spread: the format+regex-parse stage is compute-bound (several
+    # regex evaluations per row); don't let one row group serialize it
+    ev = spread(
+        load_table(spark, sf_dir, "events").select("event_id", "value"), "event_id"
+    )
     mmssms = fmt_mmssms("value", rounding="trunc")
     hhmmssms = fmt_hhmmssms("value", rounding="trunc")
     return ev.select(

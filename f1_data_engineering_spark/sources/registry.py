@@ -20,7 +20,7 @@ from pyspark.sql import types as T
 
 from ..schemas import TEST_TABLES, TEST_TABLE_NAMES
 
-__all__ = ["load_table", "load_tables", "register_views", "default_sf_dir"]
+__all__ = ["load_table", "load_tables", "register_views", "default_sf_dir", "spread"]
 
 #: Columns stored as parquet TIMESTAMP(NANOS) — Spark has no nanosecond
 #: timestamp type, so these are read as raw INT64 nanos (requires
@@ -60,6 +60,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
+
+
+def spread(df: DataFrame, key: str) -> DataFrame:
+    """Hash-repartition ``df`` on ``key`` to the session's default
+    parallelism, decoupling COMPUTE parallelism from input BYTE layout.
+
+    Spark sizes scan partitions by ``spark.sql.files.maxPartitionBytes``
+    — the right unit for I/O-bound scans, the wrong one for stages
+    whose per-byte cost is enormous (an md5 per token, a regex parse
+    per row).  A small single-row-group parquet file otherwise pins
+    the whole hash/regex stage to ONE core.  The shuffle this inserts
+    moves only the narrow projection the caller prepared, and the
+    operators that use it all shuffle (or are order-insensitive)
+    downstream anyway.
+
+    At 100 TB the scan naturally yields thousands of partitions and
+    this becomes a near-no-op rebalance; the guard against tiny inputs
+    is deliberate — partition count is capped by the data only when
+    the data is smaller than the core count.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, F.col(key))
 
 
 def load_tables(
