@@ -61,6 +61,10 @@ BENCH_QUERIES = (
     "dataset_splits",
     "q3_shipping_priority",
     "q16_supplier_variety",
+    "decontaminate_ngrams",
+    "scd2_customer_merge",
+    "zorder_tile_stats",
+    "compaction_plan",
 )
 
 

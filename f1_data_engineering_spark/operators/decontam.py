@@ -9,6 +9,12 @@ and stream the corpus past it.  No shuffle touches document bodies;
 the only exchange is the per-doc hit-count aggregate (map-side
 combined, one row per doc).
 
+Grams are 60-bit INTEGER rolling hashes of per-token md5s, never
+strings: one md5 per token, then 4 affine combines per 5-gram — no
+5-token string concat, and the broadcast set / join keys are 8-byte
+longs.  The DuckDB oracle computes the identical hash, so results are
+bit-identical even in the (negligible) collision case.
+
 Eval membership here is synthesized deterministically (doc_id % 50 = 0)
 since the test corpus ships no split column; in production the eval
 grams come from the benchmark files themselves.
@@ -16,11 +22,12 @@ grams come from the benchmark files themselves.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import shingles
 from ..sources.registry import load_table, spread
+from .dedup import MINHASH_P, SHINGLE_C, _md5_int, _sql_md5_int, _SQL_TOKS
+from ..functions.text import tokens
 
 #: Contamination gram width.  5 word-grams is the common published
 #: choice (e.g. GPT-3 appendix used 13-gram / 8-gram variants; small
@@ -31,15 +38,54 @@ NGRAM_N = 5
 #: n-grams appears in the eval set.
 CONTAM_THRESHOLD = 0.30
 
-# DuckDB twins of functions/text.tokens + shingles(n=5) — keep in
-# lock-step (same normalization: lower, trim, split on whitespace).
-_SQL_TOKS = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
-_SQL_GRAMS5 = (
-    "CASE WHEN len(toks) >= 5 THEN "
-    "list_transform(range(len(toks)-4), i -> "
-    "toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5]) "
-    "ELSE [array_to_string(toks, ' ')] END"
+
+def _gram5_hashes() -> Column:
+    """th (token-hash array) + k (its size) → distinct 5-gram rolling
+    hashes; docs with < 5 tokens fall back to the whole-text hash so
+    they still participate.  4 zip_with passes over offset slices —
+    each side evaluated once per row (see operators/dedup.py on why
+    per-element lambda references would be O(n²))."""
+    g = F.expr("slice(th, 1, k-4)")
+    for off in range(2, NGRAM_N + 1):
+        g = F.zip_with(
+            g,
+            F.expr(f"slice(th, {off}, k-4)"),
+            lambda a, b: (a * SHINGLE_C + b) % MINHASH_P,
+        )
+    whole = F.array(_md5_int("ng#", F.concat_ws(" ", F.col("toks"))) % MINHASH_P)
+    return F.array_distinct(F.when(F.col("k") >= NGRAM_N, g).otherwise(whole))
+
+
+def _gram_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
+    d = d.select("doc_id", tokens("text").alias("toks"))
+    d = d.select(
+        "doc_id",
+        "toks",
+        F.transform("toks", lambda t: _md5_int("ng#", t) % MINHASH_P).alias("th"),
+    )
+    d = d.select("doc_id", "toks", "th", F.size("th").alias("k"))
+    return d.select("doc_id", _gram5_hashes().alias("grams"))
+
+
+# DuckDB twin: same md5 per token, same rolling combine, same fallback.
+_SQL_TH = (
+    "list_transform(toks, x -> " + _sql_md5_int("'ng#'", "x") + f" % {MINHASH_P})"
 )
+
+
+def _sql_gram5() -> str:
+    expr = "th[i+1]"
+    for off in range(2, NGRAM_N + 1):
+        expr = f"(({expr}) * {SHINGLE_C} + th[i+{off}]) % {MINHASH_P}"
+    whole = _sql_md5_int("'ng#'", "array_to_string(toks, ' ')") + f" % {MINHASH_P}"
+    return (
+        f"CASE WHEN len(th) >= {NGRAM_N} THEN "
+        f"list_distinct(list_transform(range(len(th)-{NGRAM_N - 1}), i -> {expr})) "
+        f"ELSE [{whole}] END"
+    )
 
 
 def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -48,21 +94,20 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     contamination verdict.  Only docs with at least one hit are
     returned (the clean tail is the overwhelming majority at scale).
 
-    Plan shape: eval grams → array_distinct → explode → distinct →
-    broadcast hash join against the exploded train grams (stream side
-    never shuffles); hit counts via partial-aggregated groupBy(doc_id).
+    Plan shape: eval grams → explode → distinct → broadcast hash join
+    against the exploded train grams (stream side never shuffles);
+    hit counts via partial-aggregated groupBy(doc_id).
     """
-    # spread: the 5-gram build is tokenize + string-concat per gram —
-    # compute-bound, so parallelism must not follow input byte layout
-    d = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
+    # cache: the gram frame feeds BOTH the eval-set build and the train
+    # scan — without it the md5+combine pipeline runs twice.  Grams are
+    # longs (~8 bytes × grams/doc), tiny relative to input text.
+    g = _gram_df(spark, sf_dir).cache()
     eval_grams = (
-        d.filter(F.col("doc_id") % 50 == 0)
-        .select(F.explode(F.array_distinct(shingles("text", NGRAM_N))).alias("gram"))
+        g.filter(F.col("doc_id") % 50 == 0)
+        .select(F.explode("grams").alias("gram"))
         .distinct()
     )
-    train = d.filter(F.col("doc_id") % 50 != 0).select(
-        "doc_id", F.array_distinct(shingles("text", NGRAM_N)).alias("grams")
-    )
+    train = g.filter(F.col("doc_id") % 50 != 0)
     exploded = train.select(
         "doc_id",
         F.size("grams").cast("bigint").alias("n_grams"),
@@ -83,9 +128,11 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_DECONTAM = f"""
-WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
-g AS (SELECT doc_id, list_distinct({_SQL_GRAMS5}) AS grams FROM t),
+def _sql_gram_cte() -> str:
+    return f"""
+t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+tht AS (SELECT doc_id, toks, {_SQL_TH} AS th FROM t),
+g AS (SELECT doc_id, {_sql_gram5()} AS grams FROM tht),
 eval_grams AS (
   SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 50 = 0
 ),
@@ -97,8 +144,13 @@ hits AS (
   SELECT doc_id, n_grams, COUNT(*) AS n_hit
   FROM train JOIN eval_grams USING (gram)
   GROUP BY doc_id, n_grams
-)
-SELECT doc_id, n_grams, n_hit,
+)"""
+
+
+ORACLE_DECONTAM = f"""
+WITH {_sql_gram_cte()}
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+  CAST(n_hit AS BIGINT) AS n_hit,
   ROUND(n_hit / CAST(n_grams AS DOUBLE), 6) AS overlap_ratio,
   (n_hit / CAST(n_grams AS DOUBLE)) >= {CONTAM_THRESHOLD} AS contaminated
 FROM hits
@@ -130,20 +182,7 @@ def contamination_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_CONTAM_SUMMARY = f"""
-WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
-g AS (SELECT doc_id, list_distinct({_SQL_GRAMS5}) AS grams FROM t),
-eval_grams AS (
-  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 50 = 0
-),
-train AS (
-  SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram
-  FROM g WHERE doc_id % 50 <> 0
-),
-hits AS (
-  SELECT doc_id, n_grams, COUNT(*) AS n_hit
-  FROM train JOIN eval_grams USING (gram)
-  GROUP BY doc_id, n_grams
-),
+WITH {_sql_gram_cte()},
 per_doc AS (
   SELECT doc_id, n_hit, n_hit / CAST(n_grams AS DOUBLE) AS ratio
   FROM hits
