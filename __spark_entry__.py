@@ -30,6 +30,8 @@ from f1_data_engineering_spark.operators import trainprep as TP
 from f1_data_engineering_spark.operators import decontam as DC
 from f1_data_engineering_spark.operators import merge as MG
 from f1_data_engineering_spark.operators import layout as LY
+from f1_data_engineering_spark.operators import integrity as IG
+from f1_data_engineering_spark.operators import udtf_ops as UT
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -128,6 +130,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blob_metadata": MM.blob_metadata,
         # Arrow-batched grouped-map UDF surface
         "zscore_by_user": PD.zscore_by_user,
+        # grouped-AGG pandas UDF (UDAF leg) + Python UDTF leg
+        "user_value_median_iqr": PD.user_value_median_iqr,
+        "sentence_split": UT.sentence_split,
+        # referential-integrity audit
+        "fk_orphan_audit": IG.fk_orphan_audit,
         # training-data prep
         "build_vocab": TP.build_vocab,
         "pack_sequences": TP.pack_sequences,
@@ -223,6 +230,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup_pairs": SIM.ORACLE_NEAR_DUP,
         "lsh_multiprobe_ann": SIM.ORACLE_MULTIPROBE_ANN,
         "zscore_by_user": PD.ORACLE_ZSCORE,
+        "user_value_median_iqr": PD.ORACLE_MEDIAN_IQR,
+        "sentence_split": UT.ORACLE_SENTENCES,
+        "fk_orphan_audit": IG.ORACLE_FK_AUDIT,
         "blob_metadata": MM.ORACLE_BLOB_METADATA,
         "build_vocab": TP.ORACLE_VOCAB,
         "pack_sequences": TP.ORACLE_PACK,

@@ -89,3 +89,77 @@ SELECT event_id, user_id,
        ELSE ROUND((value - mu) / sd, 6) END AS zscore
 FROM s ORDER BY user_id, event_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Grouped-AGG pandas UDF (the scalar-aggregate leg of the UDF matrix)
+# ---------------------------------------------------------------------------
+
+#: Series -> scalar pandas UDFs: the UDAF surface.  Each evaluates over
+#: one group's column as a single Arrow batch (with partial batches for
+#: very large groups), so the Python cost is per-GROUP, not per-row.
+_AGG_UDFS = None
+
+
+def _agg_udfs():
+    """Build the grouped-agg pandas UDFs lazily (registration needs an
+    active session on some backends; module import must stay cheap).
+
+    The count is ALSO a pandas UDF: Spark rejects mixing group-agg
+    pandas UDFs with JVM aggregates in one ``agg``
+    (INVALID_PANDAS_UDF_PLACEMENT) — a real constraint of the surface,
+    so the query works within it.
+    """
+    global _AGG_UDFS
+    if _AGG_UDFS is None:
+        @F.pandas_udf("double")
+        def _median(v: pd.Series) -> float:
+            return float(v.quantile(0.5, interpolation="linear"))
+
+        @F.pandas_udf("double")
+        def _iqr(v: pd.Series) -> float:
+            return float(
+                v.quantile(0.75, interpolation="linear")
+                - v.quantile(0.25, interpolation="linear")
+            )
+
+        @F.pandas_udf("long")
+        def _n(v: pd.Series) -> int:
+            return int(len(v))
+
+        _AGG_UDFS = (_median, _iqr, _n)
+    return _AGG_UDFS
+
+
+def user_value_median_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user median and IQR of event value via GROUPED_AGG pandas
+    UDFs — the UDAF path: Spark shuffles on user_id, each group's
+    value column crosses to Python as Arrow batches, pandas computes
+    the quantiles, one scalar returns per group.
+
+    pandas' linear interpolation is the same formula as ANSI
+    PERCENTILE_CONT / DuckDB quantile_cont, so the oracle is exact
+    (outputs rounded to 6 dp to absorb ulp-level noise).  Production
+    note: Spark's built-in ``percentile`` covers this exact case
+    JVM-side; the query exists to pin the grouped-agg machinery on
+    semantics a SQL oracle can replicate.
+    """
+    med, iqr, n = _agg_udfs()
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.round(med(F.col("value")), 6).alias("med_value"),
+            F.round(iqr(F.col("value")), 6).alias("iqr_value"),
+            n(F.col("value")).alias("n_events"),
+        )
+    )
+
+
+ORACLE_MEDIAN_IQR = """
+SELECT user_id,
+  ROUND(quantile_cont(value, 0.5), 6) AS med_value,
+  ROUND(quantile_cont(value, 0.75) - quantile_cont(value, 0.25), 6) AS iqr_value,
+  CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id ORDER BY user_id
+"""

@@ -1,0 +1,91 @@
+"""UDF-matrix legs added in round 2: Python UDTF (sentence split),
+grouped-agg pandas UDF (median/IQR), and the FK integrity audit."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from f1_data_engineering_spark.operators import integrity as IG
+from f1_data_engineering_spark.operators import pandas_ops as PD
+from f1_data_engineering_spark.operators import udtf_ops as UT
+from f1_data_engineering_spark.sources.registry import load_table
+
+
+def test_udtf_matches_explode_equivalent(spark, sf_dir):
+    """The UDTF must agree row-for-row with the JVM-side explode
+    formulation (the production path for this particular transform)."""
+    got = {
+        (r["doc_id"], r["sentence_idx"]): (r["sentence"], r["n_tokens"])
+        for r in UT.sentence_split(spark, sf_dir).collect()
+    }
+    d = load_table(spark, sf_dir, "documents")
+    parts = F.split("text", UT._BOUNDARY)
+    trimmed = F.filter(
+        F.transform(parts, lambda x: F.btrim(x, F.lit(UT._WS))),
+        lambda x: x != "",
+    )
+    exp = d.select("doc_id", F.posexplode(trimmed).alias("sentence_idx", "sentence"))
+    want = {
+        (r["doc_id"], r["sentence_idx"]): r["sentence"] for r in exp.collect()
+    }
+    assert set(got) == set(want)
+    for k, (sent, ntok) in got.items():
+        assert want[k] == sent
+        assert ntok == len(sent.split())
+
+
+def test_grouped_agg_udaf_matches_builtin_percentile(spark, sf_dir):
+    ours = {
+        r["user_id"]: (r["med_value"], r["iqr_value"], r["n_events"])
+        for r in PD.user_value_median_iqr(spark, sf_dir).collect()
+    }
+    builtin = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 6).alias("med"),
+            F.round(
+                F.percentile("value", F.lit(0.75)) - F.percentile("value", F.lit(0.25)),
+                6,
+            ).alias("iqr"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    assert len(builtin) == len(ours)
+    for r in builtin:
+        med, iqr, n = ours[r["user_id"]]
+        assert abs(med - r["med"]) <= 1e-6
+        assert abs(iqr - r["iqr"]) <= 1e-6
+        assert n == r["n"]
+
+
+def test_fk_audit_clean_on_tpch_data(spark, sf_dir):
+    rows = {r["fk_edge"]: r for r in IG.fk_orphan_audit(spark, sf_dir).collect()}
+    assert len(rows) == len(IG.FK_EDGES)
+    li = load_table(spark, sf_dir, "lineitem").count()
+    assert rows["lineitem.l_orderkey->orders"]["n_child"] == li
+    for r in rows.values():
+        # driver-generated TPC-H data is referentially clean
+        assert r["n_orphans"] == 0 and r["n_null_keys"] == 0
+
+
+def test_fk_audit_detects_planted_orphans(spark, tmp_path, sf_dir):
+    """Plant orphans in a copied slice and audit THAT directory."""
+    import shutil, os
+
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        shutil.copy(os.path.join(sf_dir, f"{t}.parquet"), tmp_path / f"{t}.parquet")
+    # rewrite nation with 2 bogus region keys
+    n = load_table(spark, str(tmp_path), "nation")
+    doctored = n.withColumn(
+        "n_regionkey",
+        F.when(F.col("n_nationkey") < 2, F.lit(999)).otherwise(F.col("n_regionkey")),
+    )
+    pdf = doctored.toPandas()
+    import pyarrow as pa, pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(pdf), tmp_path / "nation.parquet")
+    rows = {r["fk_edge"]: r for r in IG.fk_orphan_audit(spark, str(tmp_path)).collect()}
+    assert rows["nation.n_regionkey->region"]["n_orphans"] == 2
