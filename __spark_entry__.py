@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": TX.repetition_stats,
         "pii_scrub_stats": TX.pii_scrub_stats,
         "tfidf_top_terms": TX.tfidf_top_terms,
+        "stop_shingle_stats": TX.stop_shingle_stats,
         "value_quartiles": TO.value_quartiles,
         # deduplication (beyond-reference)
         "dedup_exact": DD.dedup_exact,
@@ -139,6 +140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "build_vocab": TP.build_vocab,
         "pack_sequences": TP.pack_sequences,
         "dataset_splits": TP.dataset_splits,
+        "chunk_documents": TP.chunk_documents,
         # data-layout optimization (z-order clustering, compaction)
         "zorder_tile_stats": LY.zorder_tile_stats,
         "compaction_plan": LY.compaction_plan,
@@ -216,6 +218,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": TX.ORACLE_REPETITION,
         "pii_scrub_stats": TX.ORACLE_PII_SCRUB,
         "tfidf_top_terms": TX.ORACLE_TFIDF,
+        "stop_shingle_stats": TX.ORACLE_STOP_SHINGLES,
         "value_quartiles": TO.ORACLE_QUARTILES,
         "dedup_exact": DD.ORACLE_DEDUP_EXACT,
         "ngram_jaccard_pairs": DD.ORACLE_JACCARD_PAIRS,
@@ -237,6 +240,7 @@ def oracle_sql() -> dict[str, str]:
         "build_vocab": TP.ORACLE_VOCAB,
         "pack_sequences": TP.ORACLE_PACK,
         "dataset_splits": TP.ORACLE_SPLITS,
+        "chunk_documents": TP.ORACLE_CHUNKS,
         "zorder_tile_stats": LY.ORACLE_ZORDER_TILES,
         "compaction_plan": LY.ORACLE_COMPACTION,
         "decontaminate_ngrams": DC.ORACLE_DECONTAM,

@@ -490,3 +490,90 @@ scored AS (
 SELECT doc_id, term, tf, df, tfidf, rank
 FROM scored WHERE rank <= 3
 """
+
+
+# ---------------------------------------------------------------------------
+# Stop-shingle (boilerplate) detection
+# ---------------------------------------------------------------------------
+
+#: A 3-gram shingle is "boilerplate" when it appears in more than this
+#: fraction of documents.  This is the stop-shingle cap the dedup
+#: module's scale notes reference: shingles this common generate
+#: O(df²) candidate pairs in the inverted-index join while carrying no
+#: near-dup signal, so the dedup path drops them; this query is the
+#: analysis that picks the threshold.
+STOP_SHINGLE_DOC_FRAC = 0.05
+
+
+def stop_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate profile: distinct shingles, how many
+    are corpus-wide stop-shingles (doc-frequency > 5% of docs), and
+    the boilerplate fraction.
+
+    Plan: one pass builds per-doc distinct shingles (cached — feeds
+    the doc-frequency aggregate AND the per-doc join); the stop set is
+    the high-df tail of the frequency aggregate, joined back broadcast
+    (small by construction — only shingles above the df cap).  Shuffle
+    carries (shingle, partial-count) pairs, never text bodies.
+    """
+    from ..functions.text import shingles
+
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    per_doc = d.select(
+        "doc_id", F.array_distinct(shingles("text")).alias("sh")
+    ).cache()
+    n_docs = per_doc.count()  # tiny action; reuses the cache it warms
+    exploded = per_doc.select("doc_id", F.size("sh").alias("n_sh"),
+                              F.explode("sh").alias("s"))
+    stop = (
+        exploded.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > n_docs * STOP_SHINGLE_DOC_FRAC)
+        .select("s")
+    )
+    hits = (
+        exploded.join(F.broadcast(stop), "s")
+        .groupBy("doc_id", "n_sh")
+        .agg(F.count(F.lit(1)).alias("n_stop"))
+    )
+    return (
+        per_doc.select("doc_id", F.size("sh").alias("n_shingles"))
+        .join(hits.select("doc_id", "n_stop"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.coalesce("n_stop", F.lit(0)).cast("long").alias("n_stop"),
+            F.round(
+                F.coalesce("n_stop", F.lit(0))
+                / F.greatest(F.col("n_shingles"), F.lit(1)),
+                6,
+            ).alias("stop_fraction"),
+        )
+    )
+
+
+_SQL_SHINGLES3 = (
+    "CASE WHEN len(toks) >= 3 THEN "
+    "list_transform(range(len(toks)-2), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) "
+    "ELSE [array_to_string(toks, ' ')] END"
+)
+
+ORACLE_STOP_SHINGLES = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
+g AS (SELECT doc_id, list_distinct({_SQL_SHINGLES3}) AS sh FROM t),
+e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM g),
+stop AS (
+  SELECT s FROM e GROUP BY s
+  HAVING COUNT(*) > (SELECT COUNT(*) FROM documents) * {STOP_SHINGLE_DOC_FRAC}
+),
+hits AS (
+  SELECT doc_id, n_sh, COUNT(*) AS n_stop
+  FROM e JOIN stop USING (s) GROUP BY doc_id, n_sh
+)
+SELECT g.doc_id,
+  CAST(len(g.sh) AS BIGINT) AS n_shingles,
+  CAST(COALESCE(h.n_stop, 0) AS BIGINT) AS n_stop,
+  ROUND(COALESCE(h.n_stop, 0) / GREATEST(CAST(len(g.sh) AS DOUBLE), 1.0), 6)
+    AS stop_fraction
+FROM g LEFT JOIN hits h USING (doc_id)
+"""

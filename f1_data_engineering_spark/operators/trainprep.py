@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.text import token_count, tokens
-from ..sources.registry import load_table
+from ..sources.registry import load_table, spread
 
 __all__ = ["build_vocab", "pack_sequences", "dataset_splits"]
 
@@ -190,4 +190,84 @@ SELECT source,
   COUNT(*) AS n_docs,
   CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
 FROM d GROUP BY 1, 2 ORDER BY source, split
+"""
+
+
+# ---------------------------------------------------------------------------
+# Overlapping-window chunking (embedding / context-window prep)
+# ---------------------------------------------------------------------------
+
+#: Window geometry: 32-token chunks, stride 24 (8-token overlap) — the
+#: RAG/embedding-prep shape.  Production values (512/384 etc.) are a
+#: config; these exercise multi-chunk docs on the synthetic corpus.
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into overlapping token windows: one output
+    row per (doc, chunk) with the chunk text and its token count.
+
+    Scale shape: pure scan-side row expansion — ``sequence`` builds the
+    chunk-start list from the token count, ``posexplode`` emits one row
+    per window, ``slice`` cuts the window from the in-row token array.
+    No shuffle at all; output rows ∝ corpus tokens / stride.
+
+    Chunk-count formula (shared with the oracle): a doc with n ≤ CHUNK
+    tokens is one chunk; else 1 + ceil((n - CHUNK) / STRIDE) chunks via
+    integer arithmetic, so the LAST window always reaches the tail
+    (and may be shorter than CHUNK).
+    """
+    d = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+    )
+    t = d.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id", "toks", F.size("toks").alias("n")
+    )
+    n_extra = F.when(
+        F.col("n") <= CHUNK_TOKENS, F.lit(0)
+    ).otherwise(
+        ((F.col("n") - CHUNK_TOKENS) + CHUNK_STRIDE - 1).cast("long")
+        / CHUNK_STRIDE
+    ).cast("long")
+    ex = t.select(
+        "doc_id",
+        "toks",
+        F.posexplode(F.sequence(F.lit(0), n_extra)).alias("chunk_idx", "_i"),
+    )
+    chunk = F.slice(
+        F.col("toks"), F.col("chunk_idx") * CHUNK_STRIDE + 1, CHUNK_TOKENS
+    )
+    return ex.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+ORACLE_CHUNKS = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks, len({_SQL_TOKENS}) AS n
+  FROM documents
+),
+k AS (
+  SELECT doc_id, toks,
+    CASE WHEN n <= {CHUNK_TOKENS} THEN 0
+         ELSE (n - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE}
+    END AS n_extra
+  FROM t
+),
+e AS (
+  SELECT doc_id, toks, unnest(range(n_extra + 1)) AS chunk_idx FROM k
+),
+c AS (
+  SELECT doc_id, chunk_idx,
+    toks[chunk_idx*{CHUNK_STRIDE}+1 : chunk_idx*{CHUNK_STRIDE}+{CHUNK_TOKENS}] AS chunk
+  FROM e
+)
+SELECT doc_id, chunk_idx,
+  CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+  array_to_string(chunk, ' ') AS chunk_text
+FROM c
 """

@@ -96,3 +96,14 @@ def test_vector_math(spark):
         [([0.0, 0.0], [1.0, 1.0])], schema="a array<double>, b array<double>"
     )
     assert z.select(cosine_similarity("a", "b").alias("c")).collect()[0]["c"] is None
+
+
+def test_stop_shingles_bounded_and_consistent(spark, sf_dir):
+    from f1_data_engineering_spark.operators.textops import stop_shingle_stats
+    from f1_data_engineering_spark.sources.registry import load_table
+
+    rows = stop_shingle_stats(spark, sf_dir).collect()
+    assert len(rows) == load_table(spark, sf_dir, "documents").count()
+    for r in rows:
+        assert 0 <= r["n_stop"] <= r["n_shingles"]
+        assert 0.0 <= r["stop_fraction"] <= 1.0

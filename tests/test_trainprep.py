@@ -52,3 +52,36 @@ def test_splits_cover_disjointly_and_roughly_80_10_10(spark, sf_dir):
     assert abs(per_split["train"] / n - 0.80) < 0.06
     assert abs(per_split.get("val", 0) / n - 0.10) < 0.06
     assert abs(per_split.get("test", 0) / n - 0.10) < 0.06
+
+
+def test_chunks_cover_tokens_with_overlap(spark, sf_dir):
+    from f1_data_engineering_spark.operators.trainprep import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        chunk_documents,
+    )
+
+    chunks = chunk_documents(spark, sf_dir).collect()
+    per_doc = {}
+    for r in chunks:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    docs = {
+        r["doc_id"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.split(F.lower(F.trim("text")), r"\s+")).alias("n"))
+        .collect()
+    }
+    for doc_id, rs in per_doc.items():
+        rs.sort(key=lambda r: r["chunk_idx"])
+        n = docs[doc_id]
+        # indices are dense from 0
+        assert [r["chunk_idx"] for r in rs] == list(range(len(rs)))
+        # every chunk except the last is full-size; the last reaches
+        # the tail: last start + its length == n (for multi-chunk docs)
+        for r in rs[:-1]:
+            assert r["n_chunk_tokens"] == CHUNK_TOKENS
+        last = rs[-1]
+        if len(rs) > 1:
+            assert last["chunk_idx"] * CHUNK_STRIDE + last["n_chunk_tokens"] == n
+        else:
+            assert last["n_chunk_tokens"] == min(n, CHUNK_TOKENS)
