@@ -96,26 +96,29 @@ def main() -> None:
     # cache is cleared between iterations so queries that cache
     # intermediates internally still measure their full compute.
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         best = float("inf")
-        for _ in range(2):
-            spark.catalog.clearCache()
-            t0 = time.time()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        times[name] = round(best, 3)
+        try:
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.time()
+                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            times[name] = round(best, 3)
+        except Exception as exc:  # one broken query must not kill the bench line
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline query wall time, noop sink",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline query wall time, noop sink",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
