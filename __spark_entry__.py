@@ -32,6 +32,7 @@ from f1_data_engineering_spark.operators import merge as MG
 from f1_data_engineering_spark.operators import layout as LY
 from f1_data_engineering_spark.operators import integrity as IG
 from f1_data_engineering_spark.operators import udtf_ops as UT
+from f1_data_engineering_spark.operators import analytics as AN
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -52,6 +53,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue": R.q17_small_quantity_revenue,
         "q18_large_orders": R.q18_large_orders,
         "cube_status_priority": R.cube_status_priority,
+        "grouping_sets_revenue": AN.grouping_sets_revenue,
+        "modal_quantity_per_flag": AN.modal_quantity_per_flag,
         "q3_shipping_priority": TS.q3_shipping_priority,
         "q4_late_shipment_orders": TS.q4_late_shipment_orders,
         "q12_priority_by_month": TS.q12_priority_by_month,
@@ -76,10 +79,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_anti_join": R.semi_anti_join,
         "outer_join_order_counts": R.outer_join_order_counts,
         "range_join_events_orders": R.range_join_events_orders,
+        "null_safe_event_join": AN.null_safe_event_join,
         # §2.5 windows
         "window_value_changes": R.window_value_changes,
         "running_total": R.running_total,
         "rank_orders_per_customer": R.rank_orders_per_customer,
+        "orderkey_islands": AN.orderkey_islands,
         # §2.6 sort / limit / top-k
         "top_orders": R.top_orders,
         "distinct_sorted_types": R.distinct_sorted_types,
@@ -111,6 +116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub_stats": TX.pii_scrub_stats,
         "tfidf_top_terms": TX.tfidf_top_terms,
         "stop_shingle_stats": TX.stop_shingle_stats,
+        "inverted_index": TX.inverted_index,
         "value_quartiles": TO.value_quartiles,
         # deduplication (beyond-reference)
         "dedup_exact": DD.dedup_exact,
@@ -118,7 +124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": DD.minhash_signatures,
         "minhash_lsh_pairs": DD.minhash_lsh_pairs,
         "simhash_64": DD.simhash_64,
-        "dedup_clusters": DD.dedup_clusters,  # iterative; rows-only check
+        "dedup_clusters": DD.dedup_clusters,  # iterative; recursive-CTE oracle
         "dedup_keep_first": DD.dedup_keep_first,
         # similarity search (beyond-reference, embeddings table)
         "ann_bruteforce_topk": SIM.ann_bruteforce_topk,
@@ -127,6 +133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": SIM.embedding_centroids,
         "embedding_near_dup_pairs": SIM.embedding_near_dup_pairs,
         "lsh_multiprobe_ann": SIM.lsh_multiprobe_ann,
+        "embedding_quantize_int8": SIM.embedding_quantize_int8,
         # multimodal plumbing (binary columns + typed metadata)
         "blob_metadata": MM.blob_metadata,
         # Arrow-batched grouped-map UDF surface
@@ -153,6 +160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_orders": PF.profile_orders,
         "stratified_sample_orders": PF.stratified_sample_orders,
         "sketch_summary": PF.sketch_summary,  # sketch estimates; rows-only check
+        "numeric_corr_matrix": PF.numeric_corr_matrix,
     }
 
 
@@ -168,6 +176,10 @@ def oracle_sql() -> dict[str, str]:
         "q17_small_quantity_revenue": R.ORACLE_Q17,
         "q18_large_orders": R.ORACLE_Q18,
         "cube_status_priority": R.ORACLE_CUBE,
+        "grouping_sets_revenue": AN.ORACLE_GROUPING_SETS,
+        "modal_quantity_per_flag": AN.ORACLE_MODE,
+        "null_safe_event_join": AN.ORACLE_NULL_SAFE_JOIN,
+        "orderkey_islands": AN.ORACLE_ISLANDS,
         "q3_shipping_priority": TS.ORACLE_Q3,
         "q4_late_shipment_orders": TS.ORACLE_Q4,
         "q12_priority_by_month": TS.ORACLE_Q12,
@@ -219,12 +231,14 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub_stats": TX.ORACLE_PII_SCRUB,
         "tfidf_top_terms": TX.ORACLE_TFIDF,
         "stop_shingle_stats": TX.ORACLE_STOP_SHINGLES,
+        "inverted_index": TX.ORACLE_INVERTED_INDEX,
         "value_quartiles": TO.ORACLE_QUARTILES,
         "dedup_exact": DD.ORACLE_DEDUP_EXACT,
         "ngram_jaccard_pairs": DD.ORACLE_JACCARD_PAIRS,
         "minhash_signatures": DD.ORACLE_MINHASH_SIG,
         "minhash_lsh_pairs": DD.ORACLE_MINHASH_LSH,
         "simhash_64": DD.ORACLE_SIMHASH,
+        "dedup_clusters": DD.ORACLE_CLUSTERS,
         "dedup_keep_first": DD.ORACLE_DEDUP_KEEP,
         "ann_bruteforce_topk": SIM.ORACLE_ANN_TOPK,
         "lsh_bucket_histogram": SIM.ORACLE_LSH_HIST,
@@ -232,6 +246,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_centroids": SIM.ORACLE_CENTROIDS,
         "embedding_near_dup_pairs": SIM.ORACLE_NEAR_DUP,
         "lsh_multiprobe_ann": SIM.ORACLE_MULTIPROBE_ANN,
+        "embedding_quantize_int8": SIM.ORACLE_QUANTIZE,
         "zscore_by_user": PD.ORACLE_ZSCORE,
         "user_value_median_iqr": PD.ORACLE_MEDIAN_IQR,
         "sentence_split": UT.ORACLE_SENTENCES,
@@ -248,5 +263,6 @@ def oracle_sql() -> dict[str, str]:
         "scd2_customer_merge": MG.ORACLE_SCD2,
         "profile_orders": PF.ORACLE_PROFILE_ORDERS,
         "stratified_sample_orders": PF.ORACLE_STRATIFIED_SAMPLE,
+        "numeric_corr_matrix": PF.ORACLE_CORR_MATRIX,
     }
     return out

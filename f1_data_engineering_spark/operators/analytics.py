@@ -1,0 +1,256 @@
+"""Analytic depth operators: GROUPING SETS, null-safe joins,
+deterministic per-group mode, and scalable gaps-and-islands.
+
+These extend SURVEY.md §2.4/§2.3/§2.5 beyond the reference's surface
+(the reference has no grouping sets / null-key joins / mode / island
+detection; Spark gives the primitives and the shapes below make them
+scale):
+
+* **grouping sets** — one pass producing multiple aggregation levels;
+  Spark expands to one Expand branch per set, so the shuffle carries
+  (rows × sets) pre-aggregated partials — still one exchange, vs one
+  job per level if issued naively.
+* **null-safe join** — ``<=>`` (EqualNullSafe) is a legal hash-join
+  key in Spark, so NULL keys pair up in a real shuffled hash join, not
+  a nested loop; the classic trap (NULL never equals NULL, silently
+  dropping rows) is the thing this operator makes explicit.
+* **mode** — ``F.mode`` is tie-nondeterministic; per-group mode here
+  is (count DESC, value ASC) row_number over the (group, value)
+  counts, which is deterministic on any engine and shuffles only the
+  distinct (group, value) pairs.
+* **gaps & islands** — consecutive-integer runs over a key universe.
+  The textbook lag/row_number solution needs ONE global sort; at
+  100 TB that's the bottleneck.  Shape here: bucket keys by
+  ``key div B`` (scan-side, no shuffle), detect islands WITHIN each
+  bucket with a bucket-partitioned window, then merge the per-bucket
+  island list (≪ rows — at most 2 islands per bucket boundary) with
+  one tiny global window.  Same two-level trick as ``build_vocab``:
+  the unpartitioned window only ever sees metadata-sized input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+
+__all__ = [
+    "grouping_sets_revenue",
+    "null_safe_event_join",
+    "modal_quantity_per_flag",
+    "orderkey_islands",
+]
+
+
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue at three aggregation levels in one pass —
+    (returnflag, linestatus), (returnflag), and grand total — via
+    GROUPING SETS, with explicit level markers (rolled-up columns are
+    NULL; the data itself has no NULL flags, so the marker columns
+    disambiguate exactly like GROUPING_ID without engine-specific
+    grouping functions).
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+          CAST(l_returnflag IS NULL AS INT) + CAST(l_linestatus IS NULL AS INT)
+            AS rollup_level,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE)
+            AS revenue,
+          COUNT(*) AS n
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY rollup_level, l_returnflag, l_linestatus
+        """
+    )
+
+
+ORACLE_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus,
+  CAST(l_returnflag IS NULL AS INT) + CAST(l_linestatus IS NULL AS INT)
+    AS rollup_level,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY rollup_level, l_returnflag, l_linestatus
+"""
+
+
+def null_safe_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer null-safe join of per-key event counts from two
+    event-type families, keyed on the NULLABLE ``props.k`` extraction:
+    the NULL-key groups from both sides meet in one row instead of
+    being silently dropped (plain ``=``) or exploding (cross of
+    nulls).  ``<=>`` stays a hash-join key in Spark, so the plan is a
+    normal shuffled join.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.get_json_object("props", "$.k").try_cast("long").alias("k")
+    )
+    a = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_browse"))
+    )
+    b = (
+        ev.filter(F.col("event_type").isin("purchase", "signup"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_convert"))
+        # both sides descend from the same scan — rename the key so the
+        # join condition is unambiguous (self-join lineage)
+        .withColumnRenamed("k", "kb")
+    )
+    return (
+        a.join(b, F.col("k").eqNullSafe(F.col("kb")), "full")
+        .select(
+            F.coalesce("k", "kb").alias("k_val"),
+            (F.col("k").isNull() & F.col("kb").isNull()).alias("is_null_key"),
+            F.coalesce("n_browse", F.lit(0)).alias("n_browse"),
+            F.coalesce("n_convert", F.lit(0)).alias("n_convert"),
+        )
+        .orderBy(F.col("is_null_key"), "k_val")
+    )
+
+
+ORACLE_NULL_SAFE_JOIN = """
+WITH ev AS (
+  SELECT event_type,
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+),
+a AS (
+  SELECT k, COUNT(*) AS n_browse FROM ev
+  WHERE event_type IN ('click', 'view') GROUP BY k
+),
+b AS (
+  SELECT k, COUNT(*) AS n_convert FROM ev
+  WHERE event_type IN ('purchase', 'signup') GROUP BY k
+)
+SELECT COALESCE(a.k, b.k) AS k_val,
+  (a.k IS NULL AND b.k IS NULL) AS is_null_key,
+  COALESCE(n_browse, 0) AS n_browse,
+  COALESCE(n_convert, 0) AS n_convert
+FROM a FULL JOIN b ON a.k IS NOT DISTINCT FROM b.k
+ORDER BY is_null_key, k_val
+"""
+
+
+def modal_quantity_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: most frequent ``l_quantity`` per
+    ``l_returnflag`` with (count DESC, value ASC) tie-break.
+
+    Two-phase: count per (group, value) — the only full-data shuffle,
+    map-side combined down to distinct pairs — then a window over the
+    per-group value histogram (≤ |distinct values| rows per group).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = (
+        li.groupBy("l_returnflag", F.col("l_quantity").cast("long").alias("qty"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = W.partitionBy("l_returnflag").orderBy(F.col("cnt").desc(), "qty")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("qty").alias("modal_qty"), "cnt")
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_MODE = """
+WITH c AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty, COUNT(*) AS cnt
+  FROM lineitem GROUP BY 1, 2
+),
+r AS (
+  SELECT l_returnflag, qty, cnt,
+    row_number() OVER (PARTITION BY l_returnflag
+                       ORDER BY cnt DESC, qty) AS rn
+  FROM c
+)
+SELECT l_returnflag, qty AS modal_qty, cnt FROM r WHERE rn = 1
+ORDER BY l_returnflag
+"""
+
+
+#: Island-detection bucket width (keys per bucket).  At 100 TB this is
+#: sized so each bucket's window input fits one task comfortably.
+ISLAND_BUCKET = 4096
+
+
+def orderkey_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-``o_orderkey`` runs (gaps & islands) with the
+    two-level scalable shape: bucket-local island detection, then a
+    global merge over the ISLAND list (tiny) for runs that span bucket
+    boundaries.  Output: one row per island with its span and size.
+    """
+    # the high-value filter punches gaps into the (dense) orderkey
+    # sequence, so the result is a real island census, not one run
+    keys = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 150000)
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+        .withColumn("bucket", (F.col("k") / ISLAND_BUCKET).cast("long"))
+    )
+    # phase 1: islands within each bucket (partitioned window)
+    wb = W.partitionBy("bucket").orderBy("k")
+    local = (
+        keys.withColumn("rn", F.row_number().over(wb))
+        .withColumn("grp", F.col("k") - F.col("rn"))
+        .groupBy("bucket", "grp")
+        .agg(
+            F.min("k").alias("start"),
+            F.max("k").alias("end"),
+            F.count(F.lit(1)).alias("n_keys"),
+        )
+    )
+    # phase 2: merge adjacent islands across buckets — the input here
+    # is one row per island, orders of magnitude smaller than the key
+    # set, so the unpartitioned window is metadata-sized (and islands
+    # only ever merge with their immediate neighbor in start order).
+    wg = W.orderBy("start")
+    merged = (
+        local.withColumn(
+            "new_run",
+            F.when(
+                F.col("start") > F.lag("end").over(wg) + 1, F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "run_id",
+            F.sum("new_run").over(
+                wg.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .groupBy("run_id")
+        .agg(
+            F.min("start").alias("island_start"),
+            F.max("end").alias("island_end"),
+            F.sum("n_keys").alias("n_keys"),
+        )
+    )
+    return merged.select(
+        "island_start",
+        "island_end",
+        (F.col("island_end") - F.col("island_start") + 1).alias("span"),
+        "n_keys",
+    ).orderBy("island_start")
+
+
+ORACLE_ISLANDS = """
+WITH k AS (
+  SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_totalprice > 150000
+),
+r AS (
+  SELECT k, k - row_number() OVER (ORDER BY k) AS grp FROM k
+)
+SELECT MIN(k) AS island_start, MAX(k) AS island_end,
+  MAX(k) - MIN(k) + 1 AS span, COUNT(*) AS n_keys
+FROM r GROUP BY grp ORDER BY island_start
+"""

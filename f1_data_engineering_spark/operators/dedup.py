@@ -504,41 +504,50 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     every doc labeled with the min doc_id of its near-dup cluster —
     the final "keep one per cluster" step of a dedup pipeline.
 
-    Iterative label propagation (min-label flood): labels converge in
-    O(log(diameter)) rounds; each round is one join + aggregate.  This
-    is the canonical Spark iterative-algorithm shape (no SQL oracle —
-    the driver records a rows-only check; invariants are pytest-ed
-    instead).  At 100 TB you'd checkpoint labels every few rounds to
-    truncate lineage; pair graphs from LSH are tiny relative to the
+    Iterative label propagation (min-label flood) TO CONVERGENCE: each
+    round is one join + aggregate; the loop stops when a round changes
+    no label (checked with a cheap count on the materialized round
+    output), so the result is the true transitive closure — which is
+    what the DuckDB recursive-CTE oracle computes, making this fully
+    hash-checked rather than rows-only.  ``localCheckpoint(eager=True)``
+    per round truncates lineage (the canonical Spark iterative-
+    algorithm shape); pair graphs from LSH are tiny relative to the
     corpus, so each round's shuffle is proportional to duplicate
-    density.
+    density, and rounds needed = cluster diameter (near-dup clusters
+    are shallow — a handful of rounds in practice).
     """
     pairs = minhash_lsh_pairs(spark, sf_dir).filter(
         F.col("est_jaccard") >= 0.5
     ).select("d1", "d2").cache()
-    # undirected edge list + self-loops so singletons keep their label
+    # undirected edge list; nodes = every pair endpoint
     edges = pairs.unionByName(
         pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
     )
     nodes = edges.select(F.col("d1").alias("node")).distinct()
-    labels = nodes.withColumn("label", F.col("node"))
-    for _ in range(5):  # diameter of LSH dup clusters is tiny
+    labels = nodes.withColumn("label", F.col("node")).localCheckpoint(eager=True)
+    for _ in range(30):  # cap ≫ any real near-dup cluster diameter
         neighbor_min = (
             edges.join(labels, edges.d2 == labels.node)
             .groupBy(edges.d1.alias("node2"))
             .agg(F.min("label").alias("nbr_label"))
         )
         new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.node2, "left")
+            labels.withColumnRenamed("label", "old_label")
+            .join(neighbor_min, F.col("node") == neighbor_min.node2, "left")
             .select(
                 "node",
+                "old_label",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                    F.col("old_label"),
+                    F.coalesce(F.col("nbr_label"), F.col("old_label")),
                 ).alias("label"),
             )
         )
         new_labels = new_labels.localCheckpoint(eager=True)  # truncate lineage
-        labels = new_labels
+        changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
+        labels = new_labels.select("node", "label")
+        if changed == 0:
+            break
     return (
         labels.groupBy("label")
         .agg(
@@ -547,6 +556,29 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+#: Transitive closure of the same ≥0.5-est_jaccard pair graph via a
+#: recursive CTE — min reachable id ≡ the flood's converged label, so
+#: the iterative Spark algorithm is hash-checked end-to-end.
+ORACLE_CLUSTERS = f"""
+WITH RECURSIVE thresholded AS (
+  SELECT d1, d2 FROM ({ORACLE_MINHASH_LSH}) p WHERE est_jaccard >= 0.5
+),
+und AS (
+  SELECT d1, d2 FROM thresholded
+  UNION
+  SELECT d2 AS d1, d1 AS d2 FROM thresholded
+),
+reach(node, label) AS (
+  SELECT DISTINCT d1 AS node, d1 AS label FROM und
+  UNION
+  SELECT u.d1, r.label FROM und u JOIN reach r ON u.d2 = r.node
+),
+lab AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node)
+SELECT label, COUNT(*) AS cluster_size, list_sort(list(node)) AS members
+FROM lab GROUP BY label ORDER BY label
+"""
 
 
 def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:

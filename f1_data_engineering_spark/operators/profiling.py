@@ -39,6 +39,7 @@ __all__ = [
     "profile_orders",
     "stratified_sample_orders",
     "sketch_summary",
+    "numeric_corr_matrix",
 ]
 
 
@@ -188,6 +189,110 @@ WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
       % 100 < {_SQL_RATE}
 ORDER BY o_orderkey
 """
+
+
+#: Numeric lineitem columns profiled pairwise by the correlation matrix.
+CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def numeric_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation + population covariance over the
+    numeric ``lineitem`` measures, computed from EXACT decimal moment
+    sums (n, Σx, Σx², Σxy) so the result is bit-deterministic.
+
+    Scale shape: ONE full-scan aggregate produces every moment for all
+    C(4,2) pairs simultaneously (map-side partial aggregation — the
+    shuffle is a single row of decimals), then the pair rows are
+    expanded plan-side from the 1-row result.  A naive ``df.stat.corr``
+    loop would re-scan the fact table per pair; this scans once for the
+    whole matrix.  Float non-associativity never appears: partial sums
+    are exact decimals, and the double-precision corr formula runs on
+    the final scalars only — the same property the DuckDB oracle
+    reproduces term-for-term.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+
+    # 19,6 (not 18,6): DuckDB executes ≤18-precision decimal multiplies
+    # in int64, which overflows on price²·10¹²; 19 forces the hugeint
+    # path there while Spark stays exact either way (products here have
+    # ≤4 significant decimal digits, well inside the reduced scale).
+    def dec(c: str) -> Column:
+        return F.col(c).cast("decimal(19,6)")
+
+    aggs: list[Column] = [F.count(F.lit(1)).alias("n")]
+    for c in CORR_COLS:
+        aggs.append(F.sum(dec(c)).alias(f"s_{c}"))
+        aggs.append(F.sum(dec(c) * dec(c)).alias(f"ss_{c}"))
+    pairs = [
+        (x, y) for i, x in enumerate(CORR_COLS) for y in CORR_COLS[i + 1 :]
+    ]
+    for x, y in pairs:
+        aggs.append(F.sum(dec(x) * dec(y)).alias(f"sp_{x}_{y}"))
+    one = li.agg(*aggs)
+
+    rows = []
+    for x, y in pairs:
+        n = F.col("n").cast("double")
+        sx, sy = F.col(f"s_{x}").cast("double"), F.col(f"s_{y}").cast("double")
+        sxx, syy = F.col(f"ss_{x}").cast("double"), F.col(f"ss_{y}").cast("double")
+        sxy = F.col(f"sp_{x}_{y}").cast("double")
+        num = n * sxy - sx * sy
+        den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+        rows.append(
+            F.struct(
+                F.lit(x).alias("col_x"),
+                F.lit(y).alias("col_y"),
+                F.col("n").alias("n"),
+                F.round(num / den, 6).alias("corr_r"),
+                F.round(num / (n * n), 6).alias("cov_pop_r"),
+            )
+        )
+    return (
+        one.select(F.explode(F.array(*rows)).alias("p"))
+        .select("p.*")
+        .orderBy("col_x", "col_y")
+    )
+
+
+def _corr_oracle() -> str:
+    """DuckDB twin of :func:`numeric_corr_matrix` — same decimal moment
+    sums, same double formula, same rounding (generated so the two
+    stay structurally in lock-step)."""
+    dec = lambda c: f"CAST({c} AS DECIMAL(19,6))"  # noqa: E731
+    moments = ["COUNT(*) AS n"]
+    for c in CORR_COLS:
+        moments.append(f"SUM({dec(c)}) AS s_{c}")
+        moments.append(f"SUM({dec(c)} * {dec(c)}) AS ss_{c}")
+    pairs = [
+        (x, y) for i, x in enumerate(CORR_COLS) for y in CORR_COLS[i + 1 :]
+    ]
+    for x, y in pairs:
+        moments.append(f"SUM({dec(x)} * {dec(y)}) AS sp_{x}_{y}")
+    selects = []
+    for x, y in pairs:
+        nd = "CAST(n AS DOUBLE)"
+        sx, sy = f"CAST(s_{x} AS DOUBLE)", f"CAST(s_{y} AS DOUBLE)"
+        sxx, syy = f"CAST(ss_{x} AS DOUBLE)", f"CAST(ss_{y} AS DOUBLE)"
+        sxy = f"CAST(sp_{x}_{y} AS DOUBLE)"
+        num = f"({nd} * {sxy} - {sx} * {sy})"
+        den = (
+            f"(SQRT({nd} * {sxx} - {sx} * {sx}) * "
+            f"SQRT({nd} * {syy} - {sy} * {sy}))"
+        )
+        selects.append(
+            f"SELECT '{x}' AS col_x, '{y}' AS col_y, n, "
+            f"ROUND({num} / {den}, 6) AS corr_r, "
+            f"ROUND({num} / ({nd} * {nd}), 6) AS cov_pop_r FROM a"
+        )
+    body = "\nUNION ALL\n".join(selects)
+    return (
+        "WITH a AS (\n  SELECT " + ",\n    ".join(moments) + "\n  FROM lineitem\n)\n"
+        + body
+        + "\nORDER BY col_x, col_y"
+    )
+
+
+ORACLE_CORR_MATRIX = _corr_oracle()
 
 
 def sketch_summary(spark: SparkSession, sf_dir: str) -> DataFrame:

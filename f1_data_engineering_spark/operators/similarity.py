@@ -552,3 +552,76 @@ r AS (
 )
 SELECT query_id, neighbor_id, sim, rank FROM r WHERE rank <= {MULTIPROBE_TOPK}
 """.format(pw=_sql_plane_weight())
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization (storage/bandwidth compression for ANN at scale)
+# ---------------------------------------------------------------------------
+
+
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization: scale = max|v| / 127,
+    q_i = floor(v_i/scale + 0.5), plus the mean absolute reconstruction
+    error — the compression step that cuts an embedding store (and
+    every ANN shuffle over it) 4× before the similarity operators run.
+
+    Scale shape: pure scan-side array math (transform / array_max /
+    aggregate — all JVM codegen, no Python, no shuffle).  Determinism:
+    max is order-independent, float→double casts are exact, and the
+    explicit floor(x + 0.5) rounding avoids any engine tie-break
+    ambiguity — the DuckDB oracle runs the identical formula
+    term-for-term.
+    """
+    e = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = e.select(
+        "vec_id",
+        vd.alias("v"),
+        F.size("embedding").cast("long").alias("n_dims"),
+        (F.array_max(F.transform(vd, F.abs)) / F.lit(127.0)).alias("scale"),
+    )
+    zero = F.transform(F.col("v"), lambda x: F.lit(0).cast("long"))
+    qexpr = F.transform(
+        F.col("v"), lambda x: F.floor(x / F.col("scale") + F.lit(0.5))
+    )
+    err_sum = F.aggregate(
+        F.col("v"),
+        F.lit(0.0),
+        lambda acc, x: acc
+        + F.abs(F.floor(x / F.col("scale") + F.lit(0.5)) * F.col("scale") - x),
+    )
+    return base.select(
+        "vec_id",
+        "n_dims",
+        F.round("scale", 9).alias("scale_r"),
+        F.when(F.col("scale") == 0, zero).otherwise(qexpr).alias("q"),
+        F.round(
+            F.when(F.col("scale") == 0, F.lit(0.0)).otherwise(
+                err_sum / F.col("n_dims")
+            ),
+            9,
+        ).alias("mae_r"),
+    ).orderBy("vec_id")
+
+
+ORACLE_QUANTIZE = """
+WITH v AS (
+  SELECT vec_id,
+    CAST(len(embedding) AS BIGINT) AS n_dims,
+    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+      AS scale,
+    embedding
+  FROM embeddings
+)
+SELECT vec_id, n_dims, ROUND(scale, 9) AS scale_r,
+  CASE WHEN scale = 0
+       THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+       ELSE list_transform(embedding,
+              x -> CAST(FLOOR(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))
+  END AS q,
+  ROUND(CASE WHEN scale = 0 THEN 0.0 ELSE
+    list_sum(list_transform(embedding,
+      x -> abs(FLOOR(CAST(x AS DOUBLE) / scale + 0.5) * scale
+               - CAST(x AS DOUBLE)))) / n_dims END, 9) AS mae_r
+FROM v ORDER BY vec_id
+"""

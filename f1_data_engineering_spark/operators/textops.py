@@ -577,3 +577,73 @@ SELECT g.doc_id,
     AS stop_fraction
 FROM g LEFT JOIN hits h USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# inverted index / champion lists (IR-style retrieval prep)
+# ---------------------------------------------------------------------------
+
+CHAMPIONS_K = 5
+
+
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term posting summary with champion lists: document
+    frequency, total term frequency, and the top-``CHAMPIONS_K`` docs
+    by (tf DESC, doc_id ASC) — the precomputed high-score postings that
+    let a retrieval engine score only champions for most queries.
+
+    Scale shape: explode → (term, doc) count (one shuffle, map-side
+    combined) → per-TERM window for champions (partition = term, so the
+    rank never sees more than one term's postings) → per-term rollup.
+    The full posting list is never collected: only the K champions per
+    term materialize into an array.  At 100 TB the (term, doc) frame is
+    the standard inverted-index build; skew (stopword terms) is handled
+    by the same salting pattern as ``salted_user_counts``.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.partitionBy("term").orderBy(F.col("tf").desc(), "doc_id")
+    ranked = tf.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("total_tf"),
+            F.max("tf").alias("max_tf"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("rk") <= CHAMPIONS_K,
+                        F.struct(F.col("rk"), F.col("doc_id")),
+                    )
+                )
+            )
+            .getField("doc_id")
+            .alias("champions"),
+        )
+        .orderBy("term")
+    )
+
+
+ORACLE_INVERTED_INDEX = f"""
+WITH tf AS (
+  SELECT term, doc_id, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents)
+  GROUP BY term, doc_id
+),
+r AS (
+  SELECT term, doc_id, tf,
+    row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rk
+  FROM tf
+)
+SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
+  MAX(tf) AS max_tf,
+  list_transform(
+    list_sort(list([rk, doc_id]) FILTER (WHERE rk <= {CHAMPIONS_K})),
+    p -> p[2]) AS champions
+FROM r GROUP BY term ORDER BY term
+"""

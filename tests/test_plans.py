@@ -260,3 +260,18 @@ def test_cents_fixed_point_matches_decimal_path(spark):
         assert out["fixed"] == out["dec"], (out["fixed"], out["dec"])
 
     check()
+
+
+def test_quantize_int8_roundtrip(spark, sf_dir):
+    """int8 quantization: codes bounded to ±127, scale nonnegative,
+    and reconstruction error within scale/2 per element (mean ≤ half a
+    quantization step)."""
+    from f1_data_engineering_spark.operators import similarity as SIM
+
+    rows = SIM.embedding_quantize_int8(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows[:50]:
+        assert r["n_dims"] == 64
+        assert all(-127 <= q <= 127 for q in r["q"])
+        assert r["scale_r"] >= 0
+        assert r["mae_r"] <= r["scale_r"] / 2 + 1e-12

@@ -80,3 +80,28 @@ def test_sketch_summary_error_bounds(spark, sf_dir):
         )
         assert lo <= s["p50"] <= hi
         assert s["p50"] <= s["p95"] <= s["p99"] <= hi
+
+
+def test_corr_matrix_matches_numpy(spark, sf_dir):
+    """Exact-decimal-moment correlations must agree with numpy's
+    two-pass computation to float tolerance, and the matrix must
+    cover every column pair exactly once."""
+    import itertools
+
+    import numpy as np
+
+    rows = PF.numeric_corr_matrix(spark, sf_dir).collect()
+    pairs = {(r["col_x"], r["col_y"]): r for r in rows}
+    assert set(pairs) == set(itertools.combinations(PF.CORR_COLS, 2))
+    pdf = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(*PF.CORR_COLS)
+        .toPandas()
+    )
+    for (x, y), r in pairs.items():
+        assert r["n"] == len(pdf)
+        expected = np.corrcoef(pdf[x], pdf[y])[0, 1]
+        assert abs(r["corr_r"] - expected) < 1e-5
+        assert -1.0 <= r["corr_r"] <= 1.0
+        expected_cov = np.cov(pdf[x], pdf[y], bias=True)[0, 1]
+        assert abs(r["cov_pop_r"] - expected_cov) < max(1e-4, abs(expected_cov) * 1e-6)

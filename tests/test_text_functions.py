@@ -107,3 +107,29 @@ def test_stop_shingles_bounded_and_consistent(spark, sf_dir):
     for r in rows:
         assert 0 <= r["n_stop"] <= r["n_shingles"]
         assert 0.0 <= r["stop_fraction"] <= 1.0
+
+
+def test_inverted_index_champions(spark, sf_dir):
+    """Champion lists: df/total_tf consistent with a direct count, and
+    champions are the top-K docs by (tf DESC, doc_id) for the term."""
+    from f1_data_engineering_spark.operators import textops as TX
+    from f1_data_engineering_spark.functions.text import tokens as tok_expr
+    from f1_data_engineering_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+
+    rows = {r["term"]: r for r in TX.inverted_index(spark, sf_dir).collect()}
+    assert rows
+    tf = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(tok_expr("text")).alias("term"))
+        .groupBy("term", "doc_id")
+        .count()
+    )
+    term = sorted(rows)[0]
+    direct = tf.filter(F.col("term") == term).collect()
+    r = rows[term]
+    assert r["df"] == len(direct)
+    assert r["total_tf"] == sum(d["count"] for d in direct)
+    top = sorted(direct, key=lambda d: (-d["count"], d["doc_id"]))[: TX.CHAMPIONS_K]
+    assert sorted(r["champions"]) == sorted(d["doc_id"] for d in top)
+    assert len(r["champions"]) <= TX.CHAMPIONS_K
