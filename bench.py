@@ -65,6 +65,12 @@ BENCH_QUERIES = (
     "scd2_customer_merge",
     "zorder_tile_stats",
     "compaction_plan",
+    "numeric_corr_matrix",
+    "inverted_index",
+    "orderkey_islands",
+    "grouping_sets_revenue",
+    "window_rank_suite",
+    "embedding_quantize_int8",
 )
 
 

@@ -11,7 +11,9 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
+from f1_data_engineering_spark.operators import analytics as AN
 from f1_data_engineering_spark.operators import decontam as DC
+from f1_data_engineering_spark.operators import textops as TX2
 from f1_data_engineering_spark.operators import dedup as DD
 from f1_data_engineering_spark.operators import layout as LY
 from f1_data_engineering_spark.operators import merge as MG
@@ -113,6 +115,44 @@ AUDIT = [
         "→ per-partition window cumsum → bin agg. Windows partition by "
         "the table partition, so plans for different partitions "
         "parallelize and bins never cross partition boundaries.",
+    ),
+    (
+        "numeric_corr_matrix",
+        PF.numeric_corr_matrix,
+        "Whole correlation matrix from ONE scan: every decimal moment "
+        "(n, Σx, Σx², Σxy for all pairs) partial-aggregates map-side, the "
+        "exchange carries a single row, and the pair expansion is a "
+        "plan-time explode of that row — vs one job per pair for a "
+        "df.stat.corr loop.",
+    ),
+    (
+        "inverted_index",
+        TX2.inverted_index,
+        "Explode → (term, doc) hash agg (map-side combined) → per-term "
+        "window for champions → per-term rollup. The full posting list "
+        "never materializes into an array; only K champions per term do.",
+    ),
+    (
+        "orderkey_islands",
+        AN.orderkey_islands,
+        "Two-level gaps-and-islands: bucket-partitioned window does the "
+        "heavy detection; the single unpartitioned window runs over the "
+        "ISLAND list only (rows ∝ islands, not keys) — no global sort of "
+        "the key universe.",
+    ),
+    (
+        "grouping_sets_revenue",
+        AN.grouping_sets_revenue,
+        "One Expand (3 grouping sets) → single hash aggregate + one "
+        "exchange of pre-aggregated partials — three aggregation levels "
+        "for one scan.",
+    ),
+    (
+        "embedding_quantize_int8",
+        SIM.embedding_quantize_int8,
+        "Zero-exchange map-only plan: array transform/aggregate exprs in "
+        "the scan stage (JVM codegen), sort only for presentation — at "
+        "scale this is scan-bandwidth-bound compression.",
     ),
 ]
 
