@@ -118,6 +118,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": TX.tfidf_top_terms,
         "stop_shingle_stats": TX.stop_shingle_stats,
         "inverted_index": TX.inverted_index,
+        "zipf_fit": TX.zipf_fit,
+        "source_overlap_matrix": TX.source_overlap_matrix,
         "value_quartiles": TO.value_quartiles,
         # deduplication (beyond-reference)
         "dedup_exact": DD.dedup_exact,
@@ -234,6 +236,8 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": TX.ORACLE_TFIDF,
         "stop_shingle_stats": TX.ORACLE_STOP_SHINGLES,
         "inverted_index": TX.ORACLE_INVERTED_INDEX,
+        "zipf_fit": TX.ORACLE_ZIPF,
+        "source_overlap_matrix": TX.ORACLE_SOURCE_OVERLAP,
         "value_quartiles": TO.ORACLE_QUARTILES,
         "dedup_exact": DD.ORACLE_DEDUP_EXACT,
         "ngram_jaccard_pairs": DD.ORACLE_JACCARD_PAIRS,

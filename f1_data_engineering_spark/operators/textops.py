@@ -647,3 +647,129 @@ SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
     p -> p[2]) AS champions
 FROM r GROUP BY term ORDER BY term
 """
+
+
+# ---------------------------------------------------------------------------
+# corpus statistics: Zipf fit + cross-source overlap
+# ---------------------------------------------------------------------------
+
+
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares fit of log(freq) = a + s·log(rank) over the term
+    frequency distribution — the Zipf exponent ``s`` (≈ −1 for natural
+    language) is a cheap corpus-health signal: heavily duplicated or
+    templated corpora bend the tail visibly.
+
+    Shape: term counts (one shuffle) → rank window over the VOCABULARY
+    (≪ corpus, same justification as ``build_vocab``) → single-row
+    regression aggregate.  The regression runs on exact long counts
+    pushed through double logs; both engines evaluate the identical
+    closed-form slope/intercept from the same 5 sums, so rounding to 6
+    is stable.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    freq = (
+        d.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy(F.col("c").desc(), "term")
+    xy = freq.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n"), 6
+        ).alias("zipf_intercept"),
+    )
+
+
+ORACLE_ZIPF = f"""
+WITH freq AS (
+  SELECT term, COUNT(*) AS c
+  FROM (SELECT unnest({_SQL_TOKENS}) AS term FROM documents)
+  GROUP BY term
+),
+xy AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, term) AS DOUBLE)) AS x,
+         ln(CAST(c AS DOUBLE)) AS y
+  FROM freq
+),
+s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  FROM xy
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+  ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+    AS zipf_intercept
+FROM s
+"""
+
+
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, how
+    many distinct normalized-content fingerprints appear in BOTH —
+    the provenance-level dedup signal (which corpora copy from each
+    other) that drives source-weighting decisions.
+
+    Shape: distinct (fingerprint, source) pairs — the ONLY full-data
+    pass, shuffling 16-byte hashes — then a self-equi-join on the
+    fingerprint over the deduped pair set and a count per source pair.
+    The join input is |distinct contents × sources|, already tiny
+    relative to the corpus, and it's an equi join on the hash (no
+    cross product).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    # augmented corpus (same convention as the dedup operators): docs
+    # with doc_id < 25 are mirrored under source 'mirror', so the
+    # operator provably reports the planted cross-source overlap —
+    # the raw synthetic corpus has no cross-source duplicates at all
+    corpus = d.select("text", "source").unionByName(
+        d.filter(F.col("doc_id") < 25).select(
+            "text", F.lit("mirror").alias("source")
+        )
+    )
+    fp = corpus.select(
+        F.md5(F.concat_ws(" ", tokens("text")).cast("binary")).alias("fp"),
+        "source",
+    ).distinct()
+    a, b = fp.alias("a"), fp.withColumnRenamed("source", "source_b").alias("b")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("source") < F.col("source_b"))
+        .groupBy(F.col("source").alias("source_a"), "source_b")
+        .agg(F.count(F.lit(1)).alias("shared_contents"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+ORACLE_SOURCE_OVERLAP = f"""
+WITH corpus AS (
+  SELECT text, source FROM documents
+  UNION ALL
+  SELECT text, 'mirror' AS source FROM documents WHERE doc_id < 25
+),
+fp AS (
+  SELECT DISTINCT md5(array_to_string({_SQL_TOKENS}, ' ')) AS fp, source
+  FROM corpus
+)
+SELECT a.source AS source_a, b.source AS source_b,
+  COUNT(*) AS shared_contents
+FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+GROUP BY 1, 2 ORDER BY source_a, source_b
+"""

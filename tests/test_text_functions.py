@@ -133,3 +133,49 @@ def test_inverted_index_champions(spark, sf_dir):
     top = sorted(direct, key=lambda d: (-d["count"], d["doc_id"]))[: TX.CHAMPIONS_K]
     assert sorted(r["champions"]) == sorted(d["doc_id"] for d in top)
     assert len(r["champions"]) <= TX.CHAMPIONS_K
+
+
+def test_zipf_fit_slope_negative(spark, sf_dir):
+    """Frequency must decay with rank: negative slope, intercept near
+    the log of the top frequency, n_terms = vocabulary size."""
+    from f1_data_engineering_spark.operators import textops as TX
+    from f1_data_engineering_spark.functions.text import tokens as tok_expr
+    from f1_data_engineering_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+
+    r = TX.zipf_fit(spark, sf_dir).collect()[0]
+    vocab = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(tok_expr("text")).alias("t"))
+        .select("t")
+        .distinct()
+        .count()
+    )
+    assert r["n_terms"] == vocab
+    assert r["zipf_slope"] < 0
+
+
+def test_source_overlap_reports_planted_mirror(spark, sf_dir):
+    """Every (source, 'mirror') pair must report at least one shared
+    content, and shared counts can never exceed the mirrored set."""
+    from f1_data_engineering_spark.operators import textops as TX
+    from f1_data_engineering_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+
+    rows = TX.source_overlap_matrix(spark, sf_dir).collect()
+    assert rows, "planted mirror must produce overlap rows"
+    sources = {
+        r["source"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("source")
+        .distinct()
+        .collect()
+    }
+    mirror_pairs = [
+        r for r in rows if "mirror" in (r["source_a"], r["source_b"])
+    ]
+    assert mirror_pairs
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert 0 < r["shared_contents"] <= 25
+        assert {r["source_a"], r["source_b"]} <= sources | {"mirror"}
