@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_orders_per_customer": R.rank_orders_per_customer,
         "orderkey_islands": AN.orderkey_islands,
         "window_rank_suite": AN.window_rank_suite,
+        "daily_order_spine": AN.daily_order_spine,
         # §2.6 sort / limit / top-k
         "top_orders": R.top_orders,
         "distinct_sorted_types": R.distinct_sorted_types,
@@ -184,6 +185,7 @@ def oracle_sql() -> dict[str, str]:
         "null_safe_event_join": AN.ORACLE_NULL_SAFE_JOIN,
         "orderkey_islands": AN.ORACLE_ISLANDS,
         "window_rank_suite": AN.ORACLE_RANK_SUITE,
+        "daily_order_spine": AN.ORACLE_DAILY_SPINE,
         "q3_shipping_priority": TS.ORACLE_Q3,
         "q4_late_shipment_orders": TS.ORACLE_Q4,
         "q12_priority_by_month": TS.ORACLE_Q12,

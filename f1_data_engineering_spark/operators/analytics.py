@@ -41,6 +41,7 @@ __all__ = [
     "modal_quantity_per_flag",
     "orderkey_islands",
     "window_rank_suite",
+    "daily_order_spine",
 ]
 
 
@@ -318,4 +319,81 @@ WHERE o_custkey % 100 = 0
 WINDOW w AS (PARTITION BY o_custkey
              ORDER BY o_totalprice DESC, o_orderkey)
 ORDER BY o_custkey, rn
+"""
+
+
+def daily_order_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine time series: a generated day spine over the full
+    order-date range, LEFT-joined per-day order counts/revenue (zero
+    days preserved — the gap-fill every BI/forecast feed needs), plus a
+    rolling 7-day window.
+
+    Scale notes: the spine comes from ONE aggregate row exploded into
+    dates — never a driver-side loop; days join against pre-aggregated
+    per-day partials (the only full-data shuffle is that aggregate);
+    the rolling window is unpartitioned but runs over the CALENDAR
+    (rows = days — metadata-sized at any corpus scale, same argument
+    as ``build_vocab``).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    )
+    spine = (
+        o.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    )
+    per_day = o.groupBy("d").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("p").alias("rev")
+    )
+    j = spine.join(per_day, "d", "left").select(
+        "d",
+        F.coalesce("n", F.lit(0)).alias("n_orders"),
+        F.coalesce(F.col("rev"), F.lit(0)).cast("decimal(38,2)").alias("rev"),
+    )
+    w7 = W.orderBy("d").rowsBetween(-6, W.currentRow)
+    wr = W.orderBy("d")
+    return (
+        j.select(
+            "d",
+            "n_orders",
+            F.col("rev").cast("double").alias("revenue"),
+            F.sum("n_orders").over(w7).cast("long").alias("r7_orders"),
+            F.round(
+                F.sum("n_orders").over(w7).cast("double")
+                / F.least(F.row_number().over(wr), F.lit(7)),
+                6,
+            ).alias("r7_avg_orders"),
+        )
+        .orderBy("d")
+    )
+
+
+ORACLE_DAILY_SPINE = """
+WITH b AS (
+  SELECT MIN(CAST(o_orderdate AS DATE)) AS lo,
+         MAX(CAST(o_orderdate AS DATE)) AS hi
+  FROM orders
+),
+spine AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM b
+),
+pd AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1
+),
+j AS (
+  SELECT spine.d, COALESCE(n, 0) AS n_orders,
+         CAST(COALESCE(rev, 0) AS DECIMAL(38,2)) AS rev
+  FROM spine LEFT JOIN pd ON spine.d = pd.d
+)
+SELECT d, n_orders, CAST(rev AS DOUBLE) AS revenue,
+  CAST(SUM(n_orders) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+       AS BIGINT) AS r7_orders,
+  ROUND(CAST(SUM(n_orders) OVER (ORDER BY d
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        / LEAST(row_number() OVER (ORDER BY d), 7), 6) AS r7_avg_orders
+FROM j ORDER BY d
 """

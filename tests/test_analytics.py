@@ -94,3 +94,18 @@ def test_islands_bucket_boundary_merge(spark):
         rows = A.orderkey_islands(spark, td).collect()
     spans = [(r["island_start"], r["island_end"], r["n_keys"]) for r in rows]
     assert spans == [(b - 2, b + 1, 4), (b + 5, b + 5, 1), (3 * b + 7, 3 * b + 7, 1)]
+
+
+def test_daily_spine_covers_every_day(spark, sf_dir):
+    """Spine must be gapless (one row per calendar day), preserve
+    zero-order days, and the rolling sum must equal the trailing-7
+    window recomputed in pandas."""
+    rows = AN.daily_order_spine(spark, sf_dir).collect()
+    days = [r["d"] for r in rows]
+    assert len(days) == (max(days) - min(days)).days + 1
+    assert len(set(days)) == len(days)
+    assert any(r["n_orders"] == 0 for r in rows)  # gap-fill proven
+    n = [r["n_orders"] for r in rows]
+    for i in (0, 3, 100, len(rows) - 1):
+        lo = max(0, i - 6)
+        assert rows[i]["r7_orders"] == sum(n[lo : i + 1])
