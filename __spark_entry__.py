@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_event_rollup": TO.hourly_event_rollup,
         "sessionize_events": TO.sessionize_events,
         "asof_join_purchase": TO.asof_join_purchase,
+        "latest_event_state": TO.latest_event_state,
         "moving_hour_sum": TO.moving_hour_sum,
         "value_percentiles": TO.value_percentiles,
         "value_histogram": TO.value_histogram,
@@ -130,6 +131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_64": DD.simhash_64,
         "dedup_clusters": DD.dedup_clusters,  # iterative; recursive-CTE oracle
         "dedup_keep_first": DD.dedup_keep_first,
+        "dedup_keep_canonical": DD.dedup_keep_canonical,
         # similarity search (beyond-reference, embeddings table)
         "ann_bruteforce_topk": SIM.ann_bruteforce_topk,
         "lsh_bucket_histogram": SIM.lsh_bucket_histogram,
@@ -223,6 +225,7 @@ def oracle_sql() -> dict[str, str]:
         "hourly_event_rollup": TO.ORACLE_HOURLY,
         "sessionize_events": TO.ORACLE_SESSIONIZE,
         "asof_join_purchase": TO.ORACLE_ASOF,
+        "latest_event_state": TO.ORACLE_LATEST_STATE,
         "moving_hour_sum": TO.ORACLE_MOVING_HOUR,
         "value_percentiles": TO.ORACLE_PERCENTILES,
         "value_histogram": TO.ORACLE_HISTOGRAM,
@@ -248,6 +251,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_64": DD.ORACLE_SIMHASH,
         "dedup_clusters": DD.ORACLE_CLUSTERS,
         "dedup_keep_first": DD.ORACLE_DEDUP_KEEP,
+        "dedup_keep_canonical": DD.ORACLE_KEEP_CANONICAL,
         "ann_bruteforce_topk": SIM.ORACLE_ANN_TOPK,
         "lsh_bucket_histogram": SIM.ORACLE_LSH_HIST,
         "embedding_nearest_neighbor": SIM.ORACLE_NN,

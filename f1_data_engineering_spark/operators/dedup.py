@@ -632,3 +632,63 @@ SELECT source, COUNT(*) AS n_kept
 FROM fps WHERE rn = 1
 GROUP BY source ORDER BY source
 """
+
+
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup retention: LSH pairs → connected components
+    → keep the CANONICAL member per cluster (longest text, tie → min
+    doc_id).  On the planted corpus this provably keeps every original
+    and drops its truncated copy — the policy production dedup actually
+    wants (keep-first would keep whichever id sorts lower).
+
+    Composition cost on top of :func:`dedup_clusters`: one join of the
+    exploded member list (rows ∝ docs-in-clusters, ≪ corpus) against
+    doc lengths, and one cluster-partitioned window.
+    """
+    from pyspark.sql import Window as W
+
+    m = dedup_clusters(spark, sf_dir).select(
+        "label", F.explode("members").alias("doc_id")
+    )
+    corpus = _near_dup_corpus(spark, sf_dir).select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
+    )
+    w = W.partitionBy("label").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        m.join(corpus, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "cluster_size", F.count(F.lit(1)).over(W.partitionBy("label"))
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "label",
+            F.col("doc_id").alias("kept_doc"),
+            F.col("n_chars").alias("kept_n_chars"),
+            "cluster_size",
+        )
+        .orderBy("label")
+    )
+
+
+ORACLE_KEEP_CANONICAL = f"""
+WITH clusters AS ({ORACLE_CLUSTERS}),
+m AS (SELECT label, unnest(members) AS doc_id FROM clusters),
+corpus AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         CAST(length(substr(text, 1, (length(text) * 4) // 5)) AS BIGINT)
+           AS n_chars
+  FROM documents WHERE doc_id < 10
+),
+j AS (
+  SELECT label, m.doc_id, n_chars,
+    row_number() OVER (PARTITION BY label
+                       ORDER BY n_chars DESC, m.doc_id) AS rn,
+    COUNT(*) OVER (PARTITION BY label) AS cluster_size
+  FROM m JOIN corpus ON m.doc_id = corpus.doc_id
+)
+SELECT label, doc_id AS kept_doc, n_chars AS kept_n_chars, cluster_size
+FROM j WHERE rn = 1 ORDER BY label
+"""

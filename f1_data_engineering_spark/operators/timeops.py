@@ -475,3 +475,49 @@ SELECT event_type, quartile, COUNT(*) AS n,
        MIN(value) AS min_v, MAX(value) AS max_v
 FROM q GROUP BY event_type, quartile ORDER BY event_type, quartile
 """
+
+
+def latest_event_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-write-wins snapshot (the CDC-apply / compaction shape):
+    per user, the latest event by (ts, event_id) plus the event count —
+    how a change-log stream collapses into current state.
+
+    One shuffle on the key; row_number and the count share the same
+    window partition, so Spark evaluates both in a single window pass
+    (no second aggregate or self-join).  The (ts DESC, event_id DESC)
+    order makes the winner deterministic even with equal timestamps.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_events", F.count(F.lit(1)).over(W.partitionBy("user_id"))
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_type"),
+            F.round("value", 6).alias("last_value"),
+            F.col("ts").alias("last_ts"),
+            "n_events",
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_LATEST_STATE = """
+WITH r AS (
+  SELECT user_id, event_id, event_type, value, ts,
+    row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn,
+    COUNT(*) OVER (PARTITION BY user_id) AS n_events
+  FROM events
+)
+SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+  ROUND(value, 6) AS last_value, ts AS last_ts, n_events
+FROM r WHERE rn = 1 ORDER BY user_id
+"""

@@ -57,3 +57,33 @@ def test_scd2_closed_rows_match_changed_keys(spark, sf_dir):
     assert bad == 0
     assert closed.filter(F.col("valid_to").isNull()).count() == 0
     out.unpersist()
+
+
+def test_keep_canonical_keeps_originals(spark, sf_dir):
+    """On the planted corpus every truncated copy (doc_id >= 1000000)
+    loses to its longer original: no kept doc is a copy, and every
+    cluster keeps exactly its longest member."""
+    from f1_data_engineering_spark.operators import dedup as DD
+
+    rows = DD.dedup_keep_canonical(spark, sf_dir).collect()
+    assert rows
+    assert all(r["kept_doc"] < 1000000 for r in rows)
+    assert all(r["cluster_size"] >= 2 for r in rows)
+
+
+def test_latest_event_state_is_true_argmax(spark, sf_dir):
+    """Cross-check one user's snapshot against a direct sort."""
+    from f1_data_engineering_spark.operators import timeops as TO
+    from f1_data_engineering_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+
+    rows = TO.latest_event_state(spark, sf_dir).collect()
+    uid = rows[0]["user_id"]
+    direct = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") == uid)
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .collect()
+    )
+    assert rows[0]["last_event_id"] == direct[0]["event_id"]
+    assert rows[0]["n_events"] == len(direct)
