@@ -26,6 +26,8 @@ __all__ = [
     "write_partitioned",
     "read_partitioned",
     "list_partitions",
+    "read_evolved",
+    "union_evolved",
 ]
 
 #: Default partition scheme, mirroring the reference's directory keys.
@@ -74,3 +76,29 @@ def list_partitions(
     df = spark.read.parquet(path)
     present = [k for k in keys if k in df.columns]
     return df.select(*present).distinct().orderBy(*present)
+
+
+def read_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read: ``mergeSchema`` unifies the footers of
+    every file under ``path``, so rows written before a column existed
+    surface it as NULL — how a long-lived lake (new telemetry channels,
+    new event props appearing mid-season) stays queryable end-to-end.
+
+    Scale note: mergeSchema footer reconciliation is a one-time
+    driver-side pass over file metadata; the per-file read schema is
+    then fixed.  Production tables pin the merged schema in a catalog
+    instead of re-merging per query — this helper is the migration /
+    backfill path.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def union_evolved(*frames: DataFrame) -> DataFrame:
+    """Harmonizing union for frames with drifted schemas:
+    ``unionByName(allowMissingColumns=True)`` aligns by COLUMN NAME
+    (never position) and fills absent columns with NULL — the safe way
+    to stack monthly extracts whose schemas grew over time."""
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out

@@ -92,3 +92,33 @@ def test_read_csv_inferred(spark, tmp_path):
     df = read_csv_inferred(spark, str(p))
     assert dict(df.dtypes) == {"a": "int", "b": "double", "c": "string"}
     assert df.count() == 2
+
+
+def test_schema_evolution_merge_and_union(spark, tmp_path):
+    """Old files must gain new columns as NULL under a mergeSchema
+    read, and unionByName(allowMissingColumns) must align drifted
+    frames by name, never position."""
+    from f1_data_engineering_spark.sources.parquetio import (
+        read_evolved,
+        union_evolved,
+    )
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "evolved")
+    v1 = spark.createDataFrame([(1, "a")], "id long, name string")
+    # v2 adds a column AND reorders the shared ones
+    v2 = spark.createDataFrame(
+        [("b", 2, 9.5)], "name string, id long, score double"
+    )
+    v1.write.parquet(base + "/v1")
+    v2.write.parquet(base + "/v2")
+
+    merged = read_evolved(spark, base + "/*")
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["score"] is None  # old file: evolved column is NULL
+    assert rows[2]["score"] == 9.5
+
+    u = union_evolved(v1, v2)
+    got = {r["id"]: (r["name"], r["score"]) for r in u.collect()}
+    assert got == {1: ("a", None), 2: ("b", 9.5)}  # by-name, not position
