@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize_int8": SIM.embedding_quantize_int8,
         # multimodal plumbing (binary columns + typed metadata)
         "blob_metadata": MM.blob_metadata,
+        "frame_sample_census": MM.frame_sample_census,
         # Arrow-batched grouped-map UDF surface
         "zscore_by_user": PD.zscore_by_user,
         # grouped-AGG pandas UDF (UDAF leg) + Python UDTF leg
@@ -264,6 +265,7 @@ def oracle_sql() -> dict[str, str]:
         "sentence_split": UT.ORACLE_SENTENCES,
         "fk_orphan_audit": IG.ORACLE_FK_AUDIT,
         "blob_metadata": MM.ORACLE_BLOB_METADATA,
+        "frame_sample_census": MM.ORACLE_FRAME_CENSUS,
         "build_vocab": TP.ORACLE_VOCAB,
         "pack_sequences": TP.ORACLE_PACK,
         "dataset_splits": TP.ORACLE_SPLITS,

@@ -196,3 +196,35 @@ def extract_features(df: DataFrame) -> DataFrame:
             yield pd.DataFrame({"doc_id": b["doc_id"], "embedding": embs})
 
     return df.mapInPandas(_gen, schema)
+
+
+def frame_sample_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked census of the frame-sampling stage: per doc, the
+    demuxed frame count and how many frames the stride sampler kept.
+
+    The Spark side runs the REAL ``mapInPandas`` path (Arrow batches,
+    cardinality-changing Python demux); the DuckDB oracle recomputes
+    the same counts in closed form (n_frames = bytes//16 + 1, kept =
+    ceil(n_frames/stride)) — so the Python plumbing itself is under the
+    differential gate, not just pytest.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("blob")
+    )
+    fr = sample_frames(d, every_nth=10)
+    return (
+        fr.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("n_frames").alias("n_frames"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_FRAME_CENSUS = """
+SELECT doc_id,
+  CAST((strlen(text) // 16 + 1 + 9) // 10 AS BIGINT) AS n_sampled,
+  CAST(strlen(text) // 16 + 1 AS BIGINT) AS n_frames
+FROM documents ORDER BY doc_id
+"""
