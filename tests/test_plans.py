@@ -275,3 +275,49 @@ def test_quantize_int8_roundtrip(spark, sf_dir):
         assert all(-127 <= q <= 127 for q in r["q"])
         assert r["scale_r"] >= 0
         assert r["mae_r"] <= r["scale_r"] / 2 + 1e-12
+
+
+def test_null_safe_join_is_hash_join(spark, sf_dir):
+    """<=> must plan as a real hash/sort-merge join (EqualNullSafe is a
+    valid equi-join key), never a nested loop."""
+    from f1_data_engineering_spark.operators import analytics as AN
+
+    plan = physical_plan(AN.null_safe_event_join(spark, sf_dir), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
+
+
+def test_daily_spine_no_cartesian(spark, sf_dir):
+    """Spine generation must be explode-of-one-row + equi join, not a
+    cross join against the calendar."""
+    from f1_data_engineering_spark.operators import analytics as AN
+
+    plan = physical_plan(AN.daily_order_spine(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_islands_single_global_window_is_metadata_sized(spark, sf_dir):
+    """The heavy island detection must be bucket-partitioned; only the
+    merge window (over islands, not keys) may be unpartitioned."""
+    from f1_data_engineering_spark.operators import analytics as AN
+
+    import re as _re
+
+    plan = physical_plan(AN.orderkey_islands(spark, sf_dir), "simple")
+    # exactly one SinglePartition exchange (the tiny merge window);
+    # the detection window must hash-partition by bucket
+    singles = len(_re.findall(r"Exchange SinglePartition", plan))
+    assert singles == 1, f"expected 1 single-partition exchange, got {singles}"
+    assert _re.search(r"Exchange hashpartitioning\(bucket", plan), (
+        "island detection window must partition by bucket"
+    )
+
+
+def test_corr_matrix_single_scan(spark, sf_dir):
+    """All pairwise moments must come from ONE lineitem scan."""
+    from f1_data_engineering_spark.operators import profiling as PF
+
+    plan = physical_plan(PF.numeric_corr_matrix(spark, sf_dir), "simple")
+    assert plan.count("Scan parquet") == 1
