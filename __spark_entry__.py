@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_measures": R.unpivot_measures,
         # JSON scalar surface
         "json_props_extract": R.json_props_extract,
+        "variant_props_rollup": R.variant_props_rollup,
         # §2.8 time-format expression library (F2/F4/F9 round-trip, F5/F6/F8)
         "time_format_roundtrip": TO.time_format_roundtrip,
         "wallclock_formats": TO.wallclock_formats,
@@ -220,6 +221,7 @@ def oracle_sql() -> dict[str, str]:
         "set_ops_keys": R.ORACLE_SET_OPS,
         "unpivot_measures": R.ORACLE_UNPIVOT,
         "json_props_extract": R.ORACLE_JSON_PROPS,
+        "variant_props_rollup": R.ORACLE_VARIANT_PROPS,
         "time_format_roundtrip": TO.ORACLE_TIME_ROUNDTRIP,
         "wallclock_formats": TO.ORACLE_WALLCLOCK,
         "boolean_normalize": TO.ORACLE_BOOLEAN,

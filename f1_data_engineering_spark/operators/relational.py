@@ -518,6 +518,48 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def variant_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT ingestion path: ``parse_json`` encodes props to
+    the binary VARIANT type ONCE per row; ``try_variant_get`` then
+    navigates the encoded value without re-parsing — the semi-structured
+    answer to get_json_object when several fields are pulled (each
+    additional extraction is a cheap binary walk, not a regex/parse).
+
+    Same rollup semantics as :func:`json_props_extract`, so the DuckDB
+    oracle is plain JSON SQL — the VARIANT encoding is an engine detail
+    the result must be invariant to.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("p")
+    ).select(
+        "event_type",
+        F.try_variant_get(F.col("p"), "$.k", "long").alias("k"),
+    )
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_VARIANT_PROPS = """
+WITH v AS (
+  SELECT event_type,
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n, COUNT(k) AS n_with_k,
+  CAST(SUM(k) AS BIGINT) AS sum_k, MAX(k) AS max_k
+FROM v GROUP BY event_type ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL twins (driver contract: same column names, same values)
 # ---------------------------------------------------------------------------
