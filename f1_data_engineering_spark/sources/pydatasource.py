@@ -43,6 +43,7 @@ from pyspark.sql.datasource import (
     Filter,
     In,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -136,3 +137,66 @@ class TelemetryDataSource(DataSource):
 def register(spark) -> None:
     """Idempotent registration of the custom source."""
     spark.dataSource.register(TelemetryDataSource)
+
+
+# ---------------------------------------------------------------------------
+# streaming leg: live-session ingest, one lap per micro-batch
+# ---------------------------------------------------------------------------
+
+
+class TelemetryStreamReader(SimpleDataSourceStreamReader):
+    """Lap-by-lap streaming ingest (the reference's unimplemented
+    "real-time updates during live sessions" wish, README.md:357).
+
+    Offset = laps published so far (``{"lap": n}``): exactly-once
+    replay is free because generation is a pure function of the lap
+    number — ``readBetweenOffsets`` re-derives any batch bit-for-bit
+    after a restart, which is precisely the property a real fetch
+    layer must provide (idempotent range reads against the timing API
+    or its cache).  The stream is FINITE (``max_laps``) so tests and
+    availableNow-style drains terminate.
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.samples = int(options.get("samples", SAMPLES))
+        self.max_laps = int(options.get("max_laps", LAPS))
+
+    def initialOffset(self) -> dict:
+        return {"lap": 0}
+
+    def _lap_rows(self, lap: int) -> Iterator[tuple]:
+        for d in DRIVERS:
+            for row in _gen_rows(d, 1, self.samples):
+                # _gen_rows emits lap=1; rebase to the requested lap
+                yield (d, lap, *row[2:])
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        lap = int(start["lap"])
+        if lap >= self.max_laps:
+            return [], {"lap": lap}
+        # a LIST, not a generator: the prefetched batch is pickled into
+        # the stream's offset cache, and generators don't pickle
+        return list(self._lap_rows(lap + 1)), {"lap": lap + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        for lap in range(int(start["lap"]) + 1, int(end["lap"]) + 1):
+            yield from self._lap_rows(lap)
+
+
+class TelemetryStreamDataSource(DataSource):
+    """``spark.readStream.format("f1_telemetry_stream").load()``"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "f1_telemetry_stream"
+
+    def schema(self) -> str | StructType:
+        return SCHEMA_DDL
+
+    def simpleStreamReader(self, schema: StructType) -> TelemetryStreamReader:
+        return TelemetryStreamReader(self.options)
+
+
+def register_stream(spark) -> None:
+    """Idempotent registration of the streaming source."""
+    spark.dataSource.register(TelemetryStreamDataSource)

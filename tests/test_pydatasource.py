@@ -67,3 +67,40 @@ def test_source_feeds_relational_layer(spark):
     rows = agg.collect()
     assert len(rows) == len(P.DRIVERS) * P.LAPS
     assert all(80.0 <= r["avg_speed"] <= 320.0 for r in rows)
+
+
+def test_streaming_source_lap_by_lap(spark, tmp_path):
+    """The streaming leg must deliver every lap exactly once into a
+    memory sink and stop producing at max_laps."""
+    import time
+
+    P.register_stream(spark)
+    q = (
+        spark.readStream.format("f1_telemetry_stream")
+        .option("max_laps", 3)
+        .load()
+        .groupBy("lap")
+        .count()
+        .writeStream.format("memory")
+        .queryName("telemetry_stream_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        expect = len(P.DRIVERS) * P.SAMPLES
+        deadline = time.time() + 60
+        done = False
+        while time.time() < deadline and not done:
+            time.sleep(1)
+            rows = {
+                r["lap"]: r["count"]
+                for r in spark.sql(
+                    "SELECT * FROM telemetry_stream_test"
+                ).collect()
+            }
+            done = rows == {1: expect, 2: expect, 3: expect}
+        assert done, f"incomplete stream state: {rows}"
+    finally:
+        q.stop()
