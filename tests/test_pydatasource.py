@@ -104,3 +104,33 @@ def test_streaming_source_lap_by_lap(spark, tmp_path):
         assert done, f"incomplete stream state: {rows}"
     finally:
         q.stop()
+
+
+def test_manifest_sink_commit_protocol(spark, tmp_path):
+    """Shards become visible only through the manifest; round-trip
+    preserves rows; uncommitted temp files are ignored by readers."""
+    import json, os
+
+    from f1_data_engineering_spark.sources import pydatasink as S
+
+    S.register_sink(spark)
+    df = spark.range(100).selectExpr("id", "id * 2 AS double_id")
+    out = str(tmp_path / "sink")
+    os.makedirs(out, exist_ok=True)
+    df.write.format("jsonl_manifest").mode("append").save(out)
+
+    with open(os.path.join(out, S.MANIFEST)) as f:
+        manifest = json.load(f)
+    assert manifest["n_rows"] == 100
+    assert sum(s["n_rows"] for s in manifest["shards"]) == 100
+
+    # plant a torn shard from a "crashed task" — must stay invisible
+    tmp_dir = os.path.join(out, "_tmp")
+    os.makedirs(tmp_dir, exist_ok=True)
+    with open(os.path.join(tmp_dir, "deadbeef.jsonl"), "w") as f:
+        f.write('{"id": 999999, "double_id": 0}\n')
+
+    back = S.read_committed(spark, out)
+    assert back.count() == 100
+    assert back.filter("id = 999999").count() == 0
+    assert {r["id"] for r in back.collect()} == set(range(100))
