@@ -8,6 +8,7 @@ expression pipelines stay inside WholeStageCodegen.
 
 from .introspect import (
     assert_broadcast_join,
+    attach_audit,
     assert_column_pruned,
     assert_no_cartesian,
     assert_pushed_filters,
@@ -22,4 +23,5 @@ __all__ = [
     "assert_broadcast_join",
     "assert_column_pruned",
     "assert_no_cartesian",
+    "attach_audit",
 ]

@@ -13,6 +13,7 @@ __all__ = [
     "assert_broadcast_join",
     "assert_column_pruned",
     "assert_no_cartesian",
+    "attach_audit",
 ]
 
 
@@ -73,3 +74,27 @@ def assert_no_cartesian(df: DataFrame) -> None:
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
         if bad in plan:
             raise AssertionError(f"plan contains {bad}\n{plan}")
+
+
+def attach_audit(df: DataFrame, name: str, *key_columns: str):
+    """Attach zero-extra-pass pipeline audit metrics via
+    ``Observation``: row count plus per-key null counts ride the job's
+    existing action (no second scan, no collect of data rows).
+
+    Returns ``(df, observation)`` — after any action on ``df``,
+    ``observation.get`` yields the metric dict.  This is the engine's
+    answer to the reference's log-and-hope error accounting
+    (try/except-with-log around every stage, e.g.
+    f1_dataTransformer.py:202-207): audits are exact, computed where
+    the data is, and cost one expression per metric.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    for c in key_columns:
+        metrics.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"n_null_{c}")
+        )
+    return df.observe(obs, *metrics), obs

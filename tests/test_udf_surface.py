@@ -89,3 +89,46 @@ def test_fk_audit_detects_planted_orphans(spark, tmp_path, sf_dir):
     pq.write_table(pa.Table.from_pandas(pdf), tmp_path / "nation.parquet")
     rows = {r["fk_edge"]: r for r in IG.fk_orphan_audit(spark, str(tmp_path)).collect()}
     assert rows["nation.n_regionkey->region"]["n_orphans"] == 2
+
+
+def test_arrow_optimized_scalar_udf(spark):
+    """The Arrow-optimized scalar UDF leg (useArrow=True): same
+    semantics as the row-path UDF, Arrow-batched transfer.  Kept off
+    the oracle path (Python UDFs are the sanctioned slow lane) but the
+    matrix leg must work."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    @F.udf(returnType=LongType(), useArrow=True)
+    def collatz_steps(n: int) -> int:
+        steps = 0
+        n = n or 0
+        while n > 1 and steps < 200:
+            n = n // 2 if n % 2 == 0 else 3 * n + 1
+            steps += 1
+        return steps
+
+    df = spark.range(1, 20).select(collatz_steps("id").alias("steps"))
+    got = [r["steps"] for r in df.collect()]
+    def ref(n):
+        s = 0
+        while n > 1 and s < 200:
+            n = n // 2 if n % 2 == 0 else 3 * n + 1
+            s += 1
+        return s
+    assert got == [ref(n) for n in range(1, 20)]
+
+
+def test_attach_audit_observation(spark, sf_dir):
+    """Audit metrics must ride the existing action: one job, exact
+    row/null counts."""
+    from f1_data_engineering_spark.plans import attach_audit
+    from f1_data_engineering_spark.sources.registry import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    audited, obs = attach_audit(o, "orders_audit", "o_custkey", "o_totalprice")
+    n = audited.count()  # the action the metrics ride on
+    m = obs.get
+    assert m["n_rows"] == n
+    assert m["n_null_o_custkey"] == o.filter("o_custkey IS NULL").count()
+    assert m["n_null_o_totalprice"] >= 0
