@@ -79,3 +79,59 @@ SELECT doc_id,
     AS n_tokens
 FROM parts
 """
+
+
+# ---------------------------------------------------------------------------
+# dynamic-schema UDTF (analyze() — Spark 4 polymorphic table function)
+# ---------------------------------------------------------------------------
+
+
+class TokenMetrics:
+    """Polymorphic table function: ``token_metrics(text, 'len,alpha')``
+    emits one row per token with ONLY the requested metric columns —
+    the output schema is computed at PLAN TIME by ``analyze`` from the
+    constant metrics argument.
+
+    This is the Spark 4 answer to "one UDTF per column combination":
+    callers select the metrics, the planner gets an exact static
+    schema (so downstream pruning/codegen work normally), and eval
+    emits tuples matching it.
+    """
+
+    METRICS = ("len", "alpha", "digit")
+
+    @staticmethod
+    def analyze(text, metrics):
+        from pyspark.sql.functions import AnalyzeResult
+        from pyspark.sql.types import LongType, StringType, StructType
+
+        requested = [
+            m.strip() for m in (metrics.value or "").split(",") if m.strip()
+        ]
+        bad = set(requested) - set(TokenMetrics.METRICS)
+        if bad:
+            raise ValueError(f"unknown token metrics: {sorted(bad)}")
+        schema = StructType().add("token", StringType())
+        for m in requested:
+            schema = schema.add(m, LongType())
+        return AnalyzeResult(schema=schema)
+
+    def __init__(self, analyze_result=None) -> None:
+        self._requested: list[str] | None = None
+
+    def eval(self, text: str, metrics: str):
+        requested = [
+            m.strip() for m in (metrics or "").split(",") if m.strip()
+        ]
+        if text is None:
+            return
+        for tok in text.split():
+            row = [tok]
+            for m in requested:
+                if m == "len":
+                    row.append(len(tok))
+                elif m == "alpha":
+                    row.append(sum(c.isalpha() for c in tok))
+                elif m == "digit":
+                    row.append(sum(c.isdigit() for c in tok))
+            yield tuple(row)

@@ -132,3 +132,27 @@ def test_attach_audit_observation(spark, sf_dir):
     assert m["n_rows"] == n
     assert m["n_null_o_custkey"] == o.filter("o_custkey IS NULL").count()
     assert m["n_null_o_totalprice"] >= 0
+
+
+def test_polymorphic_udtf_schema_follows_argument(spark):
+    """analyze()-based UDTF: the output schema is derived from the
+    constant metrics argument at plan time."""
+    from pyspark.sql.functions import udtf as udtf_fn
+
+    from f1_data_engineering_spark.operators.udtf_ops import TokenMetrics
+
+    spark.udtf.register("token_metrics", udtf_fn(TokenMetrics))
+    spark.sql("SELECT 'ab1 xyz' AS t").createOrReplaceTempView("_tm_in")
+
+    wide = spark.sql(
+        "SELECT s.* FROM _tm_in, LATERAL token_metrics(t, 'len,alpha,digit') s"
+    )
+    assert wide.columns == ["token", "len", "alpha", "digit"]
+    rows = {r["token"]: r for r in wide.collect()}
+    assert (rows["ab1"]["len"], rows["ab1"]["alpha"], rows["ab1"]["digit"]) == (3, 2, 1)
+    assert (rows["xyz"]["len"], rows["xyz"]["alpha"], rows["xyz"]["digit"]) == (3, 3, 0)
+
+    narrow = spark.sql(
+        "SELECT s.* FROM _tm_in, LATERAL token_metrics(t, 'len') s"
+    )
+    assert narrow.columns == ["token", "len"]
