@@ -71,6 +71,10 @@ BENCH_QUERIES = (
     "grouping_sets_revenue",
     "window_rank_suite",
     "embedding_quantize_int8",
+    "latest_event_state",
+    "daily_order_spine",
+    "variant_props_rollup",
+    "zipf_fit",
 )
 
 

@@ -262,3 +262,65 @@ def write_stream_append_to_memory(df: DataFrame, name: str):
     )
     q.awaitTermination()
     return q
+
+
+SESSION_STATE_SCHEMA = "n_seen LONG, sum_value DOUBLE"
+SESSION_OUTPUT = (
+    "user_id LONG, n_seen LONG, sum_value DOUBLE, closed BOOLEAN"
+)
+
+#: Idle gap after which a user's session state is evicted (ms).
+SESSION_IDLE_MS = 500
+
+
+def _expiring_fn(key, pdfs, state):
+    """Stateful session with PROCESSING-TIME EXPIRY: accumulate per
+    user; when the key goes idle past SESSION_IDLE_MS the state times
+    out, a FINAL ``closed=true`` record is emitted, and the state store
+    entry is dropped — bounded state over unbounded key spaces, the
+    production answer to the NoTimeout variant's caveat.
+    """
+    import pandas as pd
+
+    if state.hasTimedOut:
+        n, sv = state.get
+        state.remove()  # evict — state size stays O(active users)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_seen": [n],
+                "sum_value": [round(sv, 4)],
+                "closed": [True],
+            }
+        )
+        return
+    n, sv = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        sv += float(pdf["value"].sum())
+    state.update((n, sv))
+    state.setTimeoutDuration(SESSION_IDLE_MS)
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_seen": [n],
+            "sum_value": [round(sv, 4)],
+            "closed": [False],
+        }
+    )
+
+
+def stateful_session_with_expiry(stream):
+    """applyInPandasWithState with ProcessingTimeTimeout: running
+    per-user totals that EMIT A CLOSING RECORD and evict state when the
+    user goes idle — custom session semantics no built-in window
+    expresses (the close event itself is output)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _expiring_fn,
+        outputStructType=SESSION_OUTPUT,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -239,3 +239,47 @@ def test_available_now_incremental_rerun_processes_only_new_files(
     # total = first + second, with NO re-processing of the first files
     assert got.count() == ev.count()
     assert got.select("event_id").distinct().count() == ev.count()
+
+
+def test_stateful_expiry_emits_closing_record(spark, tmp_path):
+    """ProcessingTimeTimeout: once a user goes idle, the state times
+    out, a closed=true record with the final totals is emitted, and
+    state is evicted."""
+    import time
+
+    from f1_data_engineering_spark.streaming import events as SE
+
+    src = tmp_path / "expiry_src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, 10.0), (1, 5.0), (2, 7.0)], "user_id long, value double"
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "batch0"))
+
+    stream = spark.readStream.schema("user_id long, value double").parquet(
+        str(src) + "/*"
+    )
+    q = (
+        SE.stateful_session_with_expiry(stream)
+        .writeStream.format("memory")
+        .queryName("expiry_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        closed = {}
+        while time.time() < deadline and len(closed) < 2:
+            time.sleep(1)
+            closed = {
+                r["user_id"]: r
+                for r in spark.sql(
+                    "SELECT * FROM expiry_test WHERE closed"
+                ).collect()
+            }
+        assert set(closed) == {1, 2}, f"missing close records: {closed}"
+        assert closed[1]["n_seen"] == 2 and closed[1]["sum_value"] == 15.0
+        assert closed[2]["n_seen"] == 1 and closed[2]["sum_value"] == 7.0
+    finally:
+        q.stop()
