@@ -20,6 +20,7 @@ from f1_data_engineering_spark.operators import merge as MG
 from f1_data_engineering_spark.operators import profiling as PF
 from f1_data_engineering_spark.operators import relational as R
 from f1_data_engineering_spark.operators import similarity as SIM
+from f1_data_engineering_spark.operators import timeops as TO
 from f1_data_engineering_spark.plans import count_exchanges, physical_plan
 from f1_data_engineering_spark.session import get_spark
 
@@ -153,6 +154,27 @@ AUDIT = [
         "Zero-exchange map-only plan: array transform/aggregate exprs in "
         "the scan stage (JVM codegen), sort only for presentation — at "
         "scale this is scan-bandwidth-bound compression.",
+    ),
+    (
+        "latest_event_state",
+        TO.latest_event_state,
+        "Last-write-wins snapshot: ONE exchange on the key feeds a single "
+        "window pass computing both row_number and the per-key count — no "
+        "self-join, no second aggregate.",
+    ),
+    (
+        "daily_order_spine",
+        AN.daily_order_spine,
+        "Calendar spine from a 1-row aggregate exploded plan-side; per-day "
+        "partials are the only full-data shuffle; the rolling window runs "
+        "over days (metadata-sized).",
+    ),
+    (
+        "variant_props_rollup",
+        R.variant_props_rollup,
+        "VARIANT path: parse_json once in the scan stage, binary "
+        "variant_get extraction (no re-parse per field), then a plain "
+        "partial-aggregated rollup.",
     ),
 ]
 
