@@ -228,3 +228,59 @@ SELECT doc_id,
   CAST(strlen(text) // 16 + 1 AS BIGINT) AS n_frames
 FROM documents ORDER BY doc_id
 """
+
+
+#: Schema of the resize stage output.
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("src_width", T.IntegerType()),
+        T.StructField("src_height", T.IntegerType()),
+        T.StructField("dst_width", T.IntegerType()),
+        T.StructField("dst_height", T.IntegerType()),
+        T.StructField("scale", T.DoubleType()),
+        T.StructField("resized_digest", T.StringType()),
+    ]
+)
+
+
+def resize_images(df: DataFrame, max_side: int = 224) -> DataFrame:
+    """Resize stage: (doc_id, blob) → aspect-preserving target geometry
+    + digest of the (fake) resampled payload.  The geometry math —
+    scale = max_side / longest side, never upscale — is the real
+    preprocessing contract; the pixel resample is the stubbed part
+    (sha256 of bytes+geometry stands in for the resampled buffer).
+
+    Scale shape: pure mapInPandas over (doc_id, blob); the resized
+    payload would be WRITTEN column-separate by the next sink, never
+    shuffled (same rule as frames).
+    """
+    import hashlib
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "doc_id", "src_width", "src_height",
+                "dst_width", "dst_height", "scale", "resized_digest",
+            )}
+            for doc_id, blob in zip(b["doc_id"], b["blob"]):
+                raw = bytes(blob)
+                n = len(raw)
+                # fake decode: same dimension derivation as decode_media
+                sw, sh = n % 1920 + 1, n % 1080 + 1
+                scale = min(1.0, max_side / max(sw, sh))
+                dw = max(1, int(sw * scale))
+                dh = max(1, int(sh * scale))
+                digest = hashlib.sha256(
+                    raw + dw.to_bytes(4, "big") + dh.to_bytes(4, "big")
+                ).hexdigest()[:16]
+                out["doc_id"].append(doc_id)
+                out["src_width"].append(sw)
+                out["src_height"].append(sh)
+                out["dst_width"].append(dw)
+                out["dst_height"].append(dh)
+                out["scale"].append(round(scale, 6))
+                out["resized_digest"].append(digest)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_gen, RESIZED_SCHEMA)

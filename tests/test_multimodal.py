@@ -98,3 +98,34 @@ def test_extract_features_feeds_similarity(spark, media_df):
         .collect()
     )
     assert all(abs(r["s"] - 1.0) < 1e-12 for r in sim)
+
+
+def test_resize_geometry_contract(spark, sf_dir):
+    """Aspect ratio preserved, longest side capped at max_side, never
+    upscaled, deterministic digests."""
+    from pyspark.sql import functions as F
+
+    from f1_data_engineering_spark.operators import multimodal as MM
+    from f1_data_engineering_spark.sources.registry import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("blob")
+    )
+    rows = MM.resize_images(d, max_side=224).collect()
+    assert rows
+    for r in rows:
+        longest = max(r["src_width"], r["src_height"])
+        assert max(r["dst_width"], r["dst_height"]) <= max(224, 1)
+        if longest <= 224:
+            assert (r["dst_width"], r["dst_height"]) == (
+                r["src_width"], r["src_height"],
+            )  # never upscale
+        else:
+            # aspect preserved within integer truncation
+            assert abs(
+                r["dst_width"] / r["src_width"]
+                - r["dst_height"] / r["src_height"]
+            ) < 0.02
+        assert len(r["resized_digest"]) == 16
+    again = {r["doc_id"]: r["resized_digest"] for r in MM.resize_images(d).collect()}
+    assert all(again[r["doc_id"]] == r["resized_digest"] for r in rows)
