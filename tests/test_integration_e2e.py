@@ -73,3 +73,38 @@ def test_full_chain(spark, tmp_path):
     assert len(rows) == 6
     assert all(r["TotalGearChanges"] == 0 for r in rows)
     assert all(abs(r["AvgSpeed"] - 154.5) < 1e-9 for r in rows)
+
+
+def test_source_to_sink_chain(spark, tmp_path):
+    """Second full chain through the Spark-4 custom boundary: pluggable
+    telemetry SOURCE (partition-per-driver, pushdown) → per-lap
+    aggregation → manifest-commit SINK → committed read-back."""
+    from f1_data_engineering_spark.sources import pydatasink as SK
+    from f1_data_engineering_spark.sources import pydatasource as SRC
+
+    SRC.register(spark)
+    SK.register_sink(spark)
+
+    per_lap = (
+        spark.read.format("f1_telemetry").option("laps", 2).load()
+        .groupBy("driver", "lap")
+        .agg(
+            F.round(F.avg("speed"), 3).alias("avg_speed"),
+            F.max("rpm").alias("max_rpm"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+    )
+    out = str(tmp_path / "telemetry_gold")
+    os.makedirs(out, exist_ok=True)
+    per_lap.write.format("jsonl_manifest").mode("append").save(out)
+
+    back = SK.read_committed(spark, out)
+    assert back.count() == len(SRC.DRIVERS) * 2
+    assert set(back.columns) == {
+        "driver", "lap", "avg_speed", "max_rpm", "n_samples",
+    }
+    assert back.filter(F.col("n_samples") != SRC.SAMPLES).count() == 0
+    # round-trip values agree with the in-memory frame
+    a = {(r["driver"], r["lap"]): r["avg_speed"] for r in per_lap.collect()}
+    b = {(r["driver"], r["lap"]): r["avg_speed"] for r in back.collect()}
+    assert a == b
