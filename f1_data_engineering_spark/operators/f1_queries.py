@@ -104,3 +104,32 @@ def telemetry_compare(
         .select("Driver", "LapNumber", metric)
         .orderBy("Driver", "LapNumber")
     )
+
+
+def event_info_kv(event_info: DataFrame) -> DataFrame:
+    """display_event_info (streamlit_app.py:174-180): the 1-row
+    event_info table transposed to (Field, Value) rows — ``df.iloc[0].T``
+    as an unpivot over the static schema (plan-time ``stack``, every
+    value rendered to its string form; NULL stays NULL like pandas NaN
+    renders).  Empty input → empty result (the dashboard's "No event
+    information available" branch is presentation, not data).
+    """
+    cols = event_info.columns
+    branches = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in cols)
+    return event_info.limit(1).select(
+        F.expr(f"stack({len(cols)}, {branches}) AS (Field, Value)")
+    )
+
+
+def session_header(event_info: DataFrame, fallback_event: str, fallback_session: str) -> tuple[str, str]:
+    """Header lookup (streamlit_app.py:510-522): prettier names from
+    event_info when present, else the folder-derived fallbacks — the
+    same coalesce, minus the silent try/except (a missing column is a
+    schema fact here, checked statically)."""
+    row = event_info.limit(1).collect()
+    if not row:
+        return fallback_event, fallback_session
+    r = row[0].asDict()
+    ev = r.get("EventName") or fallback_event
+    se = r.get("SessionNameActual") or fallback_session
+    return str(ev), str(se)

@@ -178,3 +178,29 @@ def test_shift_from_session_start(spark):
         shift_from_session_start("start", "offset").alias("abs_ts")
     ).collect()[0]["abs_ts"]
     assert got == dt.datetime(2024, 3, 2, 15, 1, 30, 456000)
+
+
+def test_event_info_kv_transpose(spark):
+    from f1_data_engineering_spark.operators.f1_queries import (
+        event_info_kv,
+        session_header,
+    )
+
+    ei = spark.createDataFrame(
+        [(2024, "Monaco Grand Prix", "Race", None)],
+        "Year int, EventName string, SessionNameActual string, Note string",
+    )
+    kv = {r["Field"]: r["Value"] for r in event_info_kv(ei).collect()}
+    assert kv == {
+        "Year": "2024",
+        "EventName": "Monaco Grand Prix",
+        "SessionNameActual": "Race",
+        "Note": None,
+    }
+    assert session_header(ei, "folder_ev", "folder_se") == (
+        "Monaco Grand Prix", "Race",
+    )
+    empty = ei.filter("Year = 0")
+    assert session_header(empty, "folder_ev", "folder_se") == (
+        "folder_ev", "folder_se",
+    )
