@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": TP.pack_sequences,
         "dataset_splits": TP.dataset_splits,
         "chunk_documents": TP.chunk_documents,
+        "token_budget_mix": TP.token_budget_mix,
         # data-layout optimization (z-order clustering, compaction)
         "zorder_tile_stats": LY.zorder_tile_stats,
         "compaction_plan": LY.compaction_plan,
@@ -272,6 +273,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": TP.ORACLE_PACK,
         "dataset_splits": TP.ORACLE_SPLITS,
         "chunk_documents": TP.ORACLE_CHUNKS,
+        "token_budget_mix": TP.ORACLE_BUDGET_MIX,
         "zorder_tile_stats": LY.ORACLE_ZORDER_TILES,
         "compaction_plan": LY.ORACLE_COMPACTION,
         "decontaminate_ngrams": DC.ORACLE_DECONTAM,

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from ..functions.text import token_count, tokens
 from ..sources.registry import load_table, spread
 
-__all__ = ["build_vocab", "pack_sequences", "dataset_splits"]
+__all__ = ["build_vocab", "pack_sequences", "dataset_splits", "chunk_documents", "token_budget_mix"]
 
 VOCAB_SIZE = 1000
 PACK_BUDGET = 512  # tokens per packed sequence bin
@@ -270,4 +270,72 @@ SELECT doc_id, chunk_idx,
   CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
   array_to_string(chunk, ' ') AS chunk_text
 FROM c
+"""
+
+
+#: Per-source token budget for the mixing operator.
+MIX_BUDGET = 3000
+
+
+def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing under a per-source token budget: docs are taken in
+    deterministic md5-hash order (an impartial shuffle every engine
+    reproduces) until the source's budget is exhausted; the summary
+    reports kept/total docs and tokens per source.
+
+    This is the mixture-weighting step of pretraining-data assembly:
+    budgets come from the target mixture, the hash order de-biases
+    document position, and membership stays a pure row-local function
+    of (doc, budget) — re-runs and engines agree exactly.  Shape: one
+    window per source over (hash, doc_id) + the final rollup.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        token_count("text").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string").cast("binary")).alias("h"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    kept = d.withColumn("cum", cum).withColumn(
+        "keep", (F.col("cum") - F.col("n_tokens")) < MIX_BUDGET
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.sum(F.when(F.col("keep"), F.col("n_tokens")).otherwise(0)).alias(
+                "kept_tokens"
+            ),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_BUDGET_MIX = f"""
+WITH d AS (
+  SELECT doc_id, source, len({_SQL_TOKENS}) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+    SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d
+)
+SELECT source,
+  COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN cum - n_tokens < {MIX_BUDGET} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_kept,
+  CAST(SUM(CASE WHEN cum - n_tokens < {MIX_BUDGET} THEN n_tokens ELSE 0 END)
+       AS BIGINT) AS kept_tokens,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM c GROUP BY source ORDER BY source
 """

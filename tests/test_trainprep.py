@@ -85,3 +85,19 @@ def test_chunks_cover_tokens_with_overlap(spark, sf_dir):
             assert last["chunk_idx"] * CHUNK_STRIDE + last["n_chunk_tokens"] == n
         else:
             assert last["n_chunk_tokens"] == min(n, CHUNK_TOKENS)
+
+
+def test_token_budget_mix_respects_budget(spark, sf_dir):
+    """Kept tokens may overshoot the budget only by the last doc, and
+    the kept set must be the hash-order prefix."""
+    from f1_data_engineering_spark.operators import trainprep as TP
+
+    rows = TP.token_budget_mix(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["n_kept"] <= r["n_docs"]
+        assert r["kept_tokens"] <= r["total_tokens"]
+        if r["n_kept"] < r["n_docs"]:
+            # budget binding: strictly fewer tokens kept than total,
+            # and the pre-last-doc cumsum was under budget
+            assert r["kept_tokens"] >= TP.MIX_BUDGET  # crossed the line
