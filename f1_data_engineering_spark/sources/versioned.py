@@ -1,0 +1,159 @@
+"""Versioned parquet table: a minimal transaction log over a plain
+parquet directory — append/overwrite snapshots, time travel, history,
+and optimistic concurrency, in the style of (but much smaller than) a
+lakehouse table format.
+
+Why it exists here: the environment has no Delta/Iceberg packages, but
+the ENGINE-level capabilities they provide — atomic visibility,
+snapshot isolation for readers, time travel — are part of what a
+production Spark lake needs.  This module demonstrates the mechanics
+with nothing but parquet + JSON:
+
+* data files land under the table root with UUID names (never
+  overwritten, never mutated);
+* ``_log/%08d.json`` entries record each version: the ACTION
+  (append/overwrite) and the FILE LIST added by that version;
+* a snapshot at version V = all files appended since the most recent
+  overwrite ≤ V — readers resolve the list from the log only, so
+  half-written data files are invisible (same manifest-last principle
+  as ``pydatasink``);
+* commits are OPTIMISTIC: the log entry is staged to a temp name and
+  ``os.link``-ed into place — if the version file already exists a
+  concurrent writer won, and the commit retries against the new head.
+
+Single-table, filesystem-atomic-rename semantics — the honest scope;
+a real format adds schema evolution in the log, stats for file
+skipping (see operators/layout.py for that piece), and a catalog.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+LOG_DIR = "_log"
+
+__all__ = [
+    "write_versioned",
+    "read_versioned",
+    "table_history",
+    "latest_version",
+]
+
+
+def _log_path(path: str) -> str:
+    return os.path.join(path, LOG_DIR)
+
+
+def _entries(path: str) -> list[dict]:
+    log = _log_path(path)
+    if not os.path.isdir(log):
+        return []
+    out = []
+    for name in sorted(os.listdir(log)):
+        if name.endswith(".json"):
+            with open(os.path.join(log, name)) as f:
+                out.append(json.load(f))
+    return out
+
+
+def latest_version(path: str) -> int:
+    """Highest committed version, or -1 for an empty/new table."""
+    es = _entries(path)
+    return es[-1]["version"] if es else -1
+
+
+def table_history(path: str) -> list[dict]:
+    """The commit log, oldest first."""
+    return _entries(path)
+
+
+def _stage_files(df: DataFrame, path: str) -> tuple[list[str], int]:
+    """Write df as parquet into the table root under fresh UUID names;
+    returns (relative file names, row count).  Files are invisible to
+    readers until a log entry references them."""
+    stage = os.path.join(path, f"_stage_{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(stage)
+    names = []
+    n_rows = 0
+    for f in sorted(os.listdir(stage)):
+        if f.endswith(".parquet"):
+            final = f"data-{uuid.uuid4().hex}.parquet"
+            os.replace(os.path.join(stage, f), os.path.join(path, final))
+            names.append(final)
+    # row count from the committed files' footers (cheap, driver-side)
+    import pyarrow.parquet as pq
+
+    for f in names:
+        n_rows += pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+    # clean the stage dir (success markers etc.)
+    for f in os.listdir(stage):
+        os.remove(os.path.join(stage, f))
+    os.rmdir(stage)
+    return names, n_rows
+
+
+def write_versioned(df: DataFrame, path: str, mode: str = "append") -> int:
+    """Commit ``df`` as a new version; returns the committed version.
+
+    ``append`` adds files to the current snapshot; ``overwrite`` starts
+    a fresh snapshot (old files stay on disk for time travel until a
+    vacuum).  Optimistic concurrency: on a version collision with a
+    concurrent writer the commit RETRIES against the new head (the
+    staged data files are already safely invisible, so retrying is
+    only a log race, not a data rewrite).
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    os.makedirs(_log_path(path), exist_ok=True)
+    files, n_rows = _stage_files(df, path)
+    log = _log_path(path)
+    tmp = os.path.join(log, f"_tmp_{uuid.uuid4().hex}.json")
+    while True:
+        version = latest_version(path) + 1
+        entry = {
+            "version": version,
+            "action": mode,
+            "files": files,
+            "n_rows": n_rows,
+        }
+        with open(tmp, "w") as f:
+            json.dump(entry, f)
+        target = os.path.join(log, f"{version:08d}.json")
+        try:
+            os.link(tmp, target)  # atomic: fails iff the version exists
+            os.remove(tmp)
+            return version
+        except FileExistsError:
+            continue  # lost the race — re-read head and retry
+
+
+def _snapshot_files(path: str, version: int | None) -> list[str]:
+    es = _entries(path)
+    if version is not None:
+        es = [e for e in es if e["version"] <= version]
+        if not es or es[-1]["version"] != version and version > es[-1]["version"]:
+            if version > (es[-1]["version"] if es else -1):
+                raise ValueError(f"version {version} does not exist")
+    files: list[str] = []
+    for e in es:
+        if e["action"] == "overwrite":
+            files = list(e["files"])
+        else:
+            files.extend(e["files"])
+    return files
+
+
+def read_versioned(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read: latest by default, or time travel to ``version``.
+    Resolves the file list from the log, so concurrent in-flight writes
+    and orphaned data files are never read."""
+    files = _snapshot_files(path, version)
+    if not files:
+        raise ValueError(f"no committed data in {path} at version {version}")
+    return spark.read.parquet(*[os.path.join(path, f) for f in files])

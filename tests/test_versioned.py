@@ -1,0 +1,74 @@
+"""Versioned parquet table (sources/versioned.py): snapshots, time
+travel, optimistic commits."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from f1_data_engineering_spark.sources import versioned as V
+
+
+def _df(spark, lo, hi, tag):
+    return spark.range(lo, hi).selectExpr("id", f"'{tag}' AS tag")
+
+
+def test_append_overwrite_time_travel(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    v0 = V.write_versioned(_df(spark, 0, 10, "a"), t, "overwrite")
+    v1 = V.write_versioned(_df(spark, 10, 15, "b"), t, "append")
+    v2 = V.write_versioned(_df(spark, 100, 103, "c"), t, "overwrite")
+    assert (v0, v1, v2) == (0, 1, 2)
+
+    assert V.read_versioned(spark, t).count() == 3  # latest = post-overwrite
+    assert V.read_versioned(spark, t, version=0).count() == 10
+    assert V.read_versioned(spark, t, version=1).count() == 15
+    tags = {r["tag"] for r in V.read_versioned(spark, t, version=1).collect()}
+    assert tags == {"a", "b"}
+
+    hist = V.table_history(t)
+    assert [h["action"] for h in hist] == ["overwrite", "append", "overwrite"]
+    assert [h["n_rows"] for h in hist] == [10, 5, 3]
+    assert V.latest_version(t) == 2
+
+
+def test_uncommitted_files_invisible(spark, tmp_path):
+    t = str(tmp_path / "tbl2")
+    V.write_versioned(_df(spark, 0, 4, "a"), t, "overwrite")
+    # orphan data file with NO log entry (simulated crashed writer)
+    _df(spark, 90, 99, "zz").coalesce(1).write.parquet(str(tmp_path / "orphan"))
+    src = next(
+        f for f in os.listdir(tmp_path / "orphan") if f.endswith(".parquet")
+    )
+    os.replace(
+        str(tmp_path / "orphan" / src), os.path.join(t, "data-orphan.parquet")
+    )
+    got = V.read_versioned(spark, t)
+    assert got.count() == 4
+    assert not [r for r in got.collect() if r["tag"] == "zz"]
+
+
+def test_version_collision_retries(spark, tmp_path):
+    """If a concurrent writer claims the next version, the commit must
+    retry and land on the following one."""
+    t = str(tmp_path / "tbl3")
+    V.write_versioned(_df(spark, 0, 3, "a"), t, "overwrite")
+    # a "concurrent writer" pre-claims version 1 with an empty append
+    log = os.path.join(t, V.LOG_DIR)
+    with open(os.path.join(log, "00000001.json"), "w") as f:
+        json.dump(
+            {"version": 1, "action": "append", "files": [], "n_rows": 0}, f
+        )
+    v = V.write_versioned(_df(spark, 3, 6, "b"), t, "append")
+    assert v == 2
+    assert V.read_versioned(spark, t).count() == 6
+    assert V.latest_version(t) == 2
+
+
+def test_missing_version_raises(spark, tmp_path):
+    t = str(tmp_path / "tbl4")
+    V.write_versioned(_df(spark, 0, 2, "a"), t, "overwrite")
+    import pytest
+
+    with pytest.raises(ValueError):
+        V.read_versioned(spark, t, version=9)
