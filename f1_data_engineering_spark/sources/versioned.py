@@ -41,6 +41,7 @@ __all__ = [
     "read_versioned",
     "table_history",
     "latest_version",
+    "read_version_delta",
 ]
 
 
@@ -156,4 +157,38 @@ def read_versioned(
     files = _snapshot_files(path, version)
     if not files:
         raise ValueError(f"no committed data in {path} at version {version}")
+    return spark.read.parquet(*[os.path.join(path, f) for f in files])
+
+
+def read_version_delta(
+    spark: SparkSession, path: str, from_version: int, to_version: int
+) -> DataFrame:
+    """Incremental read: ONLY the rows appended in versions
+    ``(from_version, to_version]`` — the change feed that lets a
+    downstream aggregate update from its last materialized state
+    instead of recomputing the world (at 100 TB the difference between
+    a nightly full rebuild and a minute of incremental work).
+
+    Raises if the range crosses an ``overwrite`` commit — an overwrite
+    invalidates incremental state by definition, and silently returning
+    its files would corrupt downstream accumulators; callers catch this
+    and fall back to a full rebuild from the snapshot.
+    """
+    es = [
+        e
+        for e in _entries(path)
+        if from_version < e["version"] <= to_version
+    ]
+    hi = latest_version(path)
+    if to_version > hi:
+        raise ValueError(f"version {to_version} does not exist (head={hi})")
+    for e in es:
+        if e["action"] == "overwrite":
+            raise ValueError(
+                f"version range ({from_version}, {to_version}] crosses an "
+                f"overwrite at v{e['version']}; rebuild from snapshot"
+            )
+    files = [f for e in es for f in e["files"]]
+    if not files:
+        return spark.range(0).selectExpr()  # empty, schemaless delta
     return spark.read.parquet(*[os.path.join(path, f) for f in files])

@@ -72,3 +72,32 @@ def test_missing_version_raises(spark, tmp_path):
 
     with pytest.raises(ValueError):
         V.read_versioned(spark, t, version=9)
+
+
+def test_incremental_delta_matches_full_recompute(spark, tmp_path):
+    """Aggregate maintained from version deltas must equal the full
+    recompute at head; crossing an overwrite raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "tbl5")
+    V.write_versioned(_df(spark, 0, 10, "a"), t, "overwrite")     # v0
+    V.write_versioned(_df(spark, 10, 25, "b"), t, "append")       # v1
+    V.write_versioned(_df(spark, 25, 30, "c"), t, "append")       # v2
+
+    # incremental: state at v0, then fold in (v0, v2]
+    base = V.read_versioned(spark, t, version=0).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("id").alias("s")
+    ).collect()[0]
+    delta = V.read_version_delta(spark, t, 0, 2).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("id").alias("s")
+    ).collect()[0]
+    full = V.read_versioned(spark, t).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("id").alias("s")
+    ).collect()[0]
+    assert base["n"] + delta["n"] == full["n"]
+    assert base["s"] + delta["s"] == full["s"]
+
+    V.write_versioned(_df(spark, 0, 2, "d"), t, "overwrite")      # v3
+    with pytest.raises(ValueError, match="overwrite"):
+        V.read_version_delta(spark, t, 2, 3)
