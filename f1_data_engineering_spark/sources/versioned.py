@@ -42,6 +42,7 @@ __all__ = [
     "table_history",
     "latest_version",
     "read_version_delta",
+    "vacuum",
 ]
 
 
@@ -192,3 +193,23 @@ def read_version_delta(
     if not files:
         return spark.range(0).selectExpr()  # empty, schemaless delta
     return spark.read.parquet(*[os.path.join(path, f) for f in files])
+
+
+def vacuum(path: str, retain_versions: int = 0) -> list[str]:
+    """Remove data files unreachable from the last ``retain_versions+1``
+    snapshots (head always retained); returns the deleted names.
+    Time travel older than the retained window stops working — the
+    same contract as a real format's VACUUM.  Stage leftovers and
+    orphans (crashed writers) are removed too: anything not referenced
+    by a retained snapshot is garbage by definition of the log.
+    """
+    head = latest_version(path)
+    keep: set[str] = set()
+    for v in range(max(0, head - retain_versions), head + 1):
+        keep.update(_snapshot_files(path, v))
+    deleted = []
+    for f in os.listdir(path):
+        if f.endswith(".parquet") and f not in keep:
+            os.remove(os.path.join(path, f))
+            deleted.append(f)
+    return sorted(deleted)

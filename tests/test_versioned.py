@@ -101,3 +101,19 @@ def test_incremental_delta_matches_full_recompute(spark, tmp_path):
     V.write_versioned(_df(spark, 0, 2, "d"), t, "overwrite")      # v3
     with pytest.raises(ValueError, match="overwrite"):
         V.read_version_delta(spark, t, 2, 3)
+
+
+def test_vacuum_retains_head_reachable_only(spark, tmp_path):
+    """Vacuum must delete pre-overwrite files (breaking old time
+    travel) while the head snapshot stays intact."""
+    t = str(tmp_path / "tbl6")
+    V.write_versioned(_df(spark, 0, 10, "a"), t, "overwrite")   # v0
+    V.write_versioned(_df(spark, 10, 12, "b"), t, "append")     # v1
+    V.write_versioned(_df(spark, 50, 53, "c"), t, "overwrite")  # v2
+    deleted = V.vacuum(t)
+    assert deleted  # v0/v1 files gone
+    assert V.read_versioned(spark, t).count() == 3  # head intact
+    import pytest
+
+    with pytest.raises(Exception):
+        V.read_versioned(spark, t, version=0).count()
