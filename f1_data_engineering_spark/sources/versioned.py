@@ -43,6 +43,7 @@ __all__ = [
     "latest_version",
     "read_version_delta",
     "vacuum",
+    "write_stream_versioned",
 ]
 
 
@@ -98,7 +99,9 @@ def _stage_files(df: DataFrame, path: str) -> tuple[list[str], int]:
     return names, n_rows
 
 
-def write_versioned(df: DataFrame, path: str, mode: str = "append") -> int:
+def write_versioned(
+    df: DataFrame, path: str, mode: str = "append", batch_id: int | None = None
+) -> int:
     """Commit ``df`` as a new version; returns the committed version.
 
     ``append`` adds files to the current snapshot; ``overwrite`` starts
@@ -107,9 +110,19 @@ def write_versioned(df: DataFrame, path: str, mode: str = "append") -> int:
     concurrent writer the commit RETRIES against the new head (the
     staged data files are already safely invisible, so retrying is
     only a log race, not a data rewrite).
+
+    ``batch_id`` (streaming): recorded in the log entry; if this
+    batch_id is ALREADY committed the call is a no-op returning the
+    existing version — foreachBatch replays after a failure therefore
+    commit exactly once (the txn-log idempotence pattern real formats
+    use for streaming sinks).
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    if batch_id is not None:
+        for e in _entries(path):
+            if e.get("batch_id") == batch_id:
+                return e["version"]  # replayed micro-batch: already in
     os.makedirs(_log_path(path), exist_ok=True)
     files, n_rows = _stage_files(df, path)
     log = _log_path(path)
@@ -122,6 +135,13 @@ def write_versioned(df: DataFrame, path: str, mode: str = "append") -> int:
             "files": files,
             "n_rows": n_rows,
         }
+        if batch_id is not None:
+            entry["batch_id"] = batch_id
+            for e in _entries(path):  # re-check inside the retry loop
+                if e.get("batch_id") == batch_id:
+                    for fn in files:
+                        os.remove(os.path.join(path, fn))
+                    return e["version"]
         with open(tmp, "w") as f:
             json.dump(entry, f)
         target = os.path.join(log, f"{version:08d}.json")
@@ -213,3 +233,21 @@ def vacuum(path: str, retain_versions: int = 0) -> list[str]:
             os.remove(os.path.join(path, f))
             deleted.append(f)
     return sorted(deleted)
+
+
+def write_stream_versioned(df: DataFrame, path: str):
+    """Streaming sink into the versioned table: each micro-batch
+    commits as one ``append`` version tagged with its batch_id, so a
+    replayed batch (failure between sink write and checkpoint advance)
+    is recognized in the log and skipped — exactly-once table contents
+    from at-least-once batch delivery.  Returns the started query."""
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        write_versioned(batch_df, path, mode="append", batch_id=batch_id)
+
+    return (
+        df.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", path + "_chk")
+        .trigger(availableNow=True)
+        .start()
+    )

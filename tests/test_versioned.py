@@ -117,3 +117,29 @@ def test_vacuum_retains_head_reachable_only(spark, tmp_path):
 
     with pytest.raises(Exception):
         V.read_versioned(spark, t, version=0).count()
+
+
+def test_streaming_sink_batchid_idempotence(spark, tmp_path):
+    """Each micro-batch commits once; a manual replay of an
+    already-committed batch_id is a no-op (no duplicate rows)."""
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    _df(spark, 0, 20, "s").coalesce(1).write.parquet(str(src / "f0"))
+
+    t = str(tmp_path / "tbl7")
+    stream = spark.readStream.schema("id long, tag string").parquet(
+        str(src) + "/*"
+    )
+    q = V.write_stream_versioned(stream, t)
+    q.awaitTermination()
+    assert V.read_versioned(spark, t).count() == 20
+    head = V.latest_version(t)
+
+    # simulate a foreachBatch replay: same batch_id, same data
+    V.write_versioned(_df(spark, 0, 20, "s"), t, "append", batch_id=0)
+    assert V.latest_version(t) == head  # no new version
+    assert V.read_versioned(spark, t).count() == 20  # no duplicates
+
+    # a genuinely new batch still commits
+    V.write_versioned(_df(spark, 20, 25, "s2"), t, "append", batch_id=1)
+    assert V.read_versioned(spark, t).count() == 25
