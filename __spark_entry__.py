@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orderkey_islands": AN.orderkey_islands,
         "window_rank_suite": AN.window_rank_suite,
         "daily_order_spine": AN.daily_order_spine,
+        "event_type_map_stats": AN.event_type_map_stats,
         # §2.6 sort / limit / top-k
         "top_orders": R.top_orders,
         "distinct_sorted_types": R.distinct_sorted_types,
@@ -191,6 +192,7 @@ def oracle_sql() -> dict[str, str]:
         "orderkey_islands": AN.ORACLE_ISLANDS,
         "window_rank_suite": AN.ORACLE_RANK_SUITE,
         "daily_order_spine": AN.ORACLE_DAILY_SPINE,
+        "event_type_map_stats": AN.ORACLE_MAP_STATS,
         "q3_shipping_priority": TS.ORACLE_Q3,
         "q4_late_shipment_orders": TS.ORACLE_Q4,
         "q12_priority_by_month": TS.ORACLE_Q12,

@@ -42,6 +42,7 @@ __all__ = [
     "orderkey_islands",
     "window_rank_suite",
     "daily_order_spine",
+    "event_type_map_stats",
 ]
 
 
@@ -396,4 +397,73 @@ SELECT d, n_orders, CAST(rev AS DOUBLE) AS revenue,
                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
         / LEAST(row_number() OVER (ORDER BY d), 7), 6) AS r7_avg_orders
 FROM j ORDER BY d
+"""
+
+
+def event_type_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: per user, a ``map<event_type, count>`` built
+    with ``map_from_entries`` and navigated with ``element_at`` /
+    ``map_entries`` / an ``array_sort`` comparator (argmax over the
+    map) — the output is FLATTENED scalars, so the result is portable
+    while the map machinery is fully exercised.
+
+    Scale shape: counts per (user, type) — one shuffle, map-side
+    combined — then one per-user aggregate; maps have ≤ |event types|
+    entries, so per-row map work is O(1)-ish.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    m = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("m")
+    )
+    top_key = F.expr(
+        "array_sort(map_entries(m), (a, b) -> CASE "
+        "WHEN a.value > b.value THEN -1 WHEN a.value < b.value THEN 1 "
+        "WHEN a.key < b.key THEN -1 WHEN a.key > b.key THEN 1 "
+        "ELSE 0 END)[0].key"
+    )
+    total = F.aggregate(
+        F.map_values("m"), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return (
+        m.select(
+            "user_id",
+            F.coalesce(F.element_at("m", F.lit("click")), F.lit(0)).alias(
+                "n_click"
+            ),
+            F.coalesce(F.element_at("m", F.lit("purchase")), F.lit(0)).alias(
+                "n_purchase"
+            ),
+            F.size("m").alias("n_types"),
+            total.alias("n_events"),
+            top_key.alias("top_type"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_MAP_STATS = """
+WITH per AS (
+  SELECT user_id, event_type, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT user_id, event_type, cnt,
+    row_number() OVER (PARTITION BY user_id
+                       ORDER BY cnt DESC, event_type) AS rk
+  FROM per
+)
+SELECT user_id,
+  CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN cnt END), 0)
+       AS BIGINT) AS n_click,
+  CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN cnt END), 0)
+       AS BIGINT) AS n_purchase,
+  CAST(COUNT(*) AS INT) AS n_types,
+  CAST(SUM(cnt) AS BIGINT) AS n_events,
+  MAX(CASE WHEN rk = 1 THEN event_type END) AS top_type
+FROM r GROUP BY user_id ORDER BY user_id
 """
