@@ -222,3 +222,30 @@ SELECT part_date, bin, n_files, total_bytes, fill,
        single_file AND total_bytes > {COMPACT_TARGET} AS oversized
 FROM g
 """
+
+
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_col: str,
+    n_files: int,
+    max_records_per_file: int | None = None,
+) -> None:
+    """The production clustered-write recipe: ``repartitionByRange``
+    on the cluster key (range-partitioned shuffle with a sampled
+    boundary pass) + ``sortWithinPartitions`` (files internally sorted
+    → tight parquet footer min/max) + optional ``maxRecordsPerFile``
+    (bounds file size without another shuffle).
+
+    Result: file-level min/max ranges on ``cluster_col`` are disjoint,
+    so a point/range predicate prunes to O(1) files at ANY table size —
+    the 1-D sibling of the Z-order layout (use z-order when queries
+    filter on TWO+ dims; use this when one dominant dim rules).
+    """
+    w = df.repartitionByRange(n_files, F.col(cluster_col)).sortWithinPartitions(
+        cluster_col
+    )
+    writer = w.write.mode("overwrite")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)

@@ -166,3 +166,44 @@ def test_zorder_key_property_roundtrip(spark):
         assert (x, y) == (qx, qy)
 
     _python_twin_matches()
+
+
+def test_range_clustered_write_disjoint_footers(spark, sf_dir, tmp_path):
+    """Files from write_range_clustered must carry DISJOINT min/max
+    ranges on the cluster key (footer stats), so a point predicate
+    matches exactly one file — the skip-proof for the 1-D layout."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from f1_data_engineering_spark.operators.layout import (
+        write_range_clustered,
+    )
+    from f1_data_engineering_spark.sources.registry import load_table
+
+    out = str(tmp_path / "clustered")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    write_range_clustered(o, out, "o_totalprice", n_files=8)
+
+    ranges = []
+    for f in sorted(os.listdir(out)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(out, f)).metadata
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(1)  # o_totalprice
+            los.append(col.statistics.min)
+            his.append(col.statistics.max)
+        ranges.append((min(los), max(his)))
+    assert len(ranges) >= 4
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: {hi1} > {lo2}"
+    # coverage: every row landed in some file
+    total = sum(
+        pq.ParquetFile(os.path.join(out, f)).metadata.num_rows
+        for f in os.listdir(out)
+        if f.endswith(".parquet")
+    )
+    assert total == o.count()
