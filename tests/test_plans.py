@@ -321,3 +321,40 @@ def test_corr_matrix_single_scan(spark, sf_dir):
 
     plan = physical_plan(PF.numeric_corr_matrix(spark, sf_dir), "simple")
     assert plan.count("Scan parquet") == 1
+
+
+def test_analyze_table_feeds_cbo_stats(spark, sf_dir, tmp_path):
+    """ANALYZE TABLE statistics must reach the optimizer: sizeInBytes/
+    rowCount on the optimized plan after ANALYZE, enabling CBO join
+    decisions on catalog tables."""
+    from f1_data_engineering_spark.sources.registry import load_table
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS cbodb LOCATION '{tmp_path}/cbodb'"
+    )
+    try:
+        load_table(spark, sf_dir, "nation").write.saveAsTable(
+            "cbodb.nation_t", mode="overwrite"
+        )
+        spark.sql("ANALYZE TABLE cbodb.nation_t COMPUTE STATISTICS")
+        det = {
+            r["col_name"]: r["data_type"]
+            for r in spark.sql("DESCRIBE EXTENDED cbodb.nation_t").collect()
+        }
+        assert "Statistics" in det and "rows" in det["Statistics"]
+
+        # rowCount propagates into plan stats only under CBO
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        try:
+            stats = (
+                spark.table("cbodb.nation_t")
+                ._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+            )
+            assert stats.rowCount().isDefined()
+            assert stats.rowCount().get().longValue() == 25
+        finally:
+            spark.conf.set("spark.sql.cbo.enabled", "false")
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS cbodb CASCADE")
