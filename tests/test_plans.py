@@ -353,7 +353,7 @@ def test_analyze_table_feeds_cbo_stats(spark, sf_dir, tmp_path):
                 .stats()
             )
             assert stats.rowCount().isDefined()
-            assert stats.rowCount().get().longValue() == 25
+            assert int(str(stats.rowCount().get())) == 25
         finally:
             spark.conf.set("spark.sql.cbo.enabled", "false")
     finally:
