@@ -122,3 +122,21 @@ def test_schema_evolution_merge_and_union(spark, tmp_path):
     u = union_evolved(v1, v2)
     got = {r["id"]: (r["name"], r["score"]) for r in u.collect()}
     assert got == {1: ("a", None), 2: ("b", 9.5)}  # by-name, not position
+
+
+def test_text_and_binaryfile_sources(spark, tmp_path):
+    """The remaining built-in boundaries: line-oriented text (raw
+    corpus landing) and binaryFile (media blob landing — path/len/
+    bytes, the input to operators/multimodal)."""
+    p = tmp_path / "raw.txt"
+    p.write_text("alpha beta\ngamma\n")
+    t = spark.read.text(str(p))
+    assert [r["value"] for r in t.collect()] == ["alpha beta", "gamma"]
+
+    blob = tmp_path / "img.bin"
+    blob.write_bytes(b"\x89PNG_fake_payload")
+    b = spark.read.format("binaryFile").load(str(blob))
+    row = b.collect()[0]
+    assert row["length"] == 17
+    assert bytes(row["content"]) == b"\x89PNG_fake_payload"
+    assert row["path"].endswith("img.bin")
