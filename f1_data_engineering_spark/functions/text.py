@@ -29,9 +29,17 @@ def _col(c: Column | str) -> Column:
 
 
 def tokens(c: Column | str) -> Column:
-    """Whitespace tokens, lower-cased, empty-string-free."""
+    """Whitespace tokens, lower-cased, empty-string-free.
+
+    NULL-safe: NULL text tokenizes like empty text → ``[]`` (the SQL
+    twins coalesce identically), so every downstream text operator has
+    ONE well-defined empty-document path instead of NULL-propagation
+    surprises."""
     t = F.lower(F.trim(_col(c)))
-    return F.filter(F.split(t, r"\s+"), lambda x: x != "")
+    return F.coalesce(
+        F.filter(F.split(t, r"\s+"), lambda x: x != ""),
+        F.array().cast("array<string>"),
+    )
 
 
 def token_count(c: Column | str) -> Column:
@@ -128,7 +136,10 @@ def shingles(c: Column | str, n: int = 3) -> Column:
     """Word n-gram shingle array (for MinHash / Jaccard dedup).
 
     Documents shorter than ``n`` tokens yield a single shingle of the
-    whole text so they still participate in dedup.
+    whole text so they still participate in dedup; EMPTY documents
+    (0 tokens, incl. NULL text) yield NO shingles — ``['']`` would
+    alias every empty doc onto the empty-string shingle and diverge
+    from the SQL twins, which drop it.
     """
     toks = tokens(c)
     k = F.size(toks)
@@ -137,4 +148,8 @@ def shingles(c: Column | str, n: int = 3) -> Column:
         F.sequence(F.lit(0), k - n),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
-    return F.when(k >= n, grams).otherwise(F.array(joined))
+    return (
+        F.when(k >= n, grams)
+        .when(k > 0, F.array(joined))
+        .otherwise(F.array().cast("array<string>"))
+    )

@@ -33,11 +33,12 @@ from ..functions.text import shingles, tokens
 from ..sources.registry import load_table, spread
 
 #: DuckDB token/shingle twins (keep in lock-step with functions/text.py).
-_SQL_TOKS = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
+_SQL_TOKS = "COALESCE(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> ''), [])"
 _SQL_SHINGLES = (
     "CASE WHEN len(toks) >= 3 THEN "
     "list_transform(range(len(toks)-2), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) "
-    "ELSE [array_to_string(toks, ' ')] END"
+    "WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')] "
+    "ELSE CAST([] AS VARCHAR[]) END"
 )
 
 MINHASH_K = 16
@@ -243,7 +244,9 @@ def _shingle_hash_df(df: DataFrame) -> DataFrame:
 _SQL_SHINGLE_HASHES = (
     f"CASE WHEN len(th) >= 3 THEN list_distinct(list_transform(range(len(th)-2), "
     f"i -> ((th[i+1]*{SHINGLE_C} + th[i+2]) % {MINHASH_P} * {SHINGLE_C} + th[i+3]) % {MINHASH_P})) "
-    f"ELSE [" + _sql_md5_int("'mh#'", "array_to_string(toks, ' ')") + f" % {MINHASH_P}] END"
+    f"WHEN len(th) > 0 THEN ["
+    + _sql_md5_int("'mh#'", "array_to_string(toks, ' ')")
+    + f" % {MINHASH_P}] ELSE CAST([] AS BIGINT[]) END"
 )
 
 

@@ -25,7 +25,7 @@ from ..sources.registry import load_table, spread
 
 #: DuckDB expression for the engine's whitespace tokens (lower/trim/split).
 _SQL_TOKENS = (
-    "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
+    "COALESCE(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> ''), [])"
 )
 
 
@@ -112,7 +112,7 @@ ORACLE_QUALITY = f"""
 WITH base AS (
   SELECT doc_id, trim(text) AS t,
     CAST(length(trim(text)) AS DOUBLE) AS n_chars,
-    list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+    COALESCE(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> ''), []) AS toks
   FROM documents
 ),
 m AS (
@@ -523,8 +523,7 @@ def stop_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.array_distinct(shingles("text")).alias("sh")
     ).cache()
     n_docs = per_doc.count()  # tiny action; reuses the cache it warms
-    exploded = per_doc.select("doc_id", F.size("sh").alias("n_sh"),
-                              F.explode("sh").alias("s"))
+    exploded = per_doc.select("doc_id", F.explode("sh").alias("s"))
     stop = (
         exploded.groupBy("s")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -533,7 +532,7 @@ def stop_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hits = (
         exploded.join(F.broadcast(stop), "s")
-        .groupBy("doc_id", "n_sh")
+        .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_stop"))
     )
     return (
@@ -552,23 +551,21 @@ def stop_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_SHINGLES3 = (
-    "CASE WHEN len(toks) >= 3 THEN "
-    "list_transform(range(len(toks)-2), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) "
-    "ELSE [array_to_string(toks, ' ')] END"
-)
+# single source of truth for the 3-gram shingle SQL twin (keep in
+# lock-step with functions/text.shingles — see dedup.py)
+from .dedup import _SQL_SHINGLES as _SQL_SHINGLES3  # noqa: E402
 
 ORACLE_STOP_SHINGLES = f"""
 WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
 g AS (SELECT doc_id, list_distinct({_SQL_SHINGLES3}) AS sh FROM t),
-e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM g),
+e AS (SELECT doc_id, unnest(sh) AS s FROM g),
 stop AS (
   SELECT s FROM e GROUP BY s
   HAVING COUNT(*) > (SELECT COUNT(*) FROM documents) * {STOP_SHINGLE_DOC_FRAC}
 ),
 hits AS (
-  SELECT doc_id, n_sh, COUNT(*) AS n_stop
-  FROM e JOIN stop USING (s) GROUP BY doc_id, n_sh
+  SELECT doc_id, COUNT(*) AS n_stop
+  FROM e JOIN stop USING (s) GROUP BY doc_id
 )
 SELECT g.doc_id,
   CAST(len(g.sh) AS BIGINT) AS n_shingles,

@@ -35,7 +35,7 @@ PACK_BUDGET = 512  # tokens per packed sequence bin
 
 #: DuckDB twin of functions/text.tokens (keep in lock-step).
 _SQL_TOKENS = (
-    "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
+    "COALESCE(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> ''), [])"
 )
 
 
@@ -208,15 +208,19 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split every document into overlapping token windows: one output
     row per (doc, chunk) with the chunk text and its token count.
 
-    Scale shape: pure scan-side row expansion — ``sequence`` builds the
-    chunk-start list from the token count, ``posexplode`` emits one row
+    Scale shape: scan-side row expansion — ``sequence`` builds the
+    chunk-start list from the token count, ``explode`` emits one row
     per window, ``slice`` cuts the window from the in-row token array.
-    No shuffle at all; output rows ∝ corpus tokens / stride.
+    The only shuffle is ``spread``'s narrow (doc_id, text) rebalance
+    (compute parallelism vs byte layout — see sources/registry.spread);
+    the expansion itself adds none.  Output rows ∝ corpus tokens/stride.
 
     Chunk-count formula (shared with the oracle): a doc with n ≤ CHUNK
     tokens is one chunk; else 1 + ceil((n - CHUNK) / STRIDE) chunks via
     integer arithmetic, so the LAST window always reaches the tail
-    (and may be shorter than CHUNK).
+    (and may be shorter than CHUNK).  Empty documents — including NULL
+    text, which tokenizes to [] (functions/text.tokens is NULL-safe) —
+    emit exactly one empty chunk rather than vanishing.
     """
     d = spread(
         load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
@@ -233,7 +237,7 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = t.select(
         "doc_id",
         "toks",
-        F.posexplode(F.sequence(F.lit(0), n_extra)).alias("chunk_idx", "_i"),
+        F.explode(F.sequence(F.lit(0), n_extra)).alias("chunk_idx"),
     )
     chunk = F.slice(
         F.col("toks"), F.col("chunk_idx") * CHUNK_STRIDE + 1, CHUNK_TOKENS

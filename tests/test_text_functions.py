@@ -179,3 +179,46 @@ def test_source_overlap_reports_planted_mirror(spark, sf_dir):
         assert r["source_a"] < r["source_b"]
         assert 0 < r["shared_contents"] <= 25
         assert {r["source_a"], r["source_b"]} <= sources | {"mirror"}
+
+
+def test_null_empty_text_parity_with_sql_twins(spark):
+    """NULL / empty / whitespace-only documents must tokenize and
+    shingle IDENTICALLY in the engine and its DuckDB SQL twins:
+    all three → no tokens, no shingles (the '' shingle must never
+    appear — it would alias every empty doc into one dedup bucket in
+    one engine but not the other)."""
+    import duckdb
+
+    from f1_data_engineering_spark.functions.text import (
+        shingles,
+        token_count,
+        tokens,
+    )
+    from f1_data_engineering_spark.operators.dedup import (
+        _SQL_SHINGLES,
+        _SQL_TOKS,
+    )
+    from pyspark.sql import functions as F
+
+    cases = [(0, None), (1, ""), (2, "   "), (3, "one two"), (4, "a b c d")]
+    df = spark.createDataFrame(cases, "doc_id long, text string")
+    sp = {
+        r["doc_id"]: (list(r["t"]), list(r["sh"]), r["tc"])
+        for r in df.select(
+            "doc_id",
+            tokens("text").alias("t"),
+            shingles("text").alias("sh"),
+            token_count("text").alias("tc"),
+        ).collect()
+    }
+    vals = ", ".join(
+        f"({i}, {'NULL' if t is None else repr(t)})" for i, t in cases
+    )
+    duck = duckdb.sql(
+        f"WITH d AS (SELECT * FROM (VALUES {vals}) t(doc_id, text)), "
+        f"tt AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM d) "
+        f"SELECT doc_id, toks, {_SQL_SHINGLES} AS sh, len(toks) FROM tt"
+    ).fetchall()
+    for doc_id, toks, sh, tc in duck:
+        assert sp[doc_id] == (list(toks), list(sh), tc), doc_id
+    assert sp[0] == ([], [], 0) and sp[1] == ([], [], 0) and sp[2] == ([], [], 0)

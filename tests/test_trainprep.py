@@ -68,7 +68,7 @@ def test_chunks_cover_tokens_with_overlap(spark, sf_dir):
     docs = {
         r["doc_id"]: r["n"]
         for r in load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.size(F.split(F.lower(F.trim("text")), r"\s+")).alias("n"))
+        .select("doc_id", token_count("text").alias("n"))
         .collect()
     }
     for doc_id, rs in per_doc.items():
