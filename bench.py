@@ -15,6 +15,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import signal
 import sys
 import time
 
@@ -81,6 +82,10 @@ BENCH_QUERIES = (
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Wall-clock budget: stop timing new queries past this point so the
+    # JSON line is always printed before any external runner timeout
+    # (round-1 recorded an empty bench capture; never again).
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "420"))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
@@ -107,7 +112,33 @@ def main() -> None:
     # intermediates internally still measure their full compute.
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
+
+    def emit(partial: bool = False) -> None:
+        out = {
+            "metric": "headline query wall time, noop sink",
+            "value": round(sum(times.values()), 3),
+            "unit": "sec",
+            "queries": times,
+            "sf": sf,
+        }
+        if errors:
+            out["errors"] = errors
+        if partial:
+            out["partial"] = True
+        print(json.dumps(out), flush=True)
+
+    def on_term(signum, frame):  # runner timeout → partial line beats none
+        emit(partial=True)
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, on_term)
+    signal.signal(signal.SIGINT, on_term)
+
+    start = time.time()
     for name in BENCH_QUERIES:
+        if time.time() - start > budget:
+            errors[name] = "skipped: bench wall-clock budget exhausted"
+            continue
         best = float("inf")
         try:
             for _ in range(2):
@@ -115,20 +146,14 @@ def main() -> None:
                 t0 = time.time()
                 qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
                 best = min(best, time.time() - t0)
+                if time.time() - start > budget:
+                    break
             times[name] = round(best, 3)
+            print(f"bench {name}: {best:.3f}s", file=sys.stderr, flush=True)
         except Exception as exc:  # one broken query must not kill the bench line
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
-    out = {
-        "metric": "headline query wall time, noop sink",
-        "value": round(sum(times.values()), 3),
-        "unit": "sec",
-        "queries": times,
-        "sf": sf,
-    }
-    if errors:
-        out["errors"] = errors
-    print(json.dumps(out), flush=True)
+    emit()
 
 
 if __name__ == "__main__":

@@ -283,3 +283,67 @@ def test_stateful_expiry_emits_closing_record(spark, tmp_path):
         assert closed[2]["n_seen"] == 1 and closed[2]["sum_value"] == 7.0
     finally:
         q.stop()
+
+
+def test_transform_with_state_plan_constructs(spark, events_dir):
+    """transformWithStateInPandas plan construction (no execution):
+    the analyzed streaming plan must carry the operator and the
+    declared output schema regardless of the protobuf runtime gate."""
+    from f1_data_engineering_spark.streaming import events as SE
+
+    stream = events_file_stream(spark, events_dir)
+    out = SE.user_stats_transform_with_state(stream)
+    assert out.isStreaming
+    assert [f.name for f in out.schema.fields] == [
+        "user_id",
+        "n_seen",
+        "sum_value",
+        "n_types",
+        "top_type",
+    ]
+
+
+def test_transform_with_state_matches_batch(spark, sf_dir, events_dir, tmp_path):
+    """Full transformWithState run (per-user totals + type histogram)
+    against the batch equivalents.  Requires google.protobuf (the
+    transformWithState worker protocol) — skipped where absent."""
+    pytest.importorskip("google.protobuf")
+    from f1_data_engineering_spark.streaming import events as SE
+
+    stream = events_file_stream(spark, events_dir)
+    q = (
+        SE.user_stats_transform_with_state(stream)
+        .writeStream.format("memory")
+        .queryName("tws_stats")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got_df = spark.table("tws_stats")
+    last = (
+        got_df.groupBy("user_id")
+        .agg(
+            F.max("n_seen").alias("n_seen"),
+            F.max("sum_value").alias("sum_value"),
+            F.max("n_types").alias("n_types"),
+        )
+        .collect()
+    )
+    ev = load_table(spark, sf_dir, "events")
+    batch = {
+        r["user_id"]: (r["n"], round(r["s"], 4), r["nt"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce("value", F.lit(0.0))).alias("s"),
+            F.countDistinct("event_type").alias("nt"),
+        )
+        .collect()
+    }
+    got = {
+        r["user_id"]: (r["n_seen"], round(r["sum_value"], 4), r["n_types"])
+        for r in last
+    }
+    assert got == batch
