@@ -9,12 +9,16 @@ commit protocol every real lakehouse sink implements:
 * each TASK writes its shard to ``<path>/_tmp/<uuid>.jsonl`` and
   returns a :class:`WriterCommitMessage` naming the file and its row
   count — nothing a task writes is visible yet;
-* the DRIVER's ``commit()`` renames every shard into place and writes
-  ``_MANIFEST.json`` (shard list + row counts) LAST — readers treat
-  the manifest as the source of truth, so a crash before the manifest
-  means "nothing happened" (exactly-once visibility from at-least-once
-  task attempts);
-* ``abort()`` removes the temp shards.
+* the DRIVER's ``commit()`` renames every shard into place and swaps
+  ``_MANIFEST.json`` (shard list + row counts) in LAST via atomic
+  rename — readers treat the manifest as the source of truth, so a
+  crash anywhere in the commit leaves the previous manifest (or none)
+  intact: "nothing happened" (exactly-once visibility from
+  at-least-once task attempts).  ``append`` extends the committed
+  shard list; ``overwrite`` replaces it and deletes the superseded
+  shards only after the new manifest is live;
+* ``abort()`` removes the temp shards (the failed task's commit
+  message arrives as None and is skipped).
 
 Speculative/retried tasks therefore never corrupt output: losers'
 shards stay in ``_tmp`` and are ignored.  JSONL keeps the example
@@ -68,11 +72,13 @@ class ManifestJsonlWriter(DataSourceWriter):
 
     # -- driver side -------------------------------------------------------
     def commit(self, messages: list[_ShardCommit]) -> None:
-        if self.overwrite:
-            for f in os.listdir(self.path):
-                if f.endswith(".jsonl") or f == MANIFEST:
-                    os.remove(os.path.join(self.path, f))
-        shards = []
+        mpath = os.path.join(self.path, MANIFEST)
+        old_shards: list[dict] = []
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                old_shards = json.load(f)["shards"]
+        # append EXTENDS the committed shard list; overwrite replaces it
+        shards = [] if self.overwrite else list(old_shards)
         for m in messages:
             final = f"part-{m.tmp_name}"
             os.replace(
@@ -80,16 +86,35 @@ class ManifestJsonlWriter(DataSourceWriter):
                 os.path.join(self.path, final),
             )
             shards.append({"file": final, "n_rows": m.n_rows})
-        # manifest LAST: its existence IS the commit
-        with open(os.path.join(self.path, MANIFEST), "w") as f:
+        # manifest swap IS the commit: staged write + atomic rename, so
+        # readers see the old table or the new one, never neither
+        tmp_manifest = os.path.join(
+            self.path, "_tmp", f"manifest-{uuid.uuid4().hex}.json"
+        )
+        os.makedirs(os.path.dirname(tmp_manifest), exist_ok=True)
+        with open(tmp_manifest, "w") as f:
             json.dump(
                 {"shards": shards, "n_rows": sum(s["n_rows"] for s in shards)},
                 f,
             )
+        os.replace(tmp_manifest, mpath)
+        if self.overwrite:
+            # old shards are deleted only AFTER the new manifest is
+            # live — a crash here leaves invisible orphans, not a
+            # missing table
+            live = {s["file"] for s in shards}
+            for s in old_shards:
+                if s["file"] not in live:
+                    try:
+                        os.remove(os.path.join(self.path, s["file"]))
+                    except FileNotFoundError:
+                        pass
 
     def abort(self, messages: list[_ShardCommit]) -> None:
         tmp_dir = os.path.join(self.path, "_tmp")
         for m in messages:
+            if m is None:  # the failed task that triggered the abort
+                continue
             try:
                 os.remove(os.path.join(tmp_dir, m.tmp_name))
             except FileNotFoundError:

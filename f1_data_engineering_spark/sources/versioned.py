@@ -30,11 +30,19 @@ from __future__ import annotations
 
 import json
 import os
+import re
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
 LOG_DIR = "_log"
+
+#: Committed log entries are exactly 8-digit version files.  The
+#: staged ``_tmp_*.json`` of an in-flight (or crashed) commit must
+#: never parse as committed — it would corrupt latest_version and
+#: snapshot resolution.
+_ENTRY_RE = re.compile(r"^\d{8}\.json$")
 
 __all__ = [
     "write_versioned",
@@ -57,7 +65,7 @@ def _entries(path: str) -> list[dict]:
         return []
     out = []
     for name in sorted(os.listdir(log)):
-        if name.endswith(".json"):
+        if _ENTRY_RE.match(name):
             with open(os.path.join(log, name)) as f:
                 out.append(json.load(f))
     return out
@@ -120,46 +128,57 @@ def write_versioned(
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     if batch_id is not None:
+        # pre-check BEFORE staging: a replayed micro-batch returns
+        # without writing (and thus without deleting) any data files
         for e in _entries(path):
             if e.get("batch_id") == batch_id:
-                return e["version"]  # replayed micro-batch: already in
+                return e["version"]
     os.makedirs(_log_path(path), exist_ok=True)
     files, n_rows = _stage_files(df, path)
     log = _log_path(path)
     tmp = os.path.join(log, f"_tmp_{uuid.uuid4().hex}.json")
-    while True:
-        version = latest_version(path) + 1
-        entry = {
-            "version": version,
-            "action": mode,
-            "files": files,
-            "n_rows": n_rows,
-        }
-        if batch_id is not None:
-            entry["batch_id"] = batch_id
-            for e in _entries(path):  # re-check inside the retry loop
-                if e.get("batch_id") == batch_id:
-                    for fn in files:
-                        os.remove(os.path.join(path, fn))
-                    return e["version"]
-        with open(tmp, "w") as f:
-            json.dump(entry, f)
-        target = os.path.join(log, f"{version:08d}.json")
+    try:
+        while True:
+            # ONE log read per attempt serves the head version AND the
+            # replay re-check (commit cost must not be O(versions) × 3)
+            es = _entries(path)
+            if batch_id is not None:
+                for e in es:  # re-check: a replica may have won the race
+                    if e.get("batch_id") == batch_id:
+                        for fn in files:
+                            os.remove(os.path.join(path, fn))
+                        return e["version"]
+            version = (es[-1]["version"] if es else -1) + 1
+            entry = {
+                "version": version,
+                "action": mode,
+                "files": files,
+                "n_rows": n_rows,
+                "schema": df.schema.json(),
+            }
+            if batch_id is not None:
+                entry["batch_id"] = batch_id
+            with open(tmp, "w") as f:
+                json.dump(entry, f)
+            target = os.path.join(log, f"{version:08d}.json")
+            try:
+                os.link(tmp, target)  # atomic: fails iff the version exists
+                return version
+            except FileExistsError:
+                continue  # lost the race — re-read head and retry
+    finally:
         try:
-            os.link(tmp, target)  # atomic: fails iff the version exists
-            os.remove(tmp)
-            return version
-        except FileExistsError:
-            continue  # lost the race — re-read head and retry
+            os.remove(tmp)  # never leave staged commit files behind
+        except FileNotFoundError:
+            pass
 
 
 def _snapshot_files(path: str, version: int | None) -> list[str]:
     es = _entries(path)
     if version is not None:
+        if version > (es[-1]["version"] if es else -1):
+            raise ValueError(f"version {version} does not exist")
         es = [e for e in es if e["version"] <= version]
-        if not es or es[-1]["version"] != version and version > es[-1]["version"]:
-            if version > (es[-1]["version"] if es else -1):
-                raise ValueError(f"version {version} does not exist")
     files: list[str] = []
     for e in es:
         if e["action"] == "overwrite":
@@ -195,14 +214,11 @@ def read_version_delta(
     its files would corrupt downstream accumulators; callers catch this
     and fall back to a full rebuild from the snapshot.
     """
-    es = [
-        e
-        for e in _entries(path)
-        if from_version < e["version"] <= to_version
-    ]
-    hi = latest_version(path)
+    all_es = _entries(path)
+    hi = all_es[-1]["version"] if all_es else -1
     if to_version > hi:
         raise ValueError(f"version {to_version} does not exist (head={hi})")
+    es = [e for e in all_es if from_version < e["version"] <= to_version]
     for e in es:
         if e["action"] == "overwrite":
             raise ValueError(
@@ -211,27 +227,68 @@ def read_version_delta(
             )
     files = [f for e in es for f in e["files"]]
     if not files:
-        return spark.range(0).selectExpr()  # empty, schemaless delta
+        # Empty delta must still carry the TABLE SCHEMA: downstream
+        # incremental maintenance selects typed columns from it, and a
+        # zero-column frame would turn "nothing new" into an
+        # AnalysisException.  Entries record their writer's schema;
+        # take the latest one at or before to_version.
+        from pyspark.sql.types import StructType
+
+        for e in reversed([x for x in all_es if x["version"] <= to_version]):
+            if "schema" in e:
+                schema = StructType.fromJson(json.loads(e["schema"]))
+                return spark.createDataFrame([], schema)
+        return spark.range(0).selectExpr()  # legacy log without schemas
     return spark.read.parquet(*[os.path.join(path, f) for f in files])
 
 
-def vacuum(path: str, retain_versions: int = 0) -> list[str]:
+def vacuum(
+    path: str, retain_versions: int = 0, min_age_seconds: float = 3600.0
+) -> list[str]:
     """Remove data files unreachable from the last ``retain_versions+1``
     snapshots (head always retained); returns the deleted names.
     Time travel older than the retained window stops working — the
-    same contract as a real format's VACUUM.  Stage leftovers and
-    orphans (crashed writers) are removed too: anything not referenced
-    by a retained snapshot is garbage by definition of the log.
+    same contract as a real format's VACUUM.
+
+    ``min_age_seconds`` protects CONCURRENT IN-FLIGHT COMMITS: a writer
+    moves its data files into the table root before its log entry
+    exists, so an unreferenced file is either garbage or a commit in
+    progress — age is the only way to tell them apart (the same reason
+    real formats default VACUUM retention to hours).  Pass 0 only when
+    no writer can be active.  Crashed writers' ``_stage_*`` directories
+    and stale staged log files are garbage-collected under the same
+    age rule.
     """
     head = latest_version(path)
     keep: set[str] = set()
     for v in range(max(0, head - retain_versions), head + 1):
         keep.update(_snapshot_files(path, v))
+    cutoff = time.time() - min_age_seconds
+
+    def _old(p: str) -> bool:
+        try:
+            return os.path.getmtime(p) <= cutoff
+        except FileNotFoundError:
+            return False
+
     deleted = []
     for f in os.listdir(path):
-        if f.endswith(".parquet") and f not in keep:
-            os.remove(os.path.join(path, f))
+        full = os.path.join(path, f)
+        if f.endswith(".parquet") and f not in keep and _old(full):
+            os.remove(full)
             deleted.append(f)
+        elif f.startswith("_stage_") and os.path.isdir(full) and _old(full):
+            for inner in os.listdir(full):
+                os.remove(os.path.join(full, inner))
+            os.rmdir(full)
+            deleted.append(f)
+    log = _log_path(path)
+    if os.path.isdir(log):
+        for f in os.listdir(log):
+            full = os.path.join(log, f)
+            if f.startswith("_tmp_") and _old(full):
+                os.remove(full)
+                deleted.append(f)
     return sorted(deleted)
 
 

@@ -134,3 +134,60 @@ def test_manifest_sink_commit_protocol(spark, tmp_path):
     assert back.count() == 100
     assert back.filter("id = 999999").count() == 0
     assert {r["id"] for r in back.collect()} == set(range(100))
+
+
+def test_manifest_sink_append_extends_and_overwrite_replaces(spark, tmp_path):
+    """Sequential appends accumulate in the manifest; an overwrite
+    replaces the committed set and removes the superseded shards."""
+    import json, os
+
+    from f1_data_engineering_spark.sources import pydatasink as S
+
+    S.register_sink(spark)
+    out = str(tmp_path / "sink2")
+    os.makedirs(out, exist_ok=True)
+    spark.range(0, 10).selectExpr("id").write.format("jsonl_manifest").mode(
+        "append"
+    ).save(out)
+    spark.range(10, 25).selectExpr("id").write.format("jsonl_manifest").mode(
+        "append"
+    ).save(out)
+    back = S.read_committed(spark, out)
+    assert {r["id"] for r in back.collect()} == set(range(25))
+    with open(os.path.join(out, S.MANIFEST)) as f:
+        assert json.load(f)["n_rows"] == 25
+
+    spark.range(100, 103).selectExpr("id").write.format("jsonl_manifest").mode(
+        "overwrite"
+    ).save(out)
+    back = S.read_committed(spark, out)
+    assert {r["id"] for r in back.collect()} == {100, 101, 102}
+    # superseded shards physically removed after the manifest swap
+    with open(os.path.join(out, S.MANIFEST)) as f:
+        live = {s["file"] for s in json.load(f)["shards"]}
+    on_disk = {f for f in os.listdir(out) if f.endswith(".jsonl")}
+    assert on_disk == live
+
+
+def test_manifest_sink_abort_tolerates_failed_task_message(tmp_path):
+    """abort() receives None for the failed task's commit message (the
+    pyspark DataSourceWriter contract) — it must skip it and still
+    clean the surviving tasks' temp shards."""
+    import os
+
+    from f1_data_engineering_spark.sources.pydatasink import (
+        ManifestJsonlWriter,
+        _ShardCommit,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out = str(tmp_path / "sink3")
+    tmp_dir = os.path.join(out, "_tmp")
+    os.makedirs(tmp_dir, exist_ok=True)
+    with open(os.path.join(tmp_dir, "aaaa.jsonl"), "w") as f:
+        f.write('{"id": 1}\n')
+    w = ManifestJsonlWriter(
+        out, StructType([StructField("id", LongType())]), overwrite=False
+    )
+    w.abort([_ShardCommit(tmp_name="aaaa.jsonl", n_rows=1), None])
+    assert os.listdir(tmp_dir) == []

@@ -110,7 +110,7 @@ def test_vacuum_retains_head_reachable_only(spark, tmp_path):
     V.write_versioned(_df(spark, 0, 10, "a"), t, "overwrite")   # v0
     V.write_versioned(_df(spark, 10, 12, "b"), t, "append")     # v1
     V.write_versioned(_df(spark, 50, 53, "c"), t, "overwrite")  # v2
-    deleted = V.vacuum(t)
+    deleted = V.vacuum(t, min_age_seconds=0.0)
     assert deleted  # v0/v1 files gone
     assert V.read_versioned(spark, t).count() == 3  # head intact
     import pytest
@@ -143,3 +143,64 @@ def test_streaming_sink_batchid_idempotence(spark, tmp_path):
     # a genuinely new batch still commits
     V.write_versioned(_df(spark, 20, 25, "s2"), t, "append", batch_id=1)
     assert V.read_versioned(spark, t).count() == 25
+
+
+def test_stale_staged_commit_file_is_not_a_version(spark, tmp_path):
+    """A crashed writer's ``_tmp_*.json`` left in _log must not parse
+    as a committed entry: the head version, snapshot reads, and the
+    next commit's version assignment all ignore it."""
+    t = str(tmp_path / "tbl8")
+    V.write_versioned(_df(spark, 0, 5, "a"), t, "overwrite")  # v0
+    # simulate a writer that died between staging the entry and linking
+    with open(os.path.join(t, V.LOG_DIR, "_tmp_deadbeef.json"), "w") as f:
+        json.dump(
+            {"version": 99, "action": "append", "files": ["data-ghost.parquet"],
+             "n_rows": 1},
+            f,
+        )
+    assert V.latest_version(t) == 0
+    assert V.read_versioned(spark, t).count() == 5  # no ghost files read
+    v = V.write_versioned(_df(spark, 5, 8, "b"), t, "append")
+    assert v == 1  # head+1, not 100
+    assert V.read_versioned(spark, t).count() == 8
+
+
+def test_commit_leaves_no_staged_log_files(spark, tmp_path):
+    """Every commit path (including collision retries and replayed
+    batch_ids) must clean up its staged _tmp_*.json."""
+    t = str(tmp_path / "tbl9")
+    V.write_versioned(_df(spark, 0, 3, "a"), t, "overwrite")
+    V.write_versioned(_df(spark, 3, 6, "b"), t, "append", batch_id=7)
+    V.write_versioned(_df(spark, 6, 9, "c"), t, "append", batch_id=7)  # replay
+    stale = [f for f in os.listdir(os.path.join(t, V.LOG_DIR))
+             if f.startswith("_tmp_")]
+    assert stale == []
+    assert V.read_versioned(spark, t).count() == 6  # replay was a no-op
+
+
+def test_vacuum_age_guard_spares_inflight_files(spark, tmp_path):
+    """Default vacuum must NOT delete young unreferenced parquet files:
+    they may belong to a commit in progress (data files land before the
+    log entry exists)."""
+    t = str(tmp_path / "tbl10")
+    V.write_versioned(_df(spark, 0, 4, "a"), t, "overwrite")
+    inflight = os.path.join(t, "data-inflight.parquet")
+    with open(inflight, "wb") as f:
+        f.write(b"PAR1")
+    assert V.vacuum(t) == []  # young + unreferenced → spared
+    assert os.path.exists(inflight)
+    deleted = V.vacuum(t, min_age_seconds=0.0)
+    assert "data-inflight.parquet" in deleted
+
+
+def test_empty_delta_carries_table_schema(spark, tmp_path):
+    """An empty version range must return an EMPTY frame with the TABLE
+    SCHEMA (downstream incremental maintenance selects typed columns
+    from it), not a zero-column frame."""
+    t = str(tmp_path / "tbl11")
+    V.write_versioned(_df(spark, 0, 5, "a"), t, "overwrite")   # v0
+    # v1: an empty append (no files)
+    V.write_versioned(_df(spark, 0, 0, "b"), t, "append")      # v1
+    delta = V.read_version_delta(spark, t, 0, 1)
+    assert delta.count() == 0
+    assert [f.name for f in delta.schema.fields] == ["id", "tag"]
