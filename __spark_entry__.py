@@ -33,6 +33,7 @@ from f1_data_engineering_spark.operators import layout as LY
 from f1_data_engineering_spark.operators import integrity as IG
 from f1_data_engineering_spark.operators import udtf_ops as UT
 from f1_data_engineering_spark.operators import analytics as AN
+from f1_data_engineering_spark.operators import analytics2 as A2
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -88,6 +89,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rank_suite": AN.window_rank_suite,
         "daily_order_spine": AN.daily_order_spine,
         "event_type_map_stats": AN.event_type_map_stats,
+        # funnel / sketch / weighted-sample / recursive-CTE wave
+        "event_funnel": A2.event_funnel,
+        "countmin_sketch": A2.countmin_sketch,
+        "priority_sample_orders": A2.priority_sample_orders,
+        "decayed_value_recursive": A2.decayed_value_recursive,
         # §2.6 sort / limit / top-k
         "top_orders": R.top_orders,
         "distinct_sorted_types": R.distinct_sorted_types,
@@ -189,6 +195,10 @@ def oracle_sql() -> dict[str, str]:
         "grouping_sets_revenue": AN.ORACLE_GROUPING_SETS,
         "modal_quantity_per_flag": AN.ORACLE_MODE,
         "null_safe_event_join": AN.ORACLE_NULL_SAFE_JOIN,
+        "event_funnel": A2.ORACLE_FUNNEL,
+        "countmin_sketch": A2.ORACLE_CMS,
+        "priority_sample_orders": A2.ORACLE_PRIORITY_SAMPLE,
+        "decayed_value_recursive": A2.ORACLE_DECAYED,
         "orderkey_islands": AN.ORACLE_ISLANDS,
         "window_rank_suite": AN.ORACLE_RANK_SUITE,
         "daily_order_spine": AN.ORACLE_DAILY_SPINE,

@@ -76,6 +76,9 @@ BENCH_QUERIES = (
     "daily_order_spine",
     "variant_props_rollup",
     "zipf_fit",
+    "event_funnel",
+    "countmin_sketch",
+    "priority_sample_orders",
 )
 
 

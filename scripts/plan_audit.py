@@ -12,6 +12,7 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 from f1_data_engineering_spark.operators import analytics as AN
+from f1_data_engineering_spark.operators import analytics2 as A2
 from f1_data_engineering_spark.operators import decontam as DC
 from f1_data_engineering_spark.operators import textops as TX2
 from f1_data_engineering_spark.operators import dedup as DD
@@ -175,6 +176,27 @@ AUDIT = [
         "VARIANT path: parse_json once in the scan stage, binary "
         "variant_get extraction (no re-parse per field), then a plain "
         "partial-aggregated rollup.",
+    ),
+    (
+        "event_funnel",
+        A2.event_funnel,
+        "Conditional re-aggregation: three user_id-keyed aggregates "
+        "chained by joins on the same key — one partitioning layout "
+        "end to end; the final agg is a single-row reduce.",
+    ),
+    (
+        "countmin_sketch",
+        A2.countmin_sketch,
+        "Sketch build: explode ×4 stays in the scan stage; partial "
+        "hash agg collapses each partition to ≤256 cells BEFORE the "
+        "exchange — constant shuffle volume at any input size.",
+    ),
+    (
+        "priority_sample_orders",
+        A2.priority_sample_orders,
+        "Weighted sample: priorities computed scan-side, "
+        "TakeOrderedAndProject keeps a k-row heap per partition and "
+        "merges k·partitions rows at the driver — no global sort.",
     ),
 ]
 

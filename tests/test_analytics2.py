@@ -1,0 +1,104 @@
+"""Funnel / count-min sketch / priority sampling / recursive CTE
+(operators/analytics2.py).  Cross-engine value parity is pinned by the
+DuckDB oracles; these tests pin the semantic properties."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from f1_data_engineering_spark.operators import analytics2 as A2
+from f1_data_engineering_spark.sources.registry import load_table
+
+
+def test_funnel_stage_counts_are_monotone(spark, sf_dir):
+    row = A2.event_funnel(spark, sf_dir).collect()[0]
+    assert row["n_users"] >= row["n_view"] >= row["n_view_click"] >= row["n_full_funnel"]
+    assert row["n_full_funnel"] > 0  # sf0.001+ has full conversions
+    assert 0.0 <= row["rate_full"] <= row["rate_view_click"] <= 1.0
+
+
+def test_funnel_requires_stage_order(spark, sf_dir):
+    """A user whose only purchase precedes their first view must not
+    count as a full conversion — compare against an unordered funnel."""
+    ev = load_table(spark, sf_dir, "events")
+    unordered = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.col("event_type") == "view").alias("v"),
+            F.max(F.col("event_type") == "click").alias("c"),
+            F.max(F.col("event_type") == "purchase").alias("p"),
+        )
+        .filter("v AND c AND p")
+        .count()
+    )
+    ordered = A2.event_funnel(spark, sf_dir).collect()[0]["n_full_funnel"]
+    assert ordered <= unordered
+
+
+def test_cms_estimate_upper_bounds_true_count(spark, sf_dir):
+    """The count-min guarantee: estimate(u) >= true_count(u), and the
+    total mass in every sketch row equals the stream length."""
+    ev = load_table(spark, sf_dir, "events")
+    truth = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_total = sum(truth.values())
+    sketch = A2.countmin_sketch(spark, sf_dir).collect()
+    per_depth = {}
+    for r in sketch:
+        per_depth[r["depth"]] = per_depth.get(r["depth"], 0) + r["n"]
+    assert all(v == n_total for v in per_depth.values())
+    for uid in list(truth)[:10]:
+        est = A2.cms_point_estimate(spark, sf_dir, uid)
+        assert est >= truth[uid]
+
+
+def test_priority_sample_is_deterministic_topk(spark, sf_dir):
+    got = A2.priority_sample_orders(spark, sf_dir)
+    rows = got.collect()
+    assert len(rows) == A2.PRIORITY_K
+    assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == list(
+        range(1, A2.PRIORITY_K + 1)
+    )
+    again = {r["o_orderkey"] for r in A2.priority_sample_orders(spark, sf_dir).collect()}
+    assert again == {r["o_orderkey"] for r in rows}
+
+
+def test_priority_sample_prefers_heavy_weights(spark, sf_dir):
+    """Priority sampling inclusion probability rises with weight: the
+    sampled orders' mean weight must exceed the population mean."""
+    o = load_table(spark, sf_dir, "orders")
+    pop_mean = o.agg(F.avg(F.col("o_totalprice").cast("double"))).collect()[0][0]
+    rows = A2.priority_sample_orders(spark, sf_dir).collect()
+    samp_mean = sum(r["weight"] for r in rows) / len(rows)
+    assert samp_mean > pop_mean
+
+
+def test_recursive_decay_matches_python_fold(spark, sf_dir):
+    """The recursive CTE must equal a driver-side fold of the same
+    per-user ordered purchase sequences (independent of both SQL
+    engines)."""
+    import math
+
+    ev = load_table(spark, sf_dir, "events")
+    seqs = {}
+    for r in (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id", "value")
+        .collect()
+    ):
+        seqs.setdefault(r["user_id"], []).append((r["ts"], r["event_id"], r["value"]))
+    expected = {}
+    for uid, rows in seqs.items():
+        state = None
+        for _, _, v in sorted(rows, key=lambda t: (t[0], t[1])):
+            v = v if v is not None else 0.0
+            nxt = v if state is None else 0.9 * state + v
+            state = math.floor(nxt * 1e6 + 0.5) / 1e6
+        expected[uid] = (len(rows), state)
+    got = {
+        r["user_id"]: (r["n_events"], r["state"])
+        for r in A2.decayed_value_recursive(spark, sf_dir).collect()
+    }
+    assert got == expected
