@@ -148,6 +148,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_pairs": SIM.embedding_near_dup_pairs,
         "lsh_multiprobe_ann": SIM.lsh_multiprobe_ann,
         "embedding_quantize_int8": SIM.embedding_quantize_int8,
+        "kmeans_embeddings": SIM.kmeans_embeddings,  # iterative; rows-only
+
         # multimodal plumbing (binary columns + typed metadata)
         "blob_metadata": MM.blob_metadata,
         "frame_sample_census": MM.frame_sample_census,

@@ -625,3 +625,106 @@ SELECT vec_id, n_dims, ROUND(scale, 9) AS scale_r,
                - CAST(x AS DOUBLE)))) / n_dims END, 9) AS mae_r
 FROM v ORDER BY vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# k-means (Lloyd) over embeddings — iterative clustering
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def kmeans_embeddings(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """Lloyd's k-means on the embedding corpus: ``iters`` fixed
+    iterations from a deterministic init (the k lowest vec_ids), then
+    (cluster, n_vectors, inertia) per final cluster.
+
+    The Spark shape of every iterative ML-ish algorithm:
+
+    * centroids live on the DRIVER (k×DIM doubles — metadata-sized)
+      and enter each pass as plan literals, i.e. a broadcast that
+      costs nothing;
+    * assignment is a SCAN-SIDE codegen expression — the k distance
+      polynomials unroll to arithmetic on array elements, no Python,
+      no shuffle;
+    * the per-iteration reduce is ONE hash aggregate (k·DIM avg
+      columns), map-side partial, shuffling k rows per partition;
+    * per-iteration driver traffic is k×DIM floats — collect() here is
+      the algorithm's actual contract, not a scalability bug.
+
+    Clustering embeddings is the diversity/balance primitive of
+    training-data curation (cluster-then-sample); the centroid means
+    sum floats in partition order, so results carry engine-specific
+    ulps — rows-only in the differential gate, pinned against a numpy
+    reference implementation (same init, same iteration count) in
+    pytest instead.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = [
+        list(r["embedding"])
+        for r in e.orderBy("vec_id").limit(k).collect()
+    ]
+
+    def dist2(c: list[float]) -> Column:
+        terms = [
+            (F.col("embedding").getItem(d) - F.lit(float(c[d]))) ** 2
+            for d in range(DIM)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+
+    def best() -> Column:
+        # argmin as array_min over (distance, index) structs: each
+        # distance polynomial appears EXACTLY ONCE in the plan, and the
+        # lexicographic struct min breaks ties toward the lower index
+        # (numpy argmin's rule).  A when-chained argmin would nest every
+        # prior branch inside the next (expression size ~3^k·DIM — the
+        # codegen compiler OOMs around k=8, DIM=64).
+        return F.array_min(
+            F.array(
+                *[
+                    F.struct(dist2(cents[j]).alias("d"), F.lit(j).alias("j"))
+                    for j in range(k)
+                ]
+            )
+        )
+
+    for _ in range(iters):
+        assigned = e.select("embedding", best().getField("j").alias("cluster"))
+        stats = (
+            assigned.groupBy("cluster")
+            .agg(
+                *[
+                    F.avg(F.col("embedding").getItem(d)).alias(f"c{d}")
+                    for d in range(DIM)
+                ],
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        by_cluster = {r["cluster"]: r for r in stats}
+        cents = [
+            [by_cluster[j][f"c{d}"] for d in range(DIM)]
+            if j in by_cluster
+            else cents[j]  # empty cluster keeps its previous centroid
+            for j in range(k)
+        ]
+
+    return (
+        e.select(best().alias("b"))
+        .select(F.col("b.j").alias("cluster"), F.col("b.d").alias("d2"))
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.sum("d2"), 4).alias("inertia"),
+        )
+        .orderBy("cluster")
+    )

@@ -102,3 +102,52 @@ def test_recursive_decay_matches_python_fold(spark, sf_dir):
         for r in A2.decayed_value_recursive(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_kmeans_matches_numpy_lloyd(spark, sf_dir):
+    """kmeans_embeddings must agree with an independent numpy Lloyd
+    implementation run from the same deterministic init for the same
+    fixed iteration count: identical cluster sizes and inertia within
+    float tolerance (centroid means sum in different orders)."""
+    import numpy as np
+
+    from f1_data_engineering_spark.operators import similarity as SIM
+
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    rows.sort(key=lambda r: r["vec_id"])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    k, iters = SIM.KMEANS_K, SIM.KMEANS_ITERS
+    cents = X[:k].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        labels = d2.argmin(axis=1)  # argmin ties -> lowest index, same rule
+        for j in range(k):
+            if (labels == j).any():
+                cents[j] = X[labels == j].mean(axis=0)
+    d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    labels = d2.argmin(axis=1)
+    exp_sizes = {j: int((labels == j).sum()) for j in range(k) if (labels == j).any()}
+    exp_inertia = {j: float(d2[labels == j, j].sum()) for j in exp_sizes}
+
+    got = SIM.kmeans_embeddings(spark, sf_dir).collect()
+    got_sizes = {r["cluster"]: r["n_vectors"] for r in got}
+    assert got_sizes == exp_sizes
+    for r in got:
+        assert abs(r["inertia"] - exp_inertia[r["cluster"]]) < 1e-2 * max(
+            1.0, exp_inertia[r["cluster"]]
+        ) * 1e-4 + 1e-3, (r["cluster"], r["inertia"], exp_inertia[r["cluster"]])
+
+
+def test_kmeans_inertia_decreases_over_iterations(spark, sf_dir):
+    from f1_data_engineering_spark.operators import similarity as SIM
+
+    def total(iters):
+        rows = SIM.kmeans_embeddings(spark, sf_dir, iters=iters).collect()
+        return sum(r["inertia"] for r in rows)
+
+    t1, t3 = total(1), total(3)
+    assert t3 <= t1 + 1e-6
