@@ -94,6 +94,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "countmin_sketch": A2.countmin_sketch,
         "priority_sample_orders": A2.priority_sample_orders,
         "decayed_value_recursive": A2.decayed_value_recursive,
+        "fuzzy_name_pairs": A2.fuzzy_name_pairs,
+        "frequent_event_types": A2.frequent_event_types,
         # §2.6 sort / limit / top-k
         "top_orders": R.top_orders,
         "distinct_sorted_types": R.distinct_sorted_types,
@@ -201,6 +203,8 @@ def oracle_sql() -> dict[str, str]:
         "countmin_sketch": A2.ORACLE_CMS,
         "priority_sample_orders": A2.ORACLE_PRIORITY_SAMPLE,
         "decayed_value_recursive": A2.ORACLE_DECAYED,
+        "fuzzy_name_pairs": A2.ORACLE_FUZZY,
+        "frequent_event_types": A2.ORACLE_FREQ,
         "orderkey_islands": AN.ORACLE_ISLANDS,
         "window_rank_suite": AN.ORACLE_RANK_SUITE,
         "daily_order_spine": AN.ORACLE_DAILY_SPINE,

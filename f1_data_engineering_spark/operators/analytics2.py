@@ -47,6 +47,8 @@ __all__ = [
     "countmin_sketch",
     "priority_sample_orders",
     "decayed_value_recursive",
+    "fuzzy_name_pairs",
+    "frequent_event_types",
 ]
 
 
@@ -352,4 +354,118 @@ FROM dec d
 JOIN (SELECT user_id, MAX(rn) AS rn FROM dec GROUP BY user_id) m
   ON d.user_id = m.user_id AND d.rn = m.rn
 ORDER BY d.user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# fuzzy-match join (edit distance <= 1 without the cross join)
+# ---------------------------------------------------------------------------
+
+
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-name pairs within Levenshtein distance 1, via the
+    SymSpell deletion-neighborhood join.
+
+    Scale shape: each name emits len+1 keys (itself + every
+    single-char deletion); candidates are an EQUI-join on the key —
+    shuffle cost is (avg_len+1)·N rows of short strings, and the
+    quadratic blow-up of a cross join with a levenshtein filter never
+    happens.  The exact distance check runs only on candidates that
+    already share a key (which distance-1 pairs provably do), so the
+    filter is verification, not search.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    )
+    keyed = c.select(
+        "id",
+        "name",
+        F.explode(
+            F.array_union(
+                F.array(F.col("name")),
+                F.transform(
+                    F.sequence(F.lit(1), F.length("name")),
+                    lambda i: F.concat(
+                        F.substring(F.col("name"), F.lit(1), (i - F.lit(1)).cast("int")),
+                        F.col("name").substr(i + F.lit(1), F.length("name")),
+                    ),
+                ),
+            )
+        ).alias("key"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.key") == F.col("b.key")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.col("a.name").alias("name1"),
+            F.col("b.name").alias("name2"),
+        )
+        .distinct()
+        .filter(F.levenshtein("name1", "name2") <= 1)
+        .select("id1", "id2", F.levenshtein("name1", "name2").cast("long").alias("dist"))
+    )
+
+
+ORACLE_FUZZY = """
+WITH keyed AS (
+  SELECT c_custkey AS id, c_name AS name, k.key
+  FROM customer, UNNEST(
+    list_distinct(
+      list_append(
+        list_transform(range(1, length(c_name) + 1),
+          i -> substr(c_name, 1, i - 1) || substr(c_name, i + 1)),
+        c_name
+      )
+    )
+  ) AS k(key)
+)
+SELECT DISTINCT a.id AS id1, b.id AS id2,
+  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+FROM keyed a JOIN keyed b ON a.key = b.key AND a.id < b.id
+WHERE levenshtein(a.name, b.name) <= 1
+ORDER BY id1, id2
+"""
+
+
+# ---------------------------------------------------------------------------
+# frequent items (approx_top_k — exact when cardinality fits the sketch)
+# ---------------------------------------------------------------------------
+
+
+def frequent_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event types via Spark 4's ``approx_top_k`` sketch.
+
+    The sketch tracks up to maxItemsTracked items map-side and merges
+    per partition — the streaming-friendly heavy-hitters pattern.
+    With cardinality ≪ maxItemsTracked (here: a handful of event
+    types vs 10k slots) the counts are EXACT, which is what lets the
+    DuckDB oracle be a plain GROUP BY: the query pins both the Spark 4
+    surface function and the exactness property on low-cardinality
+    input.  Output re-ranked deterministically ((count DESC, item)).
+    """
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("ft_events")
+    return spark.sql(
+        """
+        SELECT item AS event_type, count AS n,
+          CAST(row_number() OVER (ORDER BY count DESC, item) AS BIGINT) AS rank
+        FROM (
+          SELECT inline(approx_top_k(event_type, 5, 10000))
+          FROM ft_events WHERE event_type IS NOT NULL
+        )
+        ORDER BY rank
+        """
+    )
+
+
+ORACLE_FREQ = """
+SELECT event_type, COUNT(*) AS n,
+  CAST(row_number() OVER (ORDER BY COUNT(*) DESC, event_type) AS BIGINT) AS rank
+FROM events WHERE event_type IS NOT NULL
+GROUP BY event_type
+ORDER BY rank LIMIT 5
 """

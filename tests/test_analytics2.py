@@ -151,3 +151,52 @@ def test_kmeans_inertia_decreases_over_iterations(spark, sf_dir):
 
     t1, t3 = total(1), total(3)
     assert t3 <= t1 + 1e-6
+
+
+def test_fuzzy_pairs_complete_vs_bruteforce(spark, sf_dir):
+    """The deletion-neighborhood join must find EXACTLY the pairs a
+    brute-force cross join with a levenshtein filter finds (distance-1
+    recall is provable for SymSpell keys; this pins the implementation)."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("id"), F.col("c_name").alias("name"))
+        .limit(200)
+        .cache()
+    )
+    a, b = c.alias("a"), c.alias("b")
+    brute = {
+        (r["id1"], r["id2"])
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.levenshtein("a.name", "b.name").alias("d"),
+        )
+        .filter("d <= 1")
+        .collect()
+    }
+    from f1_data_engineering_spark.operators.analytics2 import fuzzy_name_pairs
+
+    ids = {r["id"] for r in c.select("id").collect()}
+    got = {
+        (r["id1"], r["id2"])
+        for r in fuzzy_name_pairs(spark, sf_dir).collect()
+        if r["id1"] in ids and r["id2"] in ids
+    }
+    assert got == brute
+    c.unpersist()
+
+
+def test_frequent_event_types_exact_at_low_cardinality(spark, sf_dir):
+    from f1_data_engineering_spark.operators.analytics2 import frequent_event_types
+
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .filter("event_type IS NOT NULL")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {r["event_type"]: r["n"] for r in frequent_event_types(spark, sf_dir).collect()}
+    assert got == exact
