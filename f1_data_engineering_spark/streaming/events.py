@@ -409,3 +409,60 @@ def user_stats_transform_with_state(stream):
         outputMode="update",
         timeMode="none",
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming sketch maintenance (count-min over micro-batches)
+# ---------------------------------------------------------------------------
+
+
+def write_stream_countmin(stream: DataFrame, state_path: str):
+    """Maintain a count-min sketch over an unbounded stream: each
+    micro-batch builds its own (depth, slot, n) cell table and MERGES
+    it into the persisted sketch by cell-wise addition — the defining
+    sketch property, and the reason a 256-cell state can summarize
+    any number of events.
+
+    ``foreachBatch`` + overwrite-by-merge keeps state parquet-sized
+    and external (restart-safe, queryable mid-stream); contrast with
+    a watermarked exact count, whose state grows with key cardinality.
+    Returns the started query; the sketch lands at ``state_path``.
+    """
+    from ..operators.analytics2 import CMS_DEPTH, CMS_WIDTH, _cms_slot
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cells = (
+            batch_df.select(F.col("user_id").cast("string").alias("k"))
+            .select(
+                F.explode(
+                    F.array(*[F.lit(d) for d in range(CMS_DEPTH)])
+                ).alias("depth"),
+                "k",
+            )
+            .select("depth", _cms_slot(F.col("depth"), F.col("k")).alias("slot"))
+            .groupBy("depth", "slot")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        import os
+
+        if os.path.isdir(state_path):
+            prev = spark.read.parquet(state_path)
+            cells = (
+                prev.unionByName(cells)
+                .groupBy("depth", "slot")
+                .agg(F.sum("n").alias("n"))
+            )
+        # tiny result (≤ depth·width rows): safe to materialize driver-side
+        # and rewrite atomically-enough for a single-writer stream
+        merged = cells.collect()
+        spark.createDataFrame(merged, "depth int, slot long, n long").coalesce(
+            1
+        ).write.mode("overwrite").parquet(state_path)
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", state_path + "_chk")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -358,3 +358,53 @@ def test_analyze_table_feeds_cbo_stats(spark, sf_dir, tmp_path):
             spark.conf.set("spark.sql.cbo.enabled", "false")
     finally:
         spark.sql("DROP DATABASE IF EXISTS cbodb CASCADE")
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join handling must kick in at runtime: a sort-merge
+    join with one pathological key gets its oversized partition SPLIT
+    (OptimizeSkewedJoin), visible as skew=true in the final adaptive
+    plan — the runtime answer to manual salting for moderate skew
+    (DEPLOY.md's claim, pinned here)."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # shrink thresholds so test-sized data counts as skewed
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+        # without this the rule stays conservative whenever a split
+        # might add a downstream shuffle; at cluster scale the default
+        # triggers on its own (256MB partitions), test sizes don't
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # left: 200k rows on ONE key + a uniform tail; right: small dim
+        left = spark.range(200_000).select(
+            F.when(F.col("id") < 190_000, F.lit(0))
+            .otherwise(F.col("id") % 50)
+            .alias("k"),
+            F.concat(F.lit("padpadpadpadpadpad-"), F.col("id")).alias("payload"),
+        )
+        right = spark.range(50).select(
+            F.col("id").alias("k"), F.lit("dim").alias("tag")
+        )
+        joined = left.join(right, "k")
+        assert joined.count() == 200_000
+        joined.collect()  # AQE decisions only exist after execution
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final[:2000]
+        assert "AQEShuffleRead skewed" in final
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

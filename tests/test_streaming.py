@@ -347,3 +347,28 @@ def test_transform_with_state_matches_batch(spark, sf_dir, events_dir, tmp_path)
         for r in last
     }
     assert got == batch
+
+
+def test_streaming_countmin_merge_equals_batch_sketch(spark, sf_dir, events_dir, tmp_path):
+    """Cell-wise merging of per-micro-batch count-min sketches must
+    reproduce the batch sketch exactly (the mergeability property,
+    end to end) — forced through multiple micro-batches."""
+    from f1_data_engineering_spark.operators.analytics2 import countmin_sketch
+    from f1_data_engineering_spark.streaming import events as SE
+
+    state = str(tmp_path / "cms_state")
+    stream = spark.readStream.schema(
+        load_table(spark, sf_dir, "events").schema
+    ).option("maxFilesPerTrigger", 1).parquet(events_dir)
+    q = SE.write_stream_countmin(stream, state)
+    q.awaitTermination()
+
+    got = {
+        (r["depth"], r["slot"]): r["n"]
+        for r in spark.read.parquet(state).collect()
+    }
+    exp = {
+        (r["depth"], r["slot"]): r["n"]
+        for r in countmin_sketch(spark, sf_dir).collect()
+    }
+    assert got == exp
