@@ -138,9 +138,11 @@ def main() -> None:
     signal.signal(signal.SIGINT, on_term)
 
     start = time.time()
+    budget_hit = False
     for name in BENCH_QUERIES:
         if time.time() - start > budget:
             errors[name] = "skipped: bench wall-clock budget exhausted"
+            budget_hit = True
             continue
         best = float("inf")
         try:
@@ -156,7 +158,9 @@ def main() -> None:
         except Exception as exc:  # one broken query must not kill the bench line
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
-    emit()
+    # a budget-truncated run must be marked: its headline value excludes
+    # the skipped queries and is not comparable to a complete run
+    emit(partial=budget_hit)
 
 
 if __name__ == "__main__":

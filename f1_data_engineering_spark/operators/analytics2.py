@@ -150,6 +150,22 @@ def _cms_slot(depth: F.Column, key: F.Column) -> F.Column:
     return h % CMS_WIDTH
 
 
+def cms_cells(keys: DataFrame) -> DataFrame:
+    """(depth, slot, n) count-min cells for a one-column frame of
+    string keys named ``k`` — shared by the batch query and the
+    streaming per-micro-batch merge so the sketch scheme (depth,
+    width, seed prefixes) can never diverge between the two."""
+    return (
+        keys.select(
+            F.explode(F.array(*[F.lit(d) for d in range(CMS_DEPTH)])).alias("depth"),
+            "k",
+        )
+        .select("depth", _cms_slot(F.col("depth"), F.col("k")).alias("slot"))
+        .groupBy("depth", "slot")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch of the per-user event frequency stream:
     (depth, slot, n) counters, depth×width = 4×64.
@@ -164,15 +180,7 @@ def countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         F.col("user_id").cast("string").alias("k")
     )
-    cells = ev.select(
-        F.explode(F.array(*[F.lit(d) for d in range(CMS_DEPTH)])).alias("depth"),
-        "k",
-    ).select("depth", _cms_slot(F.col("depth"), F.col("k")).alias("slot"))
-    return (
-        cells.groupBy("depth", "slot")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("depth", "slot")
-    )
+    return cms_cells(ev).orderBy("depth", "slot")
 
 
 ORACLE_CMS = f"""
@@ -301,7 +309,14 @@ def decayed_value_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     raised explicitly; this pattern is for bounded-depth chains
     (hierarchies, BOM walks), not unbounded sequences.
     """
-    spark.conf.set("spark.sql.cteRecursionLevelLimit", "2000")
+    # Session-level side effects, both deliberate and named to stay out
+    # of anyone's way: the recursion limit must still be raised when the
+    # returned (lazy) frame EXECUTES, so a set-then-restore here would
+    # re-impose the default before the iteration runs.  Raise-only (never
+    # lower), and the view name is namespaced against collisions.
+    cur = int(spark.conf.get("spark.sql.cteRecursionLevelLimit", "100"))
+    if cur < 2000:
+        spark.conf.set("spark.sql.cteRecursionLevelLimit", "2000")
     ev = load_table(spark, sf_dir, "events")
     # One shared row-numbered sequence view for the anchor and the
     # step.  Deliberately NOT cached: the runtime is iteration-bound
@@ -315,17 +330,17 @@ def decayed_value_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
         .alias("rn"),
     )
-    seq.createOrReplaceTempView("rc_seq")
+    seq.createOrReplaceTempView("__f1des_rc_seq")
     return spark.sql(
         """
         WITH RECURSIVE dec AS (
           SELECT user_id, rn, FLOOR(COALESCE(value, 0) * 1e6 + 0.5) / 1e6 AS state
-          FROM rc_seq WHERE rn = 1
+          FROM __f1des_rc_seq WHERE rn = 1
           UNION ALL
           SELECT s.user_id, s.rn,
             FLOOR((0.9 * d.state + COALESCE(s.value, 0)) * 1e6 + 0.5) / 1e6 AS state
           FROM dec d
-          JOIN rc_seq s ON s.user_id = d.user_id AND s.rn = d.rn + 1
+          JOIN __f1des_rc_seq s ON s.user_id = d.user_id AND s.rn = d.rn + 1
         )
         SELECT d.user_id, d.rn AS n_events, d.state
         FROM dec d
@@ -448,14 +463,14 @@ def frequent_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface function and the exactness property on low-cardinality
     input.  Output re-ranked deterministically ((count DESC, item)).
     """
-    load_table(spark, sf_dir, "events").createOrReplaceTempView("ft_events")
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("__f1des_ft_events")
     return spark.sql(
         """
         SELECT item AS event_type, count AS n,
           CAST(row_number() OVER (ORDER BY count DESC, item) AS BIGINT) AS rank
         FROM (
           SELECT inline(approx_top_k(event_type, 5, 10000))
-          FROM ft_events WHERE event_type IS NOT NULL
+          FROM __f1des_ft_events WHERE event_type IS NOT NULL
         )
         ORDER BY rank
         """

@@ -670,6 +670,11 @@ def kmeans_embeddings(
         list(r["embedding"])
         for r in e.orderBy("vec_id").limit(k).collect()
     ]
+    if len(cents) < k:
+        raise ValueError(
+            f"kmeans_embeddings needs at least k={k} vectors for init; "
+            f"embeddings table in {sf_dir} has only {len(cents)}"
+        )
 
     def dist2(c: list[float]) -> Column:
         terms = [

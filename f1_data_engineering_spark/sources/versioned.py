@@ -31,6 +31,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 import time
 import uuid
 
@@ -278,9 +279,9 @@ def vacuum(
             os.remove(full)
             deleted.append(f)
         elif f.startswith("_stage_") and os.path.isdir(full) and _old(full):
-            for inner in os.listdir(full):
-                os.remove(os.path.join(full, inner))
-            os.rmdir(full)
+            # a writer killed inside df.write leaves nested dirs
+            # (_temporary/... committer layout) — rmtree, not unlink
+            shutil.rmtree(full, ignore_errors=True)
             deleted.append(f)
     log = _log_path(path)
     if os.path.isdir(log):

@@ -423,42 +423,35 @@ def write_stream_countmin(stream: DataFrame, state_path: str):
     sketch property, and the reason a 256-cell state can summarize
     any number of events.
 
-    ``foreachBatch`` + overwrite-by-merge keeps state parquet-sized
-    and external (restart-safe, queryable mid-stream); contrast with
-    a watermarked exact count, whose state grows with key cardinality.
-    Returns the started query; the sketch lands at ``state_path``.
+    The state is a VERSIONED table (sources/versioned.py) so the merge
+    is replay-idempotent: foreachBatch is at-least-once, and a
+    restarted micro-batch would otherwise double-count every cell it
+    touches.  The batch_id-tagged overwrite commit recognizes the
+    replay in the transaction log and no-ops — the same exactly-once
+    contract as write_stream_versioned, reused.  Read the sketch with
+    ``read_versioned(spark, state_path)``.
     """
-    from ..operators.analytics2 import CMS_DEPTH, CMS_WIDTH, _cms_slot
+    from ..operators.analytics2 import cms_cells
+    from ..sources.versioned import read_versioned, write_versioned
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        cells = (
+        cells = cms_cells(
             batch_df.select(F.col("user_id").cast("string").alias("k"))
-            .select(
-                F.explode(
-                    F.array(*[F.lit(d) for d in range(CMS_DEPTH)])
-                ).alias("depth"),
-                "k",
-            )
-            .select("depth", _cms_slot(F.col("depth"), F.col("k")).alias("slot"))
-            .groupBy("depth", "slot")
-            .agg(F.count(F.lit(1)).alias("n"))
         )
-        import os
-
-        if os.path.isdir(state_path):
-            prev = spark.read.parquet(state_path)
+        try:
+            prev = read_versioned(spark, state_path)
+        except ValueError:  # first batch: no committed sketch yet
+            prev = None
+        if prev is not None:
             cells = (
                 prev.unionByName(cells)
                 .groupBy("depth", "slot")
                 .agg(F.sum("n").alias("n"))
             )
-        # tiny result (≤ depth·width rows): safe to materialize driver-side
-        # and rewrite atomically-enough for a single-writer stream
-        merged = cells.collect()
-        spark.createDataFrame(merged, "depth int, slot long, n long").coalesce(
-            1
-        ).write.mode("overwrite").parquet(state_path)
+        write_versioned(
+            cells.coalesce(1), state_path, mode="overwrite", batch_id=batch_id
+        )
 
     return (
         stream.writeStream.foreachBatch(_merge)

@@ -58,7 +58,6 @@ def main() -> None:
         "p": key_span("part", "p_partkey"),
         "o": key_span("orders", "o_orderkey"),
         "e": key_span("events", "event_id"),
-        "u": key_span("events", "user_id"),
         "d": key_span("documents", "doc_id"),
         "v": key_span("embeddings", "vec_id"),
     }
@@ -70,7 +69,10 @@ def main() -> None:
         "part": {"p_partkey": "p"},
         "orders": {"o_orderkey": "o", "o_custkey": "c"},
         "lineitem": {"l_orderkey": "o", "l_partkey": "p", "l_suppkey": "s"},
-        "events": {"event_id": "e", "user_id": "u"},
+        # user_id shifts by the CUSTOMER span: events.user_id joins
+        # c_custkey (stream_static_join), so both sides of that FK edge
+        # must move together or copy-i events match copy-0 customers
+        "events": {"event_id": "e", "user_id": "c"},
         "documents": {"doc_id": "d"},
         "embeddings": {"vec_id": "v"},
     }

@@ -363,12 +363,30 @@ def test_streaming_countmin_merge_equals_batch_sketch(spark, sf_dir, events_dir,
     q = SE.write_stream_countmin(stream, state)
     q.awaitTermination()
 
+    from f1_data_engineering_spark.sources.versioned import (
+        read_versioned,
+        table_history,
+        write_versioned,
+    )
+
     got = {
         (r["depth"], r["slot"]): r["n"]
-        for r in spark.read.parquet(state).collect()
+        for r in read_versioned(spark, state).collect()
     }
     exp = {
         (r["depth"], r["slot"]): r["n"]
         for r in countmin_sketch(spark, sf_dir).collect()
     }
     assert got == exp
+
+    # replay-idempotence: re-committing an already-seen batch_id must
+    # not change the sketch (foreachBatch is at-least-once)
+    first_bid = table_history(state)[0]["batch_id"]
+    write_versioned(
+        read_versioned(spark, state), state, mode="overwrite", batch_id=first_bid
+    )
+    again = {
+        (r["depth"], r["slot"]): r["n"]
+        for r in read_versioned(spark, state).collect()
+    }
+    assert again == exp

@@ -204,3 +204,19 @@ def test_empty_delta_carries_table_schema(spark, tmp_path):
     delta = V.read_version_delta(spark, t, 0, 1)
     assert delta.count() == 0
     assert [f.name for f in delta.schema.fields] == ["id", "tag"]
+
+
+def test_vacuum_collects_crashed_writer_stage_dirs(spark, tmp_path):
+    """A writer killed inside df.write leaves a _stage_* dir with the
+    committer's nested _temporary tree — vacuum must remove the whole
+    tree (rmtree), not crash on the nested directory."""
+    t = str(tmp_path / "tbl12")
+    V.write_versioned(_df(spark, 0, 4, "a"), t, "overwrite")
+    stage = os.path.join(t, "_stage_deadbeef")
+    os.makedirs(os.path.join(stage, "_temporary", "0"))
+    with open(os.path.join(stage, "part-00000.parquet"), "wb") as f:
+        f.write(b"PAR1")
+    deleted = V.vacuum(t, min_age_seconds=0.0)
+    assert "_stage_deadbeef" in deleted
+    assert not os.path.exists(stage)
+    assert V.read_versioned(spark, t).count() == 4  # table intact
