@@ -53,6 +53,8 @@ __all__ = [
     "read_version_delta",
     "vacuum",
     "write_stream_versioned",
+    "publish_with_audit",
+    "compact_versioned",
 ]
 
 
@@ -309,3 +311,72 @@ def write_stream_versioned(df: DataFrame, path: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def publish_with_audit(
+    df: DataFrame,
+    path: str,
+    audit,
+    mode: str = "append",
+) -> int:
+    """Write-audit-publish: commit ``df`` as a new version, run
+    ``audit(snapshot_df)`` against the RESULTING snapshot, and roll the
+    commit back (delete the log entry + its data files) if the audit
+    raises or returns False.  Returns the committed version.
+
+    This is the WAP pattern real lakehouses run before promoting data
+    to consumers: because readers resolve snapshots from the log, the
+    rollback is invisible — a reader either sees the fully audited
+    version or the previous one, never a half-published state.  (With
+    a single writer the rollback window cannot be observed; concurrent
+    readers between commit and rollback would see the unaudited
+    version, which branch-based WAP solves in full table formats.)
+    """
+    spark = df.sparkSession
+    version = write_versioned(df, path, mode=mode)
+    try:
+        ok = audit(read_versioned(spark, path, version=version))
+    except Exception:
+        _rollback(path, version)
+        raise
+    if ok is False:
+        _rollback(path, version)
+        raise ValueError(f"audit rejected version {version} of {path}")
+    return version
+
+
+def _rollback(path: str, version: int) -> None:
+    """Remove a just-committed HEAD version: its log entry and the data
+    files it introduced.  Only valid for the head (asserted) — earlier
+    versions are history and must go through vacuum."""
+    es = _entries(path)
+    if not es or es[-1]["version"] != version:
+        raise ValueError(f"can only roll back the head version, not {version}")
+    entry = es[-1]
+    os.remove(os.path.join(_log_path(path), f"{version:08d}.json"))
+    for fn in entry["files"]:
+        try:
+            os.remove(os.path.join(path, fn))
+        except FileNotFoundError:
+            pass
+
+
+def compact_versioned(
+    spark: SparkSession, path: str, target_rows_per_file: int = 1_000_000
+) -> int:
+    """Compaction as a table operation: rewrite the current snapshot
+    into ⌈rows/target⌉ files and commit the result as a new OVERWRITE
+    version.  Data is bit-identical (same rows, fewer files); old
+    files stay until vacuum, so time travel across the compaction
+    keeps working.
+
+    The small-file problem this solves is the dominant operational tax
+    of streaming sinks at scale: a per-minute micro-batch sink writes
+    1440 files/day/partition, and scan task count (and footer reads)
+    grows with files, not bytes.  See operators/layout.compaction_plan
+    for the metadata-only planning variant this executes.
+    """
+    snap = read_versioned(spark, path)
+    n_rows = snap.count()
+    n_files = max(1, -(-n_rows // target_rows_per_file))
+    return write_versioned(snap.repartition(n_files), path, mode="overwrite")

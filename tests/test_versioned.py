@@ -220,3 +220,56 @@ def test_vacuum_collects_crashed_writer_stage_dirs(spark, tmp_path):
     assert "_stage_deadbeef" in deleted
     assert not os.path.exists(stage)
     assert V.read_versioned(spark, t).count() == 4  # table intact
+
+
+def test_publish_with_audit_rolls_back_rejected_version(spark, tmp_path):
+    """WAP: a failing audit must remove the just-committed version and
+    its files, leaving readers on the previous snapshot."""
+    import pytest
+
+    t = str(tmp_path / "tbl13")
+    V.publish_with_audit(_df(spark, 0, 5, "a"), t, lambda s: s.count() == 5,
+                         mode="overwrite")
+    assert V.latest_version(t) == 0
+
+    with pytest.raises(ValueError, match="audit rejected"):
+        V.publish_with_audit(
+            _df(spark, 90, 99, "bad"), t,
+            lambda s: s.filter("tag = 'bad'").count() == 0,  # rejects
+        )
+    assert V.latest_version(t) == 0  # rolled back
+    assert V.read_versioned(spark, t).count() == 5
+    # rolled-back data files are gone from disk
+    import os as _os
+
+    live = set(V.table_history(t)[-1]["files"])
+    on_disk = {f for f in _os.listdir(t) if f.endswith(".parquet")}
+    assert on_disk == live
+
+    # audits that RAISE roll back too
+    def exploding(s):
+        raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError):
+        V.publish_with_audit(_df(spark, 5, 8, "c"), t, exploding)
+    assert V.latest_version(t) == 0
+
+
+def test_compact_versioned_preserves_data_and_history(spark, tmp_path):
+    """Compaction rewrites the snapshot into fewer files as a new
+    version: identical rows, reduced file count, time travel intact."""
+    t = str(tmp_path / "tbl14")
+    # many small appends → many files
+    for i in range(5):
+        V.write_versioned(_df(spark, i * 10, (i + 1) * 10, f"t{i}").repartition(4),
+                          t, "append")
+    before_files = len(V._snapshot_files(t, None))
+    before = sorted((r["id"], r["tag"]) for r in V.read_versioned(spark, t).collect())
+    v = V.compact_versioned(spark, t, target_rows_per_file=1_000_000)
+    after_files = len(V._snapshot_files(t, None))
+    after = sorted((r["id"], r["tag"]) for r in V.read_versioned(spark, t).collect())
+    assert after == before
+    assert after_files < before_files
+    assert after_files == 1  # 50 rows fit one target file
+    # pre-compaction version still readable (files not vacuumed yet)
+    assert V.read_versioned(spark, t, version=v - 1).count() == 50
