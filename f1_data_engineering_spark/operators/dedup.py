@@ -330,13 +330,37 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     augmented corpus (see _near_dup_corpus) so the result provably
     contains the planted near-dups.
     """
-    c = _shingle_hash_df(_near_dup_corpus(spark, sf_dir))
     # The signature table is consumed three times (band explode + both
     # sides of the estimate join); without a cache each consumer
     # re-hashes every shingle.  Signatures are K longs/doc — tiny even
     # at 100 TB of input text — so caching is always right here.
-    sig = c.select("doc_id", _sig_array(F.col("hb")).alias("sig")).cache()
-    bands = sig.select(
+    sig = signatures_df(_near_dup_corpus(spark, sf_dir)).cache()
+    bands = band_keys_df(sig)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    return estimate_pairs(cand, sig)
+
+
+def signatures_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig) MinHash signatures for a (doc_id, text) frame —
+    the shared build used by the one-shot pair query and the
+    incremental dedup index (operators/incremental_dedup.py)."""
+    c = _shingle_hash_df(docs)
+    return c.select("doc_id", _sig_array(F.col("hb")).alias("sig"))
+
+
+def band_keys_df(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, key) LSH band keys from a signature frame."""
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -356,17 +380,11 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.key")
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .distinct()
-    )
+
+
+def estimate_pairs(cand: DataFrame, sig: DataFrame) -> DataFrame:
+    """Attach estimated Jaccard (matching components / K) to a
+    (d1, d2) candidate frame from a (doc_id, sig) signature frame."""
     s1 = sig.select(F.col("doc_id").alias("d1"), F.col("sig").alias("sig1"))
     s2 = sig.select(F.col("doc_id").alias("d2"), F.col("sig").alias("sig2"))
     matches = F.aggregate(
