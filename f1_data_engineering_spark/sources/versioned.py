@@ -22,8 +22,9 @@ with nothing but parquet + JSON:
   concurrent writer won, and the commit retries against the new head.
 
 Single-table, filesystem-atomic-rename semantics — the honest scope;
-a real format adds schema evolution in the log, stats for file
-skipping (see operators/layout.py for that piece), and a catalog.
+log entries carry the writer schema and per-file column min/max stats
+(``read_versioned_pruned`` skips files from the log alone); a real
+format adds full schema evolution and a catalog on top.
 """
 
 from __future__ import annotations
@@ -36,6 +37,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 LOG_DIR = "_log"
 
@@ -55,6 +57,7 @@ __all__ = [
     "write_stream_versioned",
     "publish_with_audit",
     "compact_versioned",
+    "read_versioned_pruned",
 ]
 
 
@@ -85,10 +88,44 @@ def table_history(path: str) -> list[dict]:
     return _entries(path)
 
 
-def _stage_files(df: DataFrame, path: str) -> tuple[list[str], int]:
+def _file_stats(pf) -> dict:
+    """Per-column [min, max] from a parquet file's row-group footers —
+    JSON-serializable scalars only (numeric/bool/str), NULL-only and
+    exotic types skipped.  This is what real formats put in their
+    manifests so readers can skip files without opening them."""
+    import datetime
+
+    mins: dict = {}
+    maxs: dict = {}
+    meta = pf.metadata
+    for rg in range(meta.num_row_groups):
+        for ci in range(meta.num_columns):
+            col = meta.row_group(rg).column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            name = col.path_in_schema
+            if "." in name:  # nested — out of scope for the mini format
+                continue
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes):
+                try:
+                    lo, hi = lo.decode(), hi.decode()
+                except UnicodeDecodeError:
+                    continue
+            if isinstance(lo, (datetime.date, datetime.datetime)):
+                lo, hi = lo.isoformat(), hi.isoformat()
+            if not isinstance(lo, (int, float, str, bool)):
+                continue
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    return {c: [mins[c], maxs[c]] for c in mins}
+
+
+def _stage_files(df: DataFrame, path: str) -> tuple[list[str], int, dict]:
     """Write df as parquet into the table root under fresh UUID names;
-    returns (relative file names, row count).  Files are invisible to
-    readers until a log entry references them."""
+    returns (relative file names, row count, per-file column stats).
+    Files are invisible to readers until a log entry references them."""
     stage = os.path.join(path, f"_stage_{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(stage)
     names = []
@@ -98,16 +135,20 @@ def _stage_files(df: DataFrame, path: str) -> tuple[list[str], int]:
             final = f"data-{uuid.uuid4().hex}.parquet"
             os.replace(os.path.join(stage, f), os.path.join(path, final))
             names.append(final)
-    # row count from the committed files' footers (cheap, driver-side)
+    # row count + skipping stats from the committed files' footers
+    # (cheap, driver-side, one metadata read per file)
     import pyarrow.parquet as pq
 
+    stats: dict = {}
     for f in names:
-        n_rows += pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+        pf = pq.ParquetFile(os.path.join(path, f))
+        n_rows += pf.metadata.num_rows
+        stats[f] = _file_stats(pf)
     # clean the stage dir (success markers etc.)
     for f in os.listdir(stage):
         os.remove(os.path.join(stage, f))
     os.rmdir(stage)
-    return names, n_rows
+    return names, n_rows, stats
 
 
 def write_versioned(
@@ -137,7 +178,7 @@ def write_versioned(
             if e.get("batch_id") == batch_id:
                 return e["version"]
     os.makedirs(_log_path(path), exist_ok=True)
-    files, n_rows = _stage_files(df, path)
+    files, n_rows, stats = _stage_files(df, path)
     log = _log_path(path)
     tmp = os.path.join(log, f"_tmp_{uuid.uuid4().hex}.json")
     try:
@@ -158,6 +199,7 @@ def write_versioned(
                 "files": files,
                 "n_rows": n_rows,
                 "schema": df.schema.json(),
+                "file_stats": stats,
             }
             if batch_id is not None:
                 entry["batch_id"] = batch_id
@@ -201,6 +243,68 @@ def read_versioned(
     if not files:
         raise ValueError(f"no committed data in {path} at version {version}")
     return spark.read.parquet(*[os.path.join(path, f) for f in files])
+
+
+def read_versioned_pruned(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Snapshot read that SKIPS files whose logged [min, max] for
+    ``column`` cannot intersect [lo, hi]; returns
+    (frame, files_scanned, files_total).
+
+    This is manifest-level file skipping — the piece the module
+    docstring's "a real format adds stats for file skipping" referred
+    to: the decision uses only the transaction log, so a selective
+    predicate on a clustered column opens a handful of files instead
+    of the whole snapshot (pair with the range-clustered or Z-order
+    writers in operators/layout.py to make the ranges disjoint).  The
+    returned frame still applies the predicate exactly — stats only
+    decide which files can be skipped, never which rows qualify; files
+    with no logged stats for the column are conservatively scanned.
+    """
+    es = _entries(path)
+    stats: dict[str, dict] = {}
+    for e in es:
+        stats.update(e.get("file_stats") or {})
+    files = _snapshot_files(path, version)
+    if not files:
+        raise ValueError(f"no committed data in {path} at version {version}")
+
+    def may_match(f: str) -> bool:
+        s = stats.get(f, {}).get(column)
+        if not s:
+            return True  # unknown → must scan
+        fmin, fmax = s
+        return not (fmax < lo or fmin > hi)
+
+    keep = [f for f in files if may_match(f)]
+    if not keep:
+        df = spark.createDataFrame([], _snapshot_schema(path, version))
+    else:
+        df = spark.read.parquet(*[os.path.join(path, f) for f in keep])
+    return (
+        df.filter((F.col(column) >= lo) & (F.col(column) <= hi)),
+        len(keep),
+        len(files),
+    )
+
+
+def _snapshot_schema(path: str, version: int | None):
+    """Table schema at a version, from the log (for empty pruned reads)."""
+    from pyspark.sql.types import StructType
+
+    es = _entries(path)
+    if version is not None:
+        es = [e for e in es if e["version"] <= version]
+    for e in reversed(es):
+        if "schema" in e:
+            return StructType.fromJson(json.loads(e["schema"]))
+    raise ValueError(f"no schema recorded in the log of {path}")
 
 
 def read_version_delta(

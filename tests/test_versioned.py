@@ -273,3 +273,33 @@ def test_compact_versioned_preserves_data_and_history(spark, tmp_path):
     assert after_files == 1  # 50 rows fit one target file
     # pre-compaction version still readable (files not vacuumed yet)
     assert V.read_versioned(spark, t, version=v - 1).count() == 50
+
+
+def test_pruned_read_skips_files_from_log_stats(spark, tmp_path):
+    """Manifest-level file skipping: disjoint-range appends → a narrow
+    range predicate opens only the matching file(s), decided from the
+    log's per-file min/max alone, with exact results."""
+    t = str(tmp_path / "tbl15")
+    for i in range(5):  # 5 files with disjoint id ranges
+        V.write_versioned(
+            _df(spark, i * 100, (i + 1) * 100, f"t{i}").coalesce(1), t, "append"
+        )
+    df, scanned, total = V.read_versioned_pruned(spark, t, "id", 250, 260)
+    assert (scanned, total) == (1, 5)
+    assert sorted(r["id"] for r in df.collect()) == list(range(250, 261))
+
+    # range spanning two files
+    df2, scanned2, _ = V.read_versioned_pruned(spark, t, "id", 195, 205)
+    assert scanned2 == 2
+    assert df2.count() == 11
+
+    # no file can match → empty frame with the table schema, zero scans
+    df3, scanned3, _ = V.read_versioned_pruned(spark, t, "id", 10_000, 20_000)
+    assert scanned3 == 0
+    assert df3.count() == 0
+    assert [f.name for f in df3.schema.fields] == ["id", "tag"]
+
+    # string column stats work too
+    df4, scanned4, _ = V.read_versioned_pruned(spark, t, "tag", "t2", "t2")
+    assert scanned4 == 1
+    assert df4.count() == 100
