@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive_revenue": TS.q19_disjunctive_revenue,
         "q22_idle_customers": TS.q22_idle_customers,
         "q2_min_cost_supplier": T2.q2_min_cost_supplier,
+        "q5_local_supplier_volume": T2.q5_local_supplier_volume,
         "q7_nation_trade_flows": T2.q7_nation_trade_flows,
         "q8_market_share": T2.q8_market_share,
         "q9_product_profit": T2.q9_product_profit,
@@ -217,6 +218,7 @@ def oracle_sql() -> dict[str, str]:
         "q19_disjunctive_revenue": TS.ORACLE_Q19,
         "q22_idle_customers": TS.ORACLE_Q22,
         "q2_min_cost_supplier": T2.ORACLE_Q2,
+        "q5_local_supplier_volume": T2.ORACLE_Q5,
         "q7_nation_trade_flows": T2.ORACLE_Q7,
         "q8_market_share": T2.ORACLE_Q8,
         "q9_product_profit": T2.ORACLE_Q9,
