@@ -22,15 +22,50 @@ from ..schemas import TEST_TABLES, TEST_TABLE_NAMES
 
 __all__ = ["load_table", "load_tables", "register_views", "default_sf_dir", "spread"]
 
-#: Columns stored as parquet TIMESTAMP(NANOS) — Spark has no nanosecond
-#: timestamp type, so these are read as raw INT64 nanos (requires
-#: ``spark.sql.legacy.parquet.nanosAsLong``-compatible schema, i.e. we
-#: just declare LongType) and truncated to microseconds.  The driver
-#: data carries no sub-microsecond component, so this is lossless.
-#: Cost at scale: a ts predicate no longer prunes parquet row groups on
-#: this column (the scan filter applies post-conversion) — for a real
-#: deployment, land the data as TIMESTAMP(MICROS) instead.
-NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+#: Timestamp columns whose parquet time unit must be sniffed from the
+#: footer before the read schema is fixed.  Spark has no nanosecond
+#: timestamp type: a TIMESTAMP(NANOS) column must be read as raw INT64
+#: and truncated to microseconds, while a TIMESTAMP(MICROS) column is
+#: read natively as TimestampType.  The driver has shipped BOTH
+#: encodings for ``events.ts`` across rounds, so the unit is detected
+#: per file (one driver-side footer read, cached) instead of assumed —
+#: assuming nanos against micros data silently lands every event in
+#: 1970.  Cost of the nanos path at scale: a ts predicate no longer
+#: prunes parquet row groups (the filter applies post-conversion) —
+#: for a real deployment, land the data as TIMESTAMP(MICROS).
+SNIFF_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+#: path → tuple of column names that are nano-encoded in that file.
+_NANO_CACHE: dict[str, tuple[str, ...]] = {}
+
+
+def _nano_cols(path: str, candidates: tuple[str, ...]) -> tuple[str, ...]:
+    """Columns among ``candidates`` stored as timestamp[ns] in ``path``."""
+    if not candidates:
+        return ()
+    if path not in _NANO_CACHE:
+        import glob
+
+        import pyarrow.parquet as pq
+
+        # Spark-written tables are directories of part files; the footer
+        # of any one part carries the column encoding.
+        probe = path
+        if os.path.isdir(path):
+            parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+            if not parts:
+                _NANO_CACHE[path] = ()
+                return ()
+            probe = parts[0]
+        schema = pq.read_schema(probe)
+        nano = []
+        for name in candidates:
+            if name in schema.names:
+                t = schema.field(name).type
+                if getattr(t, "unit", None) == "ns":
+                    nano.append(name)
+        _NANO_CACHE[path] = tuple(nano)
+    return _NANO_CACHE[path]
 
 
 def default_sf_dir() -> str:
@@ -43,7 +78,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown test table {name!r}; known: {TEST_TABLE_NAMES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     schema = TEST_TABLES[name]
-    ns_cols = NANOS_TS_COLS.get(name, ())
+    ns_cols = _nano_cols(path, SNIFF_TS_COLS.get(name, ()))
     if not ns_cols:
         return spark.read.schema(schema).parquet(path)
     read_schema = T.StructType(
