@@ -58,6 +58,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # INT96 is deprecated and ambiguates footer-level type sniffing
+        # (pyarrow reports INT96 as timestamp[ns]); write modern MICROS.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # Python DataSource API: let custom sources consume pushed
         # filters (sources/pydatasource.py prunes partitions with them)
         .config("spark.sql.python.filterPushdown.enabled", "true")

@@ -57,13 +57,28 @@ def _nano_cols(path: str, candidates: tuple[str, ...]) -> tuple[str, ...]:
                 _NANO_CACHE[path] = ()
                 return ()
             probe = parts[0]
-        schema = pq.read_schema(probe)
+        import pyarrow as pa
+
+        arrow_schema = pq.read_schema(probe)
+        physical = pq.ParquetFile(probe).schema  # parquet-level types
+        phys_by_name = {
+            physical.column(i).name: physical.column(i).physical_type
+            for i in range(len(physical.names))
+        }
         nano = []
         for name in candidates:
-            if name in schema.names:
-                t = schema.field(name).type
-                if getattr(t, "unit", None) == "ns":
-                    nano.append(name)
+            if name not in arrow_schema.names:
+                continue
+            t = arrow_schema.field(name).type
+            # Long-read path only for columns PHYSICALLY stored as
+            # INT64 whose values are epoch-nanos: TIMESTAMP(NANOS), or
+            # a raw un-annotated INT64 from legacy landed files.  INT96
+            # also surfaces as timestamp[ns] in arrow but must be read
+            # natively as TimestampType, so gate on the physical type.
+            if phys_by_name.get(name) == "INT64" and (
+                getattr(t, "unit", None) == "ns" or pa.types.is_int64(t)
+            ):
+                nano.append(name)
         _NANO_CACHE[path] = tuple(nano)
     return _NANO_CACHE[path]
 

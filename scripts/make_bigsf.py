@@ -111,12 +111,9 @@ def main() -> None:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        if table == "events":
-            # land ts as INT64 nanoseconds: load_table reads this column
-            # with a LongType schema (the source data is parquet
-            # TIMESTAMP(NANOS)); letting Spark write its default INT96
-            # timestamp would break that read path
-            out = out.withColumn("ts", (F.unix_micros("ts") * 1000).cast("long"))
+        # events.ts stays a native timestamp: load_table sniffs the
+        # parquet footer per file, so Spark's TIMESTAMP(MICROS) output
+        # reads back directly (no raw-nanos workaround needed).
         out.write.mode("overwrite").parquet(os.path.join(DST, f"{table}.parquet"))
         n = spark.read.parquet(os.path.join(DST, f"{table}.parquet")).count()
         print(f"{table}: {n} rows")
