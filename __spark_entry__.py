@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": SIM.embedding_centroids,
         "embedding_near_dup_pairs": SIM.embedding_near_dup_pairs,
         "lsh_multiprobe_ann": SIM.lsh_multiprobe_ann,
+        "ivf_ann": SIM.ivf_ann,
         "embedding_quantize_int8": SIM.embedding_quantize_int8,
         "kmeans_embeddings": SIM.kmeans_embeddings,  # iterative; rows-only
 
@@ -282,6 +283,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_centroids": SIM.ORACLE_CENTROIDS,
         "embedding_near_dup_pairs": SIM.ORACLE_NEAR_DUP,
         "lsh_multiprobe_ann": SIM.ORACLE_MULTIPROBE_ANN,
+        "ivf_ann": SIM.ORACLE_IVF_ANN,
         "embedding_quantize_int8": SIM.ORACLE_QUANTIZE,
         "zscore_by_user": PD.ORACLE_ZSCORE,
         "user_value_median_iqr": PD.ORACLE_MEDIAN_IQR,

