@@ -102,8 +102,13 @@ def quality_score(c: Column | str) -> Column:
     n_chars = F.length(t).cast("double")
     toks = tokens(t)
     n_tok = F.greatest(F.size(toks).cast("double"), F.lit(1.0))
-    alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", "")).cast("double")
-    punct = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", "")).cast("double")
+    # alpha/punct counts via translate (single table-lookup pass per
+    # char) instead of regexp_replace (regex engine pass per char) —
+    # same ASCII accept sets as the [^A-Za-z] / [A-Za-z0-9\s] classes
+    letters = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+    ws = " \t\n\r\f\x0b"  # Java \s (ASCII)
+    alpha = (n_chars - F.length(F.translate(t, letters, ""))).cast("double")
+    punct = F.length(F.translate(t, letters + "0123456789" + ws, "")).cast("double")
     all_stop = tuple({w for ws in STOPWORDS.values() for w in ws})
     stop_hits = F.size(F.filter(toks, lambda x: x.isin(*all_stop))).cast("double")
 
