@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": TX.repetition_stats,
         "pii_scrub_stats": TX.pii_scrub_stats,
         "tfidf_top_terms": TX.tfidf_top_terms,
+        "bm25_rank": TX.bm25_rank,
         "stop_shingle_stats": TX.stop_shingle_stats,
         "inverted_index": TX.inverted_index,
         "zipf_fit": TX.zipf_fit,
@@ -264,6 +265,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": TX.ORACLE_REPETITION,
         "pii_scrub_stats": TX.ORACLE_PII_SCRUB,
         "tfidf_top_terms": TX.ORACLE_TFIDF,
+        "bm25_rank": TX.ORACLE_BM25,
         "stop_shingle_stats": TX.ORACLE_STOP_SHINGLES,
         "inverted_index": TX.ORACLE_INVERTED_INDEX,
         "zipf_fit": TX.ORACLE_ZIPF,

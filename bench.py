@@ -56,6 +56,7 @@ BENCH_QUERIES = (
     "lsh_multiprobe_ann",
     "ivf_ann",
     "tfidf_top_terms",
+    "bm25_rank",
     "profile_orders",
     "stratified_sample_orders",
     "sketch_summary",

@@ -770,3 +770,121 @@ SELECT a.source AS source_a, b.source AS source_b,
 FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
 GROUP BY 1, 2 ORDER BY source_a, source_b
 """
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+
+#: Fixed query for the oracle-checked retrieval ranking.
+BM25_TERMS = ("join", "hash", "vector")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+
+
+def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 documents for a fixed 3-term query —
+    ranked retrieval with document-length normalization, the scoring
+    function TF-IDF (see :func:`tfidf_top_terms`) feeds in real search.
+
+    Plan shape at scale: term postings (tf) come from ONE tokenize →
+    filter-to-query-terms → groupBy pass, so the shuffled tf table is
+    |query terms| × |matching docs| — query-sized, not corpus-sized.
+    Corpus stats (N, avg doc length) reduce to one broadcast row; df
+    per term is a 3-row broadcast.  The only corpus-wide work is the
+    scan itself.
+
+    FP parity: idf/score arithmetic runs on exact integer counts cast
+    to double in a fixed expression order mirrored by the oracle;
+    ranking uses the 9-dp-rounded score with doc_id tie-break so
+    ulp-level ln() divergence cannot reorder rows (same policy as the
+    similarity operators).
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens("text")).cast("double").alias("dl")
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+    )
+
+    tok = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    )
+    tf = (
+        tok.filter(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.col("tf") * (BM25_K1 + 1) / (
+        F.col("tf")
+        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / (F.col("sum_dl") / F.col("n_docs")))
+    )
+    contrib = tf.join(F.broadcast(dfreq), "term").join(d, "doc_id").crossJoin(
+        F.broadcast(stats)
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.round(F.sum(idf * norm), 9).alias("score_key"),
+        F.round(F.sum(idf * norm), 6).alias("bm25"),
+        F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+    )
+    w = Window.orderBy(F.col("score_key").desc(), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOPK)
+        .select(
+            "doc_id", "bm25", "n_terms_hit", F.col("rank").cast("long").alias("rank")
+        )
+    )
+
+
+ORACLE_BM25 = f"""
+WITH d AS (
+  SELECT doc_id, CAST(len({_SQL_TOKENS}) AS DOUBLE) AS dl FROM documents
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, SUM(dl) AS sum_dl FROM d
+),
+tok AS (
+  SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM tok WHERE term IN ({", ".join(f"'{t}'" for t in BM25_TERMS)})
+  GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+    ROUND(SUM(
+      ln(1.0 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+      * tf.tf * ({BM25_K1} + 1) / (tf.tf + {BM25_K1} *
+          (1 - {BM25_B} + {BM25_B} * d.dl / (s.sum_dl / s.n_docs)))
+    ), 9) AS score_key,
+    ROUND(SUM(
+      ln(1.0 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+      * tf.tf * ({BM25_K1} + 1) / (tf.tf + {BM25_K1} *
+          (1 - {BM25_B} + {BM25_B} * d.dl / (s.sum_dl / s.n_docs)))
+    ), 6) AS bm25,
+    CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+  FROM tf
+  JOIN dfreq USING (term) JOIN d USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+r AS (
+  SELECT doc_id, bm25, n_terms_hit,
+    row_number() OVER (ORDER BY score_key DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT doc_id, bm25, n_terms_hit, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {BM25_TOPK}
+"""
