@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub_stats": TX.pii_scrub_stats,
         "tfidf_top_terms": TX.tfidf_top_terms,
         "bm25_rank": TX.bm25_rank,
+        "lm_perplexity": TX.lm_perplexity,
         "stop_shingle_stats": TX.stop_shingle_stats,
         "inverted_index": TX.inverted_index,
         "zipf_fit": TX.zipf_fit,
@@ -266,6 +267,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub_stats": TX.ORACLE_PII_SCRUB,
         "tfidf_top_terms": TX.ORACLE_TFIDF,
         "bm25_rank": TX.ORACLE_BM25,
+        "lm_perplexity": TX.ORACLE_LM_PPL,
         "stop_shingle_stats": TX.ORACLE_STOP_SHINGLES,
         "inverted_index": TX.ORACLE_INVERTED_INDEX,
         "zipf_fit": TX.ORACLE_ZIPF,

@@ -57,6 +57,7 @@ BENCH_QUERIES = (
     "ivf_ann",
     "tfidf_top_terms",
     "bm25_rank",
+    "lm_perplexity",
     "profile_orders",
     "stratified_sample_orders",
     "sketch_summary",

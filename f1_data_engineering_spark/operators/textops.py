@@ -888,3 +888,119 @@ r AS (
 SELECT doc_id, bm25, n_terms_hit, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= {BM25_TOPK}
 """
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM perplexity proxy (corpus-trained quality signal)
+# ---------------------------------------------------------------------------
+
+
+def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under a word-bigram LM trained on the
+    corpus itself — the CCNet-style LM-quality signal: templated or
+    garbled documents score far from the corpus norm.
+
+    Model: P(w2|w1) = (c2(w1 w2) + 1) / (c1(w1) + V)  (add-one
+    smoothing; c1 counts occurrences as bigram-first, V = vocabulary
+    size), ppl = exp(−mean ln P) over the document's bigrams.
+
+    Scale shape: bigrams are built SCAN-SIDE from the token array
+    (zip_with over two slices — no self-join on position), so training
+    is one groupBy over (w1, w2) and scoring is one join of the
+    exploded bigrams against the model.  The model is vocab²-bounded:
+    broadcast here, shuffle join at real-vocab scale (the standard LM
+    join shape).
+
+    FP parity: each bigram's ln P is rounded to 9 dp and summed as
+    DECIMAL — bit-identical across engines regardless of summation
+    order — then the mean/exp run on the final scalar only.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    doc_bg = d.select("doc_id", F.explode(bigrams).alias("bg"))
+
+    c2 = doc_bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = (
+        doc_bg.select(F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = d.select(F.explode(toks).alias("t")).agg(
+        F.count_distinct("t").cast("double").alias("v")
+    )
+
+    model = (
+        c2.withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bg",
+            F.round(
+                F.log(
+                    (F.col("c2").cast("double") + 1.0)
+                    / (F.col("c1").cast("double") + F.col("v"))
+                ),
+                9,
+            )
+            .cast("decimal(20,9)")
+            .alias("lnp"),
+        )
+    )
+    scored = (
+        doc_bg.join(F.broadcast(model), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lnp").alias("sum_lnp"),
+        )
+    )
+    ppl = F.round(
+        F.exp(-(F.col("sum_lnp").cast("double")) / F.col("n_bigrams").cast("double")),
+        6,
+    )
+    return scored.select("doc_id", "n_bigrams", ppl.alias("ppl")).orderBy("doc_id")
+
+
+ORACLE_LM_PPL = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents
+),
+bg AS (
+  SELECT doc_id,
+    unnest(CASE WHEN len(toks) >= 2
+      THEN list_transform(list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+                          p -> p[1] || ' ' || p[2])
+      ELSE [] END) AS bg
+  FROM t
+),
+c2 AS (SELECT bg, COUNT(*) AS c2 FROM bg GROUP BY bg),
+c1 AS (
+  SELECT split_part(bg, ' ', 1) AS w1, COUNT(*) AS c1 FROM bg GROUP BY w1
+),
+v AS (
+  SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v
+  FROM (SELECT unnest(toks) AS tok FROM t)
+),
+model AS (
+  SELECT c2.bg,
+    CAST(ROUND(ln((CAST(c2.c2 AS DOUBLE) + 1.0) / (CAST(c1.c1 AS DOUBLE) + v.v)), 9)
+         AS DECIMAL(20,9)) AS lnp
+  FROM c2 JOIN c1 ON split_part(c2.bg, ' ', 1) = c1.w1 CROSS JOIN v
+),
+scored AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams, SUM(lnp) AS sum_lnp
+  FROM bg JOIN model USING (bg) GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams,
+  ROUND(exp(-(CAST(sum_lnp AS DOUBLE)) / CAST(n_bigrams AS DOUBLE)), 6) AS ppl
+FROM scored ORDER BY doc_id
+"""
