@@ -456,3 +456,28 @@ def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
     total = sum(len(v) for v in exact.values())
     print(f"ivf recall@3 = {hits}/{total} = {hits/total:.3f}")
     assert hits / total >= 0.25, f"recall@3 = {hits}/{total}"
+
+
+def test_new_retrieval_ops_plan_quality(spark, sf_dir):
+    """ivf_ann, bm25_rank and lm_perplexity must plan with broadcast
+    candidate/model sides and no unpartitioned CartesianProduct.
+    (BroadcastNestedLoopJoin IS expected here: the centroid / corpus-
+    stats fan-outs are deliberate crosses against broadcast-tiny
+    dimension rows — the degenerate-J2 shape, not a plan failure.)"""
+    from f1_data_engineering_spark.operators import similarity as SIM
+    from f1_data_engineering_spark.operators import textops as TX
+    from f1_data_engineering_spark.plans import physical_plan
+
+    ivf = SIM.ivf_ann(spark, sf_dir)
+    assert "CartesianProduct" not in physical_plan(ivf, "simple")
+    assert_broadcast_join(ivf, at_least=1)  # probes equi-join on cell
+
+    bm25 = TX.bm25_rank(spark, sf_dir)
+    assert "CartesianProduct" not in physical_plan(bm25, "simple")
+    assert_broadcast_join(bm25, at_least=1)  # per-term df
+
+    ppl = TX.lm_perplexity(spark, sf_dir)
+    assert "CartesianProduct" not in physical_plan(ppl, "simple")
+    assert_broadcast_join(ppl, at_least=1)  # model join
+
+    assert ivf.count() > 0 and bm25.count() == TX.BM25_TOPK and ppl.count() > 0
