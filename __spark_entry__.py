@@ -180,6 +180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_summary": DC.contamination_summary,
         # incremental MERGE / SCD2 dimension maintenance
         "scd2_customer_merge": MG.scd2_customer_merge,
+        "scd2_point_in_time": MG.scd2_point_in_time,
         # profiling / sampling / sketches
         "profile_orders": PF.profile_orders,
         "stratified_sample_orders": PF.stratified_sample_orders,
@@ -305,6 +306,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_ngrams": DC.ORACLE_DECONTAM,
         "contamination_summary": DC.ORACLE_CONTAM_SUMMARY,
         "scd2_customer_merge": MG.ORACLE_SCD2,
+        "scd2_point_in_time": MG.ORACLE_SCD2_PIT,
         "profile_orders": PF.ORACLE_PROFILE_ORDERS,
         "stratified_sample_orders": PF.ORACLE_STRATIFIED_SAMPLE,
         "numeric_corr_matrix": PF.ORACLE_CORR_MATRIX,

@@ -115,3 +115,56 @@ SELECT c_custkey, c_mktsegment, c_acctbal,
        TIMESTAMP '{DIM_EPOCH}', NULL::TIMESTAMP, TRUE
 FROM j WHERE has_base AND NOT (has_upd AND new_acctbal <> c_acctbal)
 """
+
+
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) join of the fact table against the SCD2
+    dimension built by :func:`scd2_customer_merge`: each order joins
+    the dimension VERSION that was valid on its order date
+    (``valid_from <= d < valid_to``, open row = current), then rolls
+    up per (market segment, matched-version currency).
+
+    The temporal predicate rides on the ``c_custkey`` equi join — at
+    most a handful of versions per key, so the version filter is
+    per-key-local work after a standard hash join, never a range join
+    over the whole dimension.  This is the query pattern that makes
+    SCD2 worth maintaining: historically correct attribution without
+    snapshotting the dimension per day.
+    """
+    dim = scd2_customer_merge(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    d = F.col("o_orderdate")
+    pit = o.join(dim, o["o_custkey"] == dim["c_custkey"]).filter(
+        (F.col("valid_from") <= d)
+        & (F.col("valid_to").isNull() | (d < F.col("valid_to")))
+    )
+    return (
+        pit.groupBy("c_mktsegment", "is_current")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count_distinct("c_custkey").alias("n_customers"),
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            ).alias("order_value"),
+        )
+        .orderBy("c_mktsegment", "is_current")
+    )
+
+
+ORACLE_SCD2_PIT = f"""
+WITH dim AS ({ORACLE_SCD2}),
+pit AS (
+  SELECT o.o_totalprice, dim.c_custkey, dim.c_mktsegment, dim.is_current
+  FROM orders o JOIN dim ON o.o_custkey = dim.c_custkey
+  WHERE dim.valid_from <= CAST(o.o_orderdate AS TIMESTAMP)
+    AND (dim.valid_to IS NULL OR CAST(o.o_orderdate AS TIMESTAMP) < dim.valid_to)
+)
+SELECT c_mktsegment, is_current,
+  COUNT(*) AS n_orders,
+  COUNT(DISTINCT c_custkey) AS n_customers,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS order_value
+FROM pit GROUP BY c_mktsegment, is_current
+ORDER BY c_mktsegment, is_current
+"""
