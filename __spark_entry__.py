@@ -12,6 +12,18 @@ derived as round(sum/count, 6), deterministic tie-breaks everywhere.
 
 from __future__ import annotations
 
+import os
+import sys
+
+# Loader-agnostic bootstrap: a harness that imports this module by FILE
+# PATH (importlib spec from /root/repo/__spark_entry__.py) with some
+# other cwd would otherwise fail the package imports below — the repo
+# root is not implicitly on sys.path in that mode, and the failure
+# surfaces as an empty correctness record rather than a visible error.
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
