@@ -240,3 +240,53 @@ def test_safe_duration_matches_pandas(spark, cases):
             assert g is None, (s, g, e)
         else:
             assert g is not None and g == pytest.approx(e, abs=1e-9), (s, g, e)
+
+
+@given(
+    st.lists(
+        st.text(alphabet="0123456789:+-. x", min_size=0, max_size=16),
+        min_size=1,
+        max_size=80,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_parse_matches_regex_reference(spark, values):
+    """The split/width-check parser must accept and evaluate EXACTLY
+    the language of the original anchored regexes (the transformer's
+    F9 dispatch) on adversarial colon/digit/sign soup."""
+    import re
+
+    rx_4 = re.compile(r"^([+-]?)(\d+):(\d{2}):(\d{2}):(\d{3})$")
+    rx_3ms = re.compile(r"^([+-]?)(\d+):(\d{2}):(\d{3})$")
+    rx_3 = re.compile(r"^([+-]?)(\d+):(\d{2}):(\d{2})$")
+
+    def ref(s):
+        if s is None:
+            return None
+        s = s.strip()
+        m = rx_4.match(s)
+        if m:
+            sign = -1.0 if m.group(1) == "-" else 1.0
+            return sign * (
+                int(m.group(2)) * 3600
+                + int(m.group(3)) * 60
+                + int(m.group(4))
+                + int(m.group(5)) / 1000
+            )
+        m = rx_3ms.match(s)
+        if m:
+            sign = -1.0 if m.group(1) == "-" else 1.0
+            return sign * (int(m.group(2)) * 60 + int(m.group(3)) + int(m.group(4)) / 1000)
+        m = rx_3.match(s)
+        if m:
+            sign = -1.0 if m.group(1) == "-" else 1.0
+            return sign * (int(m.group(2)) * 3600 + int(m.group(3)) * 60 + int(m.group(4)))
+        return None
+
+    got = run_expr(spark, values, parse_f1_duration, in_type="string")
+    for g, v in zip(got, values):
+        e = ref(v)
+        if e is None:
+            assert g is None, (v, g)
+        else:
+            assert g is not None and g == pytest.approx(e, abs=1e-9), (v, g, e)
