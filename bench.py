@@ -67,6 +67,7 @@ BENCH_QUERIES = (
     "q16_supplier_variety",
     "decontaminate_ngrams",
     "scd2_customer_merge",
+    "scd2_point_in_time",
     "zorder_tile_stats",
     "compaction_plan",
     "numeric_corr_matrix",

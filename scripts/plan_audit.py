@@ -198,6 +198,35 @@ AUDIT = [
         "TakeOrderedAndProject keeps a k-row heap per partition and "
         "merges k·partitions rows at the driver — no global sort.",
     ),
+    (
+        "ivf_ann",
+        SIM.ivf_ann,
+        "IVF search: cell assignment is one broadcast pass (16-row "
+        "centroid BNLJ fan-out + max-struct hash aggregate, no corpus "
+        "window); candidates come from a broadcast equi join on the "
+        "cell id — each query touches nprobe/NLIST of the corpus.",
+    ),
+    (
+        "bm25_rank",
+        TX2.bm25_rank,
+        "Ranked retrieval: postings = tokenize → filter to query terms "
+        "→ groupBy, so the shuffled tf table is query-sized; df and "
+        "corpus stats broadcast; one window over the matched docs only.",
+    ),
+    (
+        "lm_perplexity",
+        TX2.lm_perplexity,
+        "Bigram LM: bigrams built scan-side from the token array (no "
+        "positional self-join); model (vocab²-bounded) broadcasts into "
+        "the scoring join; per-doc sums aggregate exactly in decimal.",
+    ),
+    (
+        "scd2_point_in_time",
+        MG.scd2_point_in_time,
+        "As-of version join: the temporal predicate is a residual "
+        "filter on the custkey hash join — per-key version selection, "
+        "never a dimension-wide range join.",
+    ),
 ]
 
 
