@@ -141,29 +141,39 @@ def main() -> None:
     signal.signal(signal.SIGTERM, on_term)
     signal.signal(signal.SIGINT, on_term)
 
+    # Two passes: pass 1 covers EVERY query once (so a tight budget
+    # degrades to single-run timings, never to missing queries); pass 2
+    # re-runs with the leftover budget and keeps the min (single runs
+    # vary ±25% from background noise on this box).
     start = time.time()
     budget_hit = False
-    for name in BENCH_QUERIES:
-        if time.time() - start > budget:
-            errors[name] = "skipped: bench wall-clock budget exhausted"
-            budget_hit = True
-            continue
-        best = float("inf")
-        try:
-            for _ in range(2):
+    for pass_no in range(2):
+        for name in BENCH_QUERIES:
+            if pass_no == 1 and time.time() - start > budget:
+                break  # pass-2 is best-effort; budget_hit reflects pass 1 only
+            if pass_no == 0 and time.time() - start > budget:
+                errors[name] = "skipped: bench wall-clock budget exhausted"
+                budget_hit = True
+                continue
+            if name in errors:
+                continue
+            try:
                 spark.catalog.clearCache()
                 t0 = time.time()
                 qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-                best = min(best, time.time() - t0)
-                if time.time() - start > budget:
-                    break
-            times[name] = round(best, 3)
-            print(f"bench {name}: {best:.3f}s", file=sys.stderr, flush=True)
-        except Exception as exc:  # one broken query must not kill the bench line
-            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+                dt = time.time() - t0
+                times[name] = round(min(times.get(name, float("inf")), dt), 3)
+                print(
+                    f"bench {name} (pass {pass_no + 1}): {dt:.3f}s",
+                    file=sys.stderr,
+                    flush=True,
+                )
+            except Exception as exc:  # one broken query must not kill the line
+                errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+                times.pop(name, None)
 
-    # a budget-truncated run must be marked: its headline value excludes
-    # the skipped queries and is not comparable to a complete run
+    # a budget-truncated PASS-1 must be marked: its headline value
+    # excludes the skipped queries and is not comparable to a full run
     emit(partial=budget_hit)
 
 
