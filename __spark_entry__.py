@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wallclock_formats": TO.wallclock_formats,
         "boolean_normalize": TO.boolean_normalize,
         "hourly_event_rollup": TO.hourly_event_rollup,
+        "retention_cohorts": TO.retention_cohorts,
         "sessionize_events": TO.sessionize_events,
         "asof_join_purchase": TO.asof_join_purchase,
         "latest_event_state": TO.latest_event_state,
@@ -263,6 +264,7 @@ def oracle_sql() -> dict[str, str]:
         "wallclock_formats": TO.ORACLE_WALLCLOCK,
         "boolean_normalize": TO.ORACLE_BOOLEAN,
         "hourly_event_rollup": TO.ORACLE_HOURLY,
+        "retention_cohorts": TO.ORACLE_RETENTION,
         "sessionize_events": TO.ORACLE_SESSIONIZE,
         "asof_join_purchase": TO.ORACLE_ASOF,
         "latest_event_state": TO.ORACLE_LATEST_STATE,

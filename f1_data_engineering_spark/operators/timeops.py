@@ -521,3 +521,73 @@ SELECT user_id, event_id AS last_event_id, event_type AS last_type,
   ROUND(value, 6) AS last_value, ts AS last_ts, n_events
 FROM r WHERE rn = 1 ORDER BY user_id
 """
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention matrix: users cohorted by first-seen week,
+    counted per (cohort_week, weeks_since) — the DAU/WAU retention
+    triangle, plus each cell's share of its cohort.
+
+    Self-join-free: first-seen week is a per-user ``min`` (one hash
+    aggregate), re-attached to the user's distinct active weeks by a
+    user-keyed join — at 100 TB both sides are user-cardinality
+    tables, co-partitioned on the same key, and the final matrix is
+    weeks² rows.  The naive formulation (events self-joined to first
+    events) shuffles the fact table twice; this shuffles user-week
+    pairs once.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    )
+    user_weeks = ev.distinct()
+    first_seen = user_weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    cohort_sizes = first_seen.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_n")
+    )
+    cells = (
+        user_weeks.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.col("week"), F.col("cohort_week")) / 7
+            ).cast("long").alias("weeks_since"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return (
+        cells.join(F.broadcast(cohort_sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "weeks_since",
+            "n_active",
+            "cohort_n",
+            F.round(
+                F.col("n_active").cast("double") / F.col("cohort_n").cast("double"), 6
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "weeks_since")
+    )
+
+
+ORACLE_RETENTION = """
+WITH uw AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+),
+first_seen AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id
+),
+sizes AS (
+  SELECT cohort_week, COUNT(*) AS cohort_n FROM first_seen GROUP BY cohort_week
+),
+cells AS (
+  SELECT f.cohort_week,
+    CAST(date_diff('day', f.cohort_week, uw.week) // 7 AS BIGINT) AS weeks_since,
+    COUNT(*) AS n_active
+  FROM uw JOIN first_seen f USING (user_id)
+  GROUP BY f.cohort_week, weeks_since
+)
+SELECT c.cohort_week, c.weeks_since, c.n_active, s.cohort_n,
+  ROUND(CAST(c.n_active AS DOUBLE) / CAST(s.cohort_n AS DOUBLE), 6) AS retention
+FROM cells c JOIN sizes s USING (cohort_week)
+ORDER BY c.cohort_week, c.weeks_since
+"""
