@@ -1004,3 +1004,104 @@ SELECT doc_id, n_bigrams,
   ROUND(exp(-(CAST(sum_lnp AS DOUBLE)) / CAST(n_bigrams AS DOUBLE)), 6) AS ppl
 FROM scored ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Dataset card: one-row corpus summary
+# ---------------------------------------------------------------------------
+
+
+def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card rollup: ONE row summarizing the corpus —
+    document count, exact-dup rate (fingerprint cardinality), language
+    mix, mean quality, and token-count distribution.  Every released
+    training corpus ships this table; here it is ONE scan with every
+    per-document signal computed scan-side and a single aggregate
+    (count_distinct adds the only extra shuffle).
+
+    Parity: mean quality sums the per-doc 6-dp-rounded scores as
+    DECIMAL (order-independent), percentiles use the exact
+    interpolated definition both engines share.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    norm = F.concat_ws(" ", tokens("text"))
+    proj = d.select(
+        F.md5(norm.cast("binary")).alias("fp"),
+        language_id("text").alias("lang_pred"),
+        quality_score("text").cast("decimal(10,6)").alias("q"),
+        token_count("text").alias("ntok"),
+    )
+    lang_aggs = [
+        F.sum(F.when(F.col("lang_pred") == lg, 1).otherwise(0))
+        .cast("long")
+        .alias(f"n_{lg}")
+        for lg in (*STOPWORDS, "und")
+    ]
+    agg = proj.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("fp").alias("n_unique"),
+        F.sum("q").alias("q_sum"),
+        F.sum("ntok").alias("tok_sum"),
+        F.round(F.expr("percentile(ntok, 0.5)"), 6).alias("p50_tokens"),
+        F.round(F.expr("percentile(ntok, 0.9)"), 6).alias("p90_tokens"),
+        *lang_aggs,
+    )
+    n = F.col("n_docs").cast("double")
+    return agg.select(
+        "n_docs",
+        "n_unique",
+        F.round(F.lit(1.0) - F.col("n_unique").cast("double") / n, 6).alias(
+            "dup_rate"
+        ),
+        F.round(F.col("q_sum").cast("double") / n, 6).alias("mean_quality"),
+        F.round(F.col("tok_sum").cast("double") / n, 6).alias("mean_tokens"),
+        "p50_tokens",
+        "p90_tokens",
+        *[F.col(f"n_{lg}") for lg in (*STOPWORDS, "und")],
+    )
+
+
+ORACLE_DATASET_CARD = f"""
+WITH base AS (
+  SELECT doc_id, trim(text) AS t,
+    CAST(length(trim(text)) AS DOUBLE) AS n_chars,
+    {_SQL_TOKENS} AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, t, n_chars, toks,
+    GREATEST(CAST(len(toks) AS DOUBLE), 1.0) AS n_tok,
+    CAST(length(regexp_replace(t, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+    CAST(length(regexp_replace(t, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct,
+    CAST(len(list_filter(toks,
+      x -> x IN ({", ".join(f"'{w}'" for w in _ALL_STOP)}))) AS DOUBLE) AS stop_hits,
+    {_sql_lang_scores()}
+  FROM base
+),
+perdoc AS (
+  SELECT
+    md5(array_to_string(toks, ' ')) AS fp,
+    {_sql_lang_case()} AS lang_pred,
+    CAST(CASE WHEN t IS NULL OR n_chars = 0 THEN 0.0
+      ELSE ROUND(
+        LEAST(n_chars / 500.0, 1.0) * 0.25
+        + (alpha / GREATEST(n_chars, 1.0)) * 0.25
+        + (1.0 - LEAST(punct / GREATEST(n_chars, 1.0) * 4, 1.0)) * 0.2
+        + LEAST(stop_hits / n_tok * 3, 1.0) * 0.2
+        + (CASE WHEN n_chars / n_tok >= 3 AND n_chars / n_tok <= 10
+                THEN 1.0 ELSE 0.5 END) * 0.1, 6) END AS DECIMAL(10,6)) AS q,
+    CAST(len(toks) AS BIGINT) AS ntok
+  FROM m
+)
+SELECT
+  COUNT(*) AS n_docs,
+  COUNT(DISTINCT fp) AS n_unique,
+  ROUND(1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+    AS dup_rate,
+  ROUND(CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_quality,
+  ROUND(CAST(SUM(ntok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_tokens,
+  ROUND(quantile_cont(ntok, 0.5), 6) AS p50_tokens,
+  ROUND(quantile_cont(ntok, 0.9), 6) AS p90_tokens,
+  {", ".join(f"CAST(SUM(CASE WHEN lang_pred = '{lg}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{lg}" for lg in (*STOPWORDS, "und"))}
+FROM perdoc
+"""
