@@ -182,6 +182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_orphan_audit": IG.fk_orphan_audit,
         # training-data prep
         "build_vocab": TP.build_vocab,
+        "bpe_merge_candidates": TP.bpe_merge_candidates,
         "pack_sequences": TP.pack_sequences,
         "dataset_splits": TP.dataset_splits,
         "chunk_documents": TP.chunk_documents,
@@ -313,6 +314,7 @@ def oracle_sql() -> dict[str, str]:
         "blob_metadata": MM.ORACLE_BLOB_METADATA,
         "frame_sample_census": MM.ORACLE_FRAME_CENSUS,
         "build_vocab": TP.ORACLE_VOCAB,
+        "bpe_merge_candidates": TP.ORACLE_BPE_MERGE,
         "pack_sequences": TP.ORACLE_PACK,
         "dataset_splits": TP.ORACLE_SPLITS,
         "chunk_documents": TP.ORACLE_CHUNKS,

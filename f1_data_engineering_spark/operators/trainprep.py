@@ -343,3 +343,59 @@ SELECT source,
   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
 FROM c GROUP BY source ORDER BY source
 """
+
+
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training merge step: the top-20 adjacent character
+    pairs by corpus-weighted frequency — the candidate ranking a BPE
+    tokenizer trainer computes every merge iteration.
+
+    Scale shape (why tokenizer training is feasible on Spark at all):
+    the corpus contributes ONE aggregation to word counts; pair
+    expansion then runs over the DISTINCT VOCABULARY (Zipf: orders of
+    magnitude smaller), weighted by the word counts.  Per iteration
+    cost after the first scan is vocabulary-sized, so the full merge
+    loop (driver-iterated like kmeans_embeddings) re-scans nothing.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    pairs = words.select(
+        "wc",
+        F.explode(
+            F.expr(
+                "CASE WHEN length(word) > 1 THEN "
+                "transform(sequence(1, length(word)-1), i -> substring(word, i, 2)) "
+                "ELSE array() END"
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").alias("merge_count"))
+        .orderBy(F.col("merge_count").desc(), "pair")
+        .limit(20)
+    )
+
+
+ORACLE_BPE_MERGE = f"""
+WITH words AS (
+  SELECT word, COUNT(*) AS wc FROM (
+    SELECT unnest({_SQL_TOKENS}) AS word FROM documents
+  ) GROUP BY word
+),
+pairs AS (
+  SELECT wc, unnest(
+    CASE WHEN length(word) > 1
+      THEN list_transform(range(1, length(word)),
+                          i -> substr(word, CAST(i AS INT), 2))
+      ELSE [] END) AS pair
+  FROM words
+)
+SELECT pair, SUM(wc) AS merge_count
+FROM pairs GROUP BY pair
+ORDER BY merge_count DESC, pair LIMIT 20
+"""
