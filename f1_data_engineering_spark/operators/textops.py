@@ -929,10 +929,12 @@ def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_bg = d.select("doc_id", F.explode(bigrams).alias("bg"))
 
     c2 = doc_bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    # c1 (occurrences as bigram-first) derives from c2 by re-aggregating
+    # the VOCAB²-bounded model table — not by re-scanning the corpus:
+    # Σ_bg[w1 ...] c2(bg) ≡ count of w1-first bigrams, definitionally.
     c1 = (
-        doc_bg.select(F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"))
-        .groupBy("w1")
-        .agg(F.count(F.lit(1)).alias("c1"))
+        c2.groupBy(F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"))
+        .agg(F.sum("c2").alias("c1"))
     )
     vocab = d.select(F.explode(toks).alias("t")).agg(
         F.count_distinct("t").cast("double").alias("v")
