@@ -58,6 +58,9 @@ BENCH_QUERIES = (
     "tfidf_top_terms",
     "bm25_rank",
     "lm_perplexity",
+    "dataset_card",
+    "bpe_merge_candidates",
+    "retention_cohorts",
     "profile_orders",
     "stratified_sample_orders",
     "sketch_summary",
