@@ -183,6 +183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data prep
         "build_vocab": TP.build_vocab,
         "bpe_merge_candidates": TP.bpe_merge_candidates,
+        "bpe_train": TP.bpe_train,  # iterative; rows-only check
         "pack_sequences": TP.pack_sequences,
         "dataset_splits": TP.dataset_splits,
         "chunk_documents": TP.chunk_documents,

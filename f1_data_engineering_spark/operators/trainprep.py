@@ -399,3 +399,92 @@ SELECT pair, SUM(wc) AS merge_count
 FROM pairs GROUP BY pair
 ORDER BY merge_count DESC, pair LIMIT 20
 """
+
+
+def bpe_train(
+    spark: SparkSession, sf_dir: str, n_merges: int = 8
+) -> DataFrame:
+    """Full BPE tokenizer training loop: ``n_merges`` greedy merges,
+    returning the learned merge table (rank, pair, merged symbol, and
+    the weighted count that won the rank).
+
+    Distributed shape (same driver-iterated pattern as
+    ``kmeans_embeddings``): ONE corpus scan builds the weighted word
+    vocabulary; every iteration after that runs on the vocabulary
+    only — rank the adjacent symbol pairs (vocab-sized aggregate),
+    collect the single winning pair to the driver, and rewrite the
+    symbol arrays with a left-to-right fold (``aggregate`` HOF —
+    interpreted per element, fine at vocab scale, never applied to
+    the corpus).  At 100 TB the corpus scan dominates and happens
+    once; 50k merges iterate over a table of ~1M distinct words.
+
+    Iterative ⇒ no single-statement SQL twin (rows-only in the gate);
+    tests/test_trainprep.py pins the merge sequence against a pure
+    Python BPE reference on the same word counts.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .select(
+            "wc",
+            F.expr(
+                "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+            ).alias("syms"),
+        )
+        .cache()
+    )
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        pairs = vocab.select(
+            "wc",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(syms) > 1 THEN "
+                    "transform(sequence(1, size(syms)-1), "
+                    "i -> struct(syms[i-1] AS a, syms[i] AS b)) "
+                    "ELSE array() END"
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("wc").alias("n"))
+            .orderBy(F.col("n").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] <= 0:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+        merges.append((rank, f"{a} {b}", a + b, n))
+
+        # left-to-right non-overlapping merge of (a, b) in every word —
+        # symbols enter as lit()s, never interpolated into SQL text.
+        # NB exactly 2 params (PySpark HOF arity counts defaults);
+        # a/b bind immediately below, so closure capture is safe.
+        def _step(acc, x):
+            hit = (
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b))
+            )
+            return F.when(
+                hit,
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))),
+            ).otherwise(F.concat(acc, F.array(x)))
+
+        merged_syms = F.aggregate(
+            F.col("syms"), F.array().cast("array<string>"), _step
+        )
+        new_vocab = vocab.select("wc", merged_syms.alias("syms")).cache()
+        new_vocab.count()  # materialize before unpersisting the parent
+        vocab.unpersist()
+        vocab = new_vocab
+    vocab.unpersist()
+
+    return spark.createDataFrame(
+        merges, schema="rank long, pair string, merged string, weighted_count long"
+    )

@@ -101,3 +101,56 @@ def test_token_budget_mix_respects_budget(spark, sf_dir):
             # budget binding: strictly fewer tokens kept than total,
             # and the pre-last-doc cumsum was under budget
             assert r["kept_tokens"] >= TP.MIX_BUDGET  # crossed the line
+
+
+def test_bpe_train_matches_python_reference(spark, sf_dir):
+    """The distributed BPE loop must learn the exact merge sequence a
+    sequential pure-Python BPE trainer learns from the same word
+    counts (greedy max-count with (count DESC, a, b) tie-break,
+    left-to-right non-overlapping application)."""
+    from collections import Counter
+
+    from f1_data_engineering_spark.operators import trainprep as TP
+    from f1_data_engineering_spark.functions.text import tokens
+    from f1_data_engineering_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+
+    n_merges = 6
+    got = [
+        (r["rank"], r["pair"], r["merged"], r["weighted_count"])
+        for r in TP.bpe_train(spark, sf_dir, n_merges=n_merges).collect()
+    ]
+
+    wc_rows = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    vocab = {tuple(r["w"]): r["c"] for r in wc_rows}
+
+    expected = []
+    for rank in range(n_merges):
+        counts = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += c
+        if not counts:
+            break
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((rank, f"{a} {b}", a + b, n))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+
+    assert got == expected, (got, expected)
