@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_rank": TX.bm25_rank,
         "lm_perplexity": TX.lm_perplexity,
         "dataset_card": TX.dataset_card,
+        "tfidf_cosine_pairs": TX.tfidf_cosine_pairs,
         "stop_shingle_stats": TX.stop_shingle_stats,
         "inverted_index": TX.inverted_index,
         "zipf_fit": TX.zipf_fit,
@@ -287,6 +288,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_rank": TX.ORACLE_BM25,
         "lm_perplexity": TX.ORACLE_LM_PPL,
         "dataset_card": TX.ORACLE_DATASET_CARD,
+        "tfidf_cosine_pairs": TX.ORACLE_TFIDF_COSINE,
         "stop_shingle_stats": TX.ORACLE_STOP_SHINGLES,
         "inverted_index": TX.ORACLE_INVERTED_INDEX,
         "zipf_fit": TX.ORACLE_ZIPF,

@@ -1107,3 +1107,124 @@ SELECT
   {", ".join(f"CAST(SUM(CASE WHEN lang_pred = '{lg}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{lg}" for lg in (*STOPWORDS, "und"))}
 FROM perdoc
 """
+
+
+# ---------------------------------------------------------------------------
+# Sparse TF-IDF cosine similarity (inverted-index pair scoring)
+# ---------------------------------------------------------------------------
+
+TFIDF_COS_DOCS = 200   # bounded query set, same convention as the ANN ops
+TFIDF_COS_TOPK = 20
+
+
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-similar document pairs among docs 0-199 by SPARSE
+    TF-IDF cosine — the inverted-index complement of the dense
+    embedding similarity family: pairs are generated by a self-join on
+    the TERM (posting lists), so only documents sharing vocabulary are
+    ever scored, and the dot product accumulates per shared term.
+
+    Scale shape: the (term, doc, weight) frame is the standard
+    inverted index; the pair join's cost is Σ_term df², which is why
+    production paths cap stopword-like terms first
+    (``stop_shingle_stats`` picks the threshold) — the synthetic
+    vocabulary here is tiny, so the cap is omitted and the doc subset
+    bounds the work instead.
+
+    FP parity: weights are ``tf · ln(N/df)`` on exact integer inputs;
+    squared/product terms round to 9 dp and sum as DECIMAL, so norms
+    and dots are bit-identical regardless of accumulation order.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.agg(F.count(F.lit(1)).alias("n"))
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = (
+        tf.filter(F.col("doc_id") < TFIDF_COS_DOCS)
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf").cast("double")
+                * F.log(F.col("n").cast("double") / F.col("df").cast("double"))
+            ).alias("w"),
+        )
+    )
+    norms = (
+        w.groupBy("doc_id")
+        .agg(F.sum(F.round(F.col("w") * F.col("w"), 9).cast("decimal(28,9)")).alias("s"))
+        .select("doc_id", F.sqrt(F.col("s").cast("double")).alias("norm"))
+    )
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(
+            F.sum(
+                F.round(F.col("a.w") * F.col("b.w"), 9).cast("decimal(28,9)")
+            ).alias("dot"),
+            F.count(F.lit(1)).alias("shared_terms"),
+        )
+    )
+    na, nb = norms.alias("na"), norms.alias("nb")
+    sim = F.col("dot").cast("double") / (F.col("na.norm") * F.col("nb.norm"))
+    scored = (
+        dots.join(na, F.col("d1") == F.col("na.doc_id"))
+        .join(nb, F.col("d2") == F.col("nb.doc_id"))
+        .select(
+            "d1",
+            "d2",
+            "shared_terms",
+            F.round(sim, 9).alias("sim_key"),
+            F.round(sim, 6).alias("sim"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("sim_key").desc(), "d1", "d2")
+        .limit(TFIDF_COS_TOPK)
+        .select("d1", "d2", "shared_terms", "sim")
+    )
+
+
+ORACLE_TFIDF_COSINE = f"""
+WITH tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM (
+    SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents
+  ) GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n FROM documents),
+w AS (
+  SELECT tf.doc_id, tf.term,
+    CAST(tf.tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / CAST(dfreq.df AS DOUBLE)) AS w
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+  WHERE tf.doc_id < {TFIDF_COS_DOCS}
+),
+norms AS (
+  SELECT doc_id, sqrt(CAST(SUM(CAST(ROUND(w * w, 9) AS DECIMAL(28,9))) AS DOUBLE)) AS norm
+  FROM w GROUP BY doc_id
+),
+dots AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+    SUM(CAST(ROUND(a.w * b.w, 9) AS DECIMAL(28,9))) AS dot,
+    COUNT(*) AS shared_terms
+  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY d1, d2
+),
+scored AS (
+  SELECT d1, d2, shared_terms,
+    ROUND(CAST(dot AS DOUBLE) / (na.norm * nb.norm), 9) AS sim_key,
+    ROUND(CAST(dot AS DOUBLE) / (na.norm * nb.norm), 6) AS sim
+  FROM dots
+  JOIN norms na ON d1 = na.doc_id
+  JOIN norms nb ON d2 = nb.doc_id
+)
+SELECT d1, d2, shared_terms, sim
+FROM scored ORDER BY sim_key DESC, d1, d2 LIMIT {TFIDF_COS_TOPK}
+"""
