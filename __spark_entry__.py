@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deduplication (beyond-reference)
         "dedup_exact": DD.dedup_exact,
         "ngram_jaccard_pairs": DD.ngram_jaccard_pairs,
+        "prefix_filter_jaccard": DD.prefix_filter_jaccard,
         "minhash_signatures": DD.minhash_signatures,
         "minhash_lsh_pairs": DD.minhash_lsh_pairs,
         "simhash_64": DD.simhash_64,
@@ -296,6 +297,7 @@ def oracle_sql() -> dict[str, str]:
         "value_quartiles": TO.ORACLE_QUARTILES,
         "dedup_exact": DD.ORACLE_DEDUP_EXACT,
         "ngram_jaccard_pairs": DD.ORACLE_JACCARD_PAIRS,
+        "prefix_filter_jaccard": DD.ORACLE_PREFIX_JACCARD,
         "minhash_signatures": DD.ORACLE_MINHASH_SIG,
         "minhash_lsh_pairs": DD.ORACLE_MINHASH_LSH,
         "simhash_64": DD.ORACLE_SIMHASH,

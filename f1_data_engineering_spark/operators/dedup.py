@@ -713,3 +713,132 @@ j AS (
 SELECT label, doc_id AS kept_doc, n_chars AS kept_n_chars, cluster_size
 FROM j WHERE rn = 1 ORDER BY label
 """
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered exact set-similarity join (PPJoin-style)
+# ---------------------------------------------------------------------------
+
+PF_TAU = 0.5  # Jaccard threshold
+
+
+def prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard similarity join (τ = 0.5) with prefix filtering —
+    the canonical scale technique for exact set joins, complementing
+    the MinHash path (which is approximate) and the all-pairs path
+    (which is quadratic).
+
+    Prefix-filter bound: order every shingle by global rarity
+    (df ASC, shingle).  A document's PREFIX is its first
+    ``|s| − ⌈τ·|s|⌉ + 1`` shingles in that order; any pair with
+    Jaccard ≥ τ MUST share a prefix shingle (if all common shingles
+    sat in one side's suffix, |A∩B| ≤ ⌈τ|s|⌉−1 < τ·max(|A|,|B|) ≤
+    τ·|A∪B| — contradiction), so candidate generation joins ONLY on
+    prefix shingles and completeness is guaranteed, not sampled.
+    Rarest-first ordering makes those prefixes the least-shared
+    shingles in the corpus — candidate count collapses toward the
+    true-duplicate density.  Verification computes the exact
+    intersection restricted to candidates.
+
+    Runs on the near-dup-augmented corpus so the planted pairs
+    provably surface.
+    """
+    from pyspark.sql import Window as W
+
+    corpus = _near_dup_corpus(spark, sf_dir)
+    sh = corpus.select(
+        "doc_id", F.explode(F.array_distinct(shingles("text"))).alias("tok")
+    )
+    df_tok = sh.groupBy("tok").agg(F.count(F.lit(1)).alias("dfr"))
+    wdoc = W.partitionBy("doc_id").orderBy(F.col("dfr").asc(), "tok")
+    ranked = (
+        sh.join(df_tok, "tok")
+        .select(
+            "doc_id",
+            "tok",
+            F.row_number().over(wdoc).alias("rn"),
+            F.count(F.lit(1)).over(W.partitionBy("doc_id")).alias("sz"),
+        )
+    )
+    pref = ranked.filter(
+        F.col("rn") <= F.col("sz") - F.ceil(F.lit(PF_TAU) * F.col("sz")) + 1
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.sz").alias("sz1"),
+            F.col("b.sz").alias("sz2"),
+        )
+        .distinct()
+    )
+    x, y = sh.alias("x"), sh.alias("y")
+    inter = (
+        cand.join(x, F.col("d1") == F.col("x.doc_id"))
+        .join(
+            y,
+            (F.col("d2") == F.col("y.doc_id")) & (F.col("x.tok") == F.col("y.tok")),
+        )
+        .groupBy("d1", "d2", "sz1", "sz2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("sz1") + F.col("sz2") - F.col("n_common")
+    )
+    return (
+        inter.select(
+            "d1",
+            "d2",
+            "n_common",
+            F.round(jac, 9).alias("jkey"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jkey") >= PF_TAU)
+        .orderBy(F.col("jkey").desc(), "d1", "d2")
+        .select("d1", "d2", "n_common", "jaccard")
+    )
+
+
+ORACLE_PREFIX_JACCARD = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, substr(text, 1, (length(text) * 4) // 5)
+  FROM documents WHERE doc_id < 10
+),
+t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM corpus),
+d AS (SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS shset FROM t),
+ex AS (SELECT doc_id, unnest(shset) AS tok FROM d),
+dfreq AS (SELECT tok, COUNT(*) AS dfr FROM ex GROUP BY tok),
+ranked AS (
+  SELECT ex.doc_id, ex.tok,
+    row_number() OVER (PARTITION BY ex.doc_id ORDER BY dfreq.dfr ASC, ex.tok) AS rn,
+    COUNT(*) OVER (PARTITION BY ex.doc_id) AS sz
+  FROM ex JOIN dfreq USING (tok)
+),
+pref AS (
+  SELECT * FROM ranked WHERE rn <= sz - CEIL({PF_TAU} * sz) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.sz AS sz1, b.sz AS sz2
+  FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.d1, c.d2, c.sz1, c.sz2, COUNT(*) AS n_common
+  FROM cand c
+  JOIN ex x ON c.d1 = x.doc_id
+  JOIN ex y ON c.d2 = y.doc_id AND x.tok = y.tok
+  GROUP BY c.d1, c.d2, c.sz1, c.sz2
+),
+scored AS (
+  SELECT d1, d2, n_common,
+    ROUND(CAST(n_common AS DOUBLE) / (sz1 + sz2 - n_common), 9) AS jkey,
+    ROUND(CAST(n_common AS DOUBLE) / (sz1 + sz2 - n_common), 6) AS jaccard
+  FROM inter
+)
+SELECT d1, d2, n_common, jaccard
+FROM scored WHERE jkey >= {PF_TAU}
+ORDER BY jkey DESC, d1, d2
+"""

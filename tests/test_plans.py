@@ -481,3 +481,38 @@ def test_new_retrieval_ops_plan_quality(spark, sf_dir):
     assert_broadcast_join(ppl, at_least=1)  # model join
 
     assert ivf.count() > 0 and bm25.count() == TX.BM25_TOPK and ppl.count() > 0
+
+
+def test_prefix_filter_jaccard_complete(spark, sf_dir):
+    """The prefix filter is a COMPLETENESS-preserving optimization:
+    its result must exactly equal the brute-force all-pairs Jaccard
+    join at the same threshold (no candidate above τ may be pruned)."""
+    from pyspark.sql import functions as F
+
+    from f1_data_engineering_spark.operators import dedup as DD
+    from f1_data_engineering_spark.functions.text import shingles
+
+    got = {
+        (r["d1"], r["d2"]): (r["n_common"], r["jaccard"])
+        for r in DD.prefix_filter_jaccard(spark, sf_dir).collect()
+    }
+
+    corpus = DD._near_dup_corpus(spark, sf_dir)
+    sets = {
+        r["doc_id"]: set(r["s"])
+        for r in corpus.select(
+            "doc_id", F.array_distinct(shingles("text")).alias("s")
+        ).collect()
+    }
+    expected = {}
+    ids = sorted(sets)
+    for i, d1 in enumerate(ids):
+        for d2 in ids[i + 1 :]:
+            inter = len(sets[d1] & sets[d2])
+            union = len(sets[d1] | sets[d2])
+            if union and round(inter / union, 9) >= DD.PF_TAU:
+                expected[(d1, d2)] = (inter, round(inter / union, 6))
+
+    assert got == expected, (
+        f"missing={set(expected) - set(got)} extra={set(got) - set(expected)}"
+    )
