@@ -46,6 +46,7 @@ from f1_data_engineering_spark.operators import integrity as IG
 from f1_data_engineering_spark.operators import udtf_ops as UT
 from f1_data_engineering_spark.operators import analytics as AN
 from f1_data_engineering_spark.operators import analytics2 as A2
+from f1_data_engineering_spark.operators import f1_fixture_queries as FX
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -94,6 +95,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # F1-native surface (reference's own workload; fixture-backed —
+        # see operators/f1_fixture_queries.py; sf_dir ignored)
+        "f1_lap_times": FX.f1_lap_times,
+        "f1_tyre_stints": FX.f1_tyre_stints,
+        "f1_stint_pivot": FX.f1_stint_pivot,
+        "f1_weather_trends": FX.f1_weather_trends,
+        "f1_lap_telemetry_summary": FX.f1_lap_telemetry_summary,
         # §2.4 aggregation
         "q1_pricing_summary": R.q1_pricing_summary,
         "stint_summary": R.stint_summary,
@@ -248,6 +256,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each query (same column names)."""
     out = {
+        "f1_lap_times": FX.ORACLE_F1_LAP_TIMES,
+        "f1_tyre_stints": FX.ORACLE_F1_TYRE_STINTS,
+        "f1_stint_pivot": FX.ORACLE_F1_STINT_PIVOT,
+        "f1_weather_trends": FX.ORACLE_F1_WEATHER_TRENDS,
+        "f1_lap_telemetry_summary": FX.ORACLE_F1_LAP_TELEMETRY,
         "q1_pricing_summary": R.ORACLE_Q1,
         "stint_summary": R.ORACLE_STINT,
         "agg_stats": R.ORACLE_AGG_STATS,

@@ -103,11 +103,17 @@ def integrate_distance(tagged: DataFrame) -> DataFrame:
     when both run in one plan."""
     w = W.partitionBy("Driver", "LapNumber").orderBy("SessionTimeSeconds")
     dt = F.col("SessionTimeSeconds") - F.lag("SessionTimeSeconds").over(w)
-    step = F.coalesce(F.col("Speed") / 3.6 * dt, F.lit(0.0))
+    # Quantize each step to 1 µm and accumulate in exact decimal: a
+    # double running sum is accumulation-order-dependent (DuckDB's
+    # window aggregate trees the sum; a repartitioned Spark plan could
+    # too), so the cumulative distance would drift in the last bits.
+    step = F.round(F.coalesce(F.col("Speed") / 3.6 * dt, F.lit(0.0)), 6)
     run = W.partitionBy("Driver", "LapNumber").orderBy("SessionTimeSeconds").rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
-    return tagged.withColumn("Distance", F.sum(step).over(run))
+    return tagged.withColumn(
+        "Distance", F.sum(step.cast("decimal(26,6)")).over(run).cast("double")
+    )
 
 
 def lap_telemetry_summary(
@@ -131,19 +137,28 @@ def lap_telemetry_summary(
     gear_changed = F.when(
         prev_gear.isNotNull() & (F.col("Gear") != prev_gear), 1
     ).otherwise(0)
+
+    def exact_avg(c: str) -> Column:
+        # Mean via an exact decimal sum: double partial-sum merge order
+        # varies with partitioning, so a plain avg() is not
+        # run-deterministic at scale; the decimal sum is, and matches
+        # the DuckDB oracle bit-for-bit (repo parity convention).
+        v = F.col(c).cast("double")
+        return F.sum(v.cast("decimal(26,6)")).cast("double") / F.count(v)
+
     return (
         tagged.withColumn("gear_chg", gear_changed)
         .groupBy("Driver", "LapNumber")
         .agg(
             F.sum("gear_chg").cast("int").alias("TotalGearChanges"),
             F.min("SessionTimeSeconds").alias("TelemetryLapStartTime_seconds"),
-            F.avg("Speed").alias("AvgSpeed"),
+            exact_avg("Speed").alias("AvgSpeed"),
             F.max("Speed").alias("MaxSpeed"),
             F.min("Speed").alias("MinSpeed"),
-            F.avg("RPM").alias("AvgRPM"),
+            exact_avg("RPM").alias("AvgRPM"),
             F.max("RPM").alias("MaxRPM"),
-            F.avg("Throttle").alias("AvgThrottle"),
-            F.avg(F.col("Brake").cast("double")).alias("AvgBrake"),
+            exact_avg("Throttle").alias("AvgThrottle"),
+            exact_avg("Brake").alias("AvgBrake"),
             F.max("Distance").alias("MaxDistance"),
             F.max(F.col("DRS") >= 8).alias("DRSActive"),
         )
