@@ -456,20 +456,44 @@ def distinct_sorted_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: stride_downsample time-bucket width (1 h in microseconds).  Sized so
+#: each bucket's window input is one task's worth of rows; narrow it for
+#: denser streams.
+STRIDE_BUCKET_US = 3_600_000_000
+
+
 def stride_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O7 deterministic stride downsample (weather axis ticks,
     streamlit_app.py:299-302): every ⌈n/10⌉-th event by global time
-    order.  row_number over a single ordered window — acceptable here
-    because the reference's semantics are inherently global-order; at
-    scale you'd downsample per partition key instead (see
-    streaming/events.py for the windowed variant)."""
-    ev = load_table(spark, sf_dir, "events")
-    n = ev.count()
-    step = max(1, -(-n // 10))  # ceil
-    w = W.orderBy("ts", "event_id")
+    order.
+
+    Two-level global row-numbering (same shape as orderkey_islands):
+    ``ts`` is the leading sort key, so hour buckets are order-aligned —
+    ``row_number`` runs per bucket (partitioned window, no global
+    sort), and each bucket's global offset comes from the bucket-count
+    aggregate.  The counts relation is metadata-sized (one row per
+    hour), so it is collected and rebroadcast rather than windowed —
+    replacing the old plan's full single-partition WindowExec AND its
+    separate full-scan ``count()`` action with one tiny aggregate job.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    b = ev.withColumn(
+        "bucket", F.floor(F.unix_micros("ts") / F.lit(STRIDE_BUCKET_US))
+    )
+    counts = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    counts.sort(key=lambda r: (r["bucket"] is not None, r["bucket"]))
+    total = sum(r["cnt"] for r in counts)
+    step = max(1, -(-total // 10))  # ceil
+    offs, acc = [], 0
+    for r in counts:
+        offs.append((r["bucket"], acc))
+        acc += r["cnt"]
+    off_df = spark.createDataFrame(offs, schema="bucket long, off long")
+    wb = W.partitionBy("bucket").orderBy("ts", "event_id")
     return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(((F.col("rn") - 1) % step) == 0)
+        b.withColumn("lrn", F.row_number().over(wb))
+        .join(F.broadcast(off_df), "bucket")
+        .filter(((F.col("off") + F.col("lrn") - 1) % step) == 0)
         .select("event_id", "ts", "value")
         .orderBy("event_id")
     )
