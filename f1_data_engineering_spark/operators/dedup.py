@@ -6,10 +6,11 @@ Scale design (the point of each operator):
 * **exact** — dedup key is a 64/128-bit hash of normalized text, never
   the body: the shuffle moves 8-byte keys, not documents.
 * **n-gram Jaccard** — the inverted-index pattern: explode shingles,
-  equi-join on the shingle, count shared shingles per pair.  At 100 TB
-  you additionally drop "stop-shingles" that appear in > X docs (they
-  generate O(X²) candidate pairs and carry no signal) — the cap is a
-  config; at test SF no cap is applied so the oracle stays exact.
+  equi-join on the shingle, count shared shingles per pair, with
+  "stop-shingles" appearing in > MAX_SHINGLE_DF docs dropped from the
+  universe (a shingle shared by d docs emits d²/2 candidate pairs and
+  carries no near-dup signal); the DuckDB oracle applies the identical
+  filter, and prefix_filter_jaccard is the exact-Jaccard path.
 * **MinHash+LSH** — constant-size signatures (K=16) replace shingle
   sets; banding (4 bands × 4 rows) makes candidate generation an
   EQUI-join on band keys: only probable near-dups ever meet in a
@@ -102,22 +103,42 @@ FROM per
 # ---------------------------------------------------------------------------
 
 
+#: Hot-shingle document-frequency cutoff for ngram_jaccard_pairs.  A
+#: shingle occurring in d documents emits d²/2 candidate pairs from the
+#: posting-list self-join, so one boilerplate sentence shared by 10⁶
+#: docs would alone produce 5·10¹¹ pairs at 100 TB.  Dropping shingles
+#: with df > cap bounds the join output by cap·Σdf (linear in corpus
+#: shingle mass) — the standard stop-shingle defense; PPJoin's prefix
+#: filter (prefix_filter_jaccard below) is the exact-variant
+#: alternative when unfiltered Jaccard is required.
+MAX_SHINGLE_DF = 64
+
+
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 most-similar doc pairs by 3-gram shingle Jaccard.
+    """Top-20 most-similar doc pairs by 3-gram shingle Jaccard over the
+    non-stop-shingle universe (document frequency ≤ MAX_SHINGLE_DF).
 
     Inverted-index candidate generation: explode distinct shingles,
-    self-equi-join on the shingle (shuffle partitioned by shingle — the
+    drop hot shingles (df > cap — both intersections AND set sizes use
+    the filtered universe, so the ratio stays a true Jaccard), self-
+    equi-join on the shingle (shuffle partitioned by shingle — the
     scalable shape), count shared shingles per (d1, d2), then
     |A∩B| / (|A|+|B|-|A∩B|).  Deterministic top-k via (jaccard desc,
-    d1, d2).
+    d1, d2).  The df filter and the self-join hash-partition on the
+    same key, so the exchange is reused.
     """
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.array_distinct(shingles("text", 3)).alias("sh"))
-        .cache()  # consumed 3×: sizes + both sides of the shingle join
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(shingles("text", 3)).alias("sh")
     )
-    sizes = d.select("doc_id", F.size("sh").alias("sz"))
-    ex = d.select("doc_id", F.explode("sh").alias("shingle"))
+    ex_all = d.select("doc_id", F.explode("sh").alias("shingle"))
+    rare = (
+        ex_all.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    ex = ex_all.join(rare, "shingle").cache()  # sizes + both join sides
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
         a.join(
@@ -154,8 +175,13 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_JACCARD_PAIRS = f"""
 WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
 d AS (SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS sh FROM t),
-sizes AS (SELECT doc_id, len(sh) AS sz FROM d),
-ex AS (SELECT doc_id, unnest(sh) AS shingle FROM d),
+ex_all AS (SELECT doc_id, unnest(sh) AS shingle FROM d),
+rare AS (
+  SELECT shingle FROM ex_all GROUP BY shingle
+  HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+),
+ex AS (SELECT doc_id, shingle FROM ex_all WHERE shingle IN (SELECT shingle FROM rare)),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ex GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
   FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

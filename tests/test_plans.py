@@ -516,3 +516,38 @@ def test_prefix_filter_jaccard_complete(spark, sf_dir):
     assert got == expected, (
         f"missing={set(expected) - set(got)} extra={set(got) - set(expected)}"
     )
+
+
+def test_ngram_jaccard_stop_shingle_cap(spark, tmp_path):
+    """Hot-shingle defense: a boilerplate sentence shared by more docs
+    than MAX_SHINGLE_DF must contribute NO candidate pairs (it alone
+    would emit d²/2), while rare-shingle near-dups still surface."""
+    from pyspark.sql import functions as F
+
+    from f1_data_engineering_spark.operators import dedup as DD
+
+    boiler = "the quick brown fox jumps"
+    n_hot = DD.MAX_SHINGLE_DF + 16  # df above the cap
+    rows = []
+    for i in range(n_hot):
+        # boilerplate + otherwise fully unique filler
+        filler = " ".join(f"u{i}w{j}" for j in range(6))
+        rows.append((i, f"{boiler} {filler}"))
+    # planted near-dup pair sharing RARE shingles only
+    rows.append((1000, "alpha beta gamma delta epsilon zeta eta"))
+    rows.append((1001, "alpha beta gamma delta epsilon zeta theta"))
+    df = spark.createDataFrame(
+        [(d, t, "en", "test", len(t)) for d, t in rows],
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = DD.ngram_jaccard_pairs(spark, str(tmp_path)).collect()
+    pairs = {(r["d1"], r["d2"]) for r in out}
+    # every boilerplate-only combination is suppressed...
+    assert all(d1 >= 1000 for d1, _ in pairs), f"hot-shingle pairs leaked: {pairs}"
+    # ...and the rare-shingle near-dup pair survives
+    assert (1000, 1001) in pairs
+    top = next(r for r in out if (r["d1"], r["d2"]) == (1000, 1001))
+    # 7 tokens -> 5 shingles each, 4 shared: J = 4/(5+5-4)
+    assert top["n_common"] == 4 and abs(top["jaccard"] - round(4 / 6, 6)) < 1e-9
