@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..sources.registry import load_table
+from .ranking import bucketed_topk_rank
 
 __all__ = [
     "event_funnel",
@@ -229,9 +230,11 @@ def priority_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The priority is a single double DIVISION of two integers — IEEE
     correctly-rounded, so both engines rank identically with no libm
-    dependence.  Plan shape: scan-side priority, per-partition top-k
-    heap (TakeOrderedAndProject), k·partitions rows to the driver —
-    no global sort of 100 TB.
+    dependence.  Plan shape: scan-side priority, then two-level top-k
+    rank (ranking.py — bucket-local prune before a bounded ordered
+    window, since the output needs the rank column, which a bare
+    orderBy().limit() TakeOrdered plan would not carry) — no global
+    sort of 100 TB.
     """
     o = load_table(spark, sf_dir, "orders")
     h = F.conv(
@@ -254,16 +257,17 @@ def priority_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("double").alias("weight"),
         prio.alias("priority"),
     )
-    win = W.orderBy(F.col("priority").desc(), "o_orderkey")
-    return (
-        ranked.withColumn("rank", F.row_number().over(win))
-        .filter(F.col("rank") <= PRIORITY_K)
-        .select(
-            "o_orderkey",
-            "weight",
-            F.round("priority", 6).alias("priority"),
-            F.col("rank").cast("long").alias("rank"),
-        )
+    topk = bucketed_topk_rank(
+        ranked,
+        [F.col("priority").desc(), F.col("o_orderkey")],
+        PRIORITY_K,
+        bucket_key="o_orderkey",
+    )
+    return topk.select(
+        "o_orderkey",
+        "weight",
+        F.round("priority", 6).alias("priority"),
+        F.col("rank").cast("long").alias("rank"),
     )
 
 

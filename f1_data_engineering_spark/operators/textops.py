@@ -22,6 +22,7 @@ from ..functions.text import (
     tokens,
 )
 from ..sources.registry import load_table, spread
+from .ranking import bucketed_topk_rank, offset_global_rank
 
 #: DuckDB expression for the engine's whitespace tokens (lower/trim/split).
 _SQL_TOKENS = (
@@ -657,12 +658,14 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     language) is a cheap corpus-health signal: heavily duplicated or
     templated corpora bend the tail visibly.
 
-    Shape: term counts (one shuffle) → rank window over the VOCABULARY
-    (≪ corpus, same justification as ``build_vocab``) → single-row
-    regression aggregate.  The regression runs on exact long counts
-    pushed through double logs; both engines evaluate the identical
-    closed-form slope/intercept from the same 5 sums, so rounding to 6
-    is stable.
+    Shape: term counts (one shuffle) → exact global rank via per-count
+    windows + broadcast offsets (ranking.offset_global_rank — every
+    term needs its rank here, and the offset table is one row per
+    DISTINCT count value, which grows ~√mass under Zipf: metadata) →
+    single-row regression aggregate.  The regression runs on exact
+    long counts pushed through double logs; both engines evaluate the
+    identical closed-form slope/intercept from the same 5 sums, so
+    rounding to 6 is stable.
     """
     d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     freq = (
@@ -670,9 +673,11 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    w = Window.orderBy(F.col("c").desc(), "term")
-    xy = freq.select(
-        F.log(F.row_number().over(w).cast("double")).alias("x"),
+    ranked = offset_global_rank(
+        freq, "c", group_desc=True, tie_order=[F.col("term")], rank_col="rk"
+    )
+    xy = ranked.select(
+        F.log(F.col("rk").cast("double")).alias("x"),
         F.log(F.col("c").cast("double")).alias("y"),
     )
     s = xy.agg(
@@ -835,13 +840,17 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(idf * norm), 6).alias("bm25"),
         F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
     )
-    w = Window.orderBy(F.col("score_key").desc(), "doc_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= BM25_TOPK)
-        .select(
-            "doc_id", "bm25", "n_terms_hit", F.col("rank").cast("long").alias("rank")
-        )
+    # two-level top-k (ranking.py): scored is one row per matching doc
+    # — corpus-sized for common query terms — so prune via bucket-local
+    # ranks before the single ordered window.
+    ranked = bucketed_topk_rank(
+        scored,
+        [F.col("score_key").desc(), F.col("doc_id")],
+        BM25_TOPK,
+        bucket_key="doc_id",
+    )
+    return ranked.select(
+        "doc_id", "bm25", "n_terms_hit", F.col("rank").cast("long").alias("rank")
     )
 
 

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import token_count, tokens
 from ..sources.registry import load_table, spread
+from .ranking import bucketed_topk_rank
 
 __all__ = ["build_vocab", "pack_sequences", "dataset_splits", "chunk_documents", "token_budget_mix"]
 
@@ -45,9 +46,10 @@ def build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     function of the corpus.
 
     Plan: explode → count per term (one shuffle, map-side combined) →
-    a single ranking window over vocabulary-sized data.  The window's
-    single-partition stage holds |vocabulary| rows, not corpus rows —
-    acceptable to ~10M terms; shard the rank by first letter beyond.
+    two-level top-k rank (operators/ranking.py): bucket-local ranks
+    prune to ≤ 32·VOCAB_SIZE candidates before the single ordered
+    window, so no stage ever sorts the full vocabulary (which reaches
+    10⁸ terms at 100 TB) in one task.
     """
     d = load_table(spark, sf_dir, "documents")
     freq = (
@@ -55,11 +57,15 @@ def build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("occurrences"))
     )
-    w = W.orderBy(F.col("occurrences").desc(), "term")
-    return (
-        freq.withColumn("token_id", F.row_number().over(w).cast("long"))
-        .filter(F.col("token_id") <= VOCAB_SIZE)
-        .select("token_id", "term", "occurrences")
+    ranked = bucketed_topk_rank(
+        freq,
+        [F.col("occurrences").desc(), F.col("term")],
+        VOCAB_SIZE,
+        bucket_key="term",
+        rank_col="token_id",
+    )
+    return ranked.select(
+        F.col("token_id").cast("long").alias("token_id"), "term", "occurrences"
     )
 
 
