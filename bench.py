@@ -172,8 +172,19 @@ def main() -> None:
                     flush=True,
                 )
             except Exception as exc:  # one broken query must not kill the line
-                errors[name] = f"{type(exc).__name__}: {exc}"[:200]
-                times.pop(name, None)
+                if pass_no == 0:
+                    errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+                    times.pop(name, None)
+                else:
+                    # pass-2 is a re-measurement only: a transient
+                    # failure (noop-sink hiccup, memory pressure) must
+                    # not discard the valid pass-1 timing
+                    print(
+                        f"bench {name} (pass 2) failed, keeping pass-1 time: "
+                        f"{type(exc).__name__}: {exc}"[:200],
+                        file=sys.stderr,
+                        flush=True,
+                    )
 
     # a budget-truncated PASS-1 must be marked: its headline value
     # excludes the skipped queries and is not comparable to a full run

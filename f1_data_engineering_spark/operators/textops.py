@@ -120,7 +120,7 @@ m AS (
   SELECT doc_id, t, n_chars,
     GREATEST(CAST(len(toks) AS DOUBLE), 1.0) AS n_tok,
     CAST(length(regexp_replace(t, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
-    CAST(length(regexp_replace(t, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct,
+    CAST(length(regexp_replace(t, '[A-Za-z0-9\\s\\x0b]', '', 'g')) AS DOUBLE) AS punct,
     CAST(len(list_filter(toks,
       x -> x IN ({", ".join(f"'{w}'" for w in _ALL_STOP)}))) AS DOUBLE) AS stop_hits
   FROM base
@@ -259,7 +259,7 @@ m AS (
     CAST(len(toks) AS BIGINT) AS n_tok,
     GREATEST(CAST(len(toks) AS DOUBLE), 1.0) AS n_tok_d,
     CAST(length(regexp_replace(t, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
-    CAST(length(regexp_replace(t, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct,
+    CAST(length(regexp_replace(t, '[A-Za-z0-9\\s\\x0b]', '', 'g')) AS DOUBLE) AS punct,
     CAST(len(list_filter(toks,
       x -> x IN ({", ".join(f"'{w}'" for w in _ALL_STOP)}))) AS DOUBLE) AS stop_hits,
     md5(array_to_string(toks, ' ')) AS fp,
@@ -1083,7 +1083,7 @@ m AS (
   SELECT doc_id, t, n_chars, toks,
     GREATEST(CAST(len(toks) AS DOUBLE), 1.0) AS n_tok,
     CAST(length(regexp_replace(t, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
-    CAST(length(regexp_replace(t, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct,
+    CAST(length(regexp_replace(t, '[A-Za-z0-9\\s\\x0b]', '', 'g')) AS DOUBLE) AS punct,
     CAST(len(list_filter(toks,
       x -> x IN ({", ".join(f"'{w}'" for w in _ALL_STOP)}))) AS DOUBLE) AS stop_hits,
     {_sql_lang_scores()}

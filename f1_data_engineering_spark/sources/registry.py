@@ -35,32 +35,45 @@ __all__ = ["load_table", "load_tables", "register_views", "default_sf_dir", "spr
 #: for a real deployment, land the data as TIMESTAMP(MICROS).
 SNIFF_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
-#: path → tuple of column names that are nano-encoded in that file.
-_NANO_CACHE: dict[str, tuple[str, ...]] = {}
+#: (path, probe mtime) → tuple of column names nano-encoded in that
+#: file.  The mtime key invalidates the sniff when a table is rewritten
+#: in-process with a different encoding (regenerated test data) — a
+#: stale unit would silently re-introduce the 1970-collapse this sniff
+#: exists to prevent.
+_NANO_CACHE: dict[tuple[str, float], tuple[str, ...]] = {}
+
+#: epoch-nanos magnitude window: ~1973..2128.  A raw un-annotated INT64
+#: holding epoch-micros (~1e15) or -millis (~1e12) must NOT take the
+#: div-1000 path.
+_NANOS_MIN, _NANOS_MAX = 10**17, 5 * 10**18
 
 
 def _nano_cols(path: str, candidates: tuple[str, ...]) -> tuple[str, ...]:
-    """Columns among ``candidates`` stored as timestamp[ns] in ``path``."""
+    """Columns among ``candidates`` stored as epoch-nanos in ``path``."""
     if not candidates:
         return ()
-    if path not in _NANO_CACHE:
-        import glob
+    import glob
 
-        import pyarrow.parquet as pq
+    import pyarrow.parquet as pq
 
-        # Spark-written tables are directories of part files; the footer
-        # of any one part carries the column encoding.
-        probe = path
-        if os.path.isdir(path):
-            parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
-            if not parts:
-                _NANO_CACHE[path] = ()
-                return ()
-            probe = parts[0]
+    # Spark-written tables are directories of part files; the footer
+    # of any one part carries the column encoding.
+    probe = path
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            return ()
+        probe = parts[0]
+    try:
+        key = (path, os.path.getmtime(probe))
+    except OSError:
+        key = (path, -1.0)
+    if key not in _NANO_CACHE:
         import pyarrow as pa
 
+        pf = pq.ParquetFile(probe)
         arrow_schema = pq.read_schema(probe)
-        physical = pq.ParquetFile(probe).schema  # parquet-level types
+        physical = pf.schema  # parquet-level types
         phys_by_name = {
             physical.column(i).name: physical.column(i).physical_type
             for i in range(len(physical.names))
@@ -75,12 +88,38 @@ def _nano_cols(path: str, candidates: tuple[str, ...]) -> tuple[str, ...]:
             # a raw un-annotated INT64 from legacy landed files.  INT96
             # also surfaces as timestamp[ns] in arrow but must be read
             # natively as TimestampType, so gate on the physical type.
-            if phys_by_name.get(name) == "INT64" and (
-                getattr(t, "unit", None) == "ns" or pa.types.is_int64(t)
-            ):
+            if phys_by_name.get(name) != "INT64":
+                continue
+            if getattr(t, "unit", None) == "ns":
                 nano.append(name)
-        _NANO_CACHE[path] = tuple(nano)
-    return _NANO_CACHE[path]
+            elif pa.types.is_int64(t) and _int64_looks_nanos(pf, name):
+                nano.append(name)
+        _NANO_CACHE[key] = tuple(nano)
+    return _NANO_CACHE[key]
+
+
+def _int64_looks_nanos(pf, name: str) -> bool:
+    """Magnitude sanity check for RAW (un-annotated) INT64 candidates:
+    only epoch-nanos values (~1e18) take the div-1000 path; a legacy
+    epoch-micros/-millis column would otherwise land decades wrong.
+    Prefers the row-group statistics footer; falls back to reading one
+    value from the first row group."""
+    try:
+        md = pf.metadata
+        idx = pf.schema_arrow.get_field_index(name)
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(idx)
+            stats = col.statistics
+            if stats is not None and stats.has_min_max:
+                return _NANOS_MIN <= abs(int(stats.max)) <= _NANOS_MAX
+        first = pf.read_row_group(0, columns=[name]).column(0)
+        for v in first:
+            if v.is_valid:
+                return _NANOS_MIN <= abs(v.as_py()) <= _NANOS_MAX
+    except Exception:
+        pass
+    # no evidence either way: keep the historical nanos assumption
+    return True
 
 
 def default_sf_dir() -> str:

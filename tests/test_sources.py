@@ -140,3 +140,38 @@ def test_text_and_binaryfile_sources(spark, tmp_path):
     assert row["length"] == 17
     assert bytes(row["content"]) == b"\x89PNG_fake_payload"
     assert row["path"].endswith("img.bin")
+
+
+def test_nano_sniff_magnitude_and_mtime(tmp_path):
+    """sources/registry._nano_cols: a RAW un-annotated INT64 column only
+    takes the div-1000 nanos path when its values are nanos-magnitude,
+    and the sniff cache invalidates when the file is rewritten."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from f1_data_engineering_spark.sources import registry as RG
+
+    path = str(tmp_path / "events.parquet")
+    nanos = pa.table({"ts": pa.array([1_700_000_000_000_000_000], pa.int64())})
+    micros = pa.table({"ts": pa.array([1_700_000_000_000_000], pa.int64())})
+
+    pq.write_table(nanos, path)
+    assert RG._nano_cols(path, ("ts",)) == ("ts",)
+
+    # rewrite with micros-magnitude values: the (path, mtime) cache key
+    # must invalidate and the magnitude guard must reject the div-1000
+    time.sleep(0.01)
+    pq.write_table(micros, path)
+    os.utime(path, (time.time() + 5, time.time() + 5))
+    assert RG._nano_cols(path, ("ts",)) == ()
+
+    # annotated TIMESTAMP(NANOS) stays on the nanos path regardless
+    ts_nanos = pa.table(
+        {"ts": pa.array([1_700_000_000_000_000_000], pa.timestamp("ns"))}
+    )
+    pq.write_table(ts_nanos, path)
+    os.utime(path, (time.time() + 10, time.time() + 10))
+    assert RG._nano_cols(path, ("ts",)) == ("ts",)
