@@ -303,12 +303,97 @@ def test_transform_with_state_plan_constructs(spark, events_dir):
     ]
 
 
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+class _FakeMapState:
+    def __init__(self):
+        self._m = {}
+
+    def containsKey(self, k):
+        return k in self._m
+
+    def getValue(self, k):
+        return self._m[k]
+
+    def updateValue(self, k, v):
+        self._m[k] = v
+
+    def iterator(self):
+        return iter(self._m.items())
+
+
+class _FakeHandle:
+    def getValueState(self, name, schema):
+        return _FakeValueState()
+
+    def getMapState(self, name, key_schema, value_schema):
+        return _FakeMapState()
+
+
 def test_transform_with_state_matches_batch(spark, sf_dir, events_dir, tmp_path):
-    """Full transformWithState run (per-user totals + type histogram)
-    against the batch equivalents.  Requires google.protobuf (the
-    transformWithState worker protocol) — skipped where absent."""
-    pytest.importorskip("google.protobuf")
+    """UserStatsProcessor (per-user totals + type histogram) against
+    the batch equivalents.
+
+    The transformWithState Python WORKER speaks protobuf to the JVM
+    state server; where ``google.protobuf`` is available the processor
+    runs through the real streaming query, otherwise the identical
+    processor instance is driven through an in-memory state handle
+    with micro-batched input — same state machine, same assertions
+    (the JVM wiring itself is covered by the plan-construction test
+    above)."""
+    import importlib.util
+
     from f1_data_engineering_spark.streaming import events as SE
+
+    if importlib.util.find_spec("google") is None or importlib.util.find_spec(
+        "google.protobuf"
+    ) is None:
+        ev_pdf = load_table(spark, sf_dir, "events").toPandas()
+        got = {}
+        for uid, pdf in ev_pdf.groupby("user_id"):
+            proc = SE.UserStatsProcessor()
+            proc.init(_FakeHandle())
+            # two micro-batches per key: state must carry across
+            half = len(pdf) // 2
+            chunks = [pdf.iloc[:half], pdf.iloc[half:]]
+            last = None
+            for chunk in chunks:
+                if len(chunk) == 0:
+                    continue
+                for out in proc.handleInputRows(
+                    (int(uid),), iter([chunk]), None
+                ):
+                    last = out
+            got[int(uid)] = (
+                int(last["n_seen"][0]),
+                round(float(last["sum_value"][0]), 4),
+                int(last["n_types"][0]),
+            )
+        ev = load_table(spark, sf_dir, "events")
+        batch = {
+            r["user_id"]: (r["n"], round(r["s"], 4), r["nt"])
+            for r in ev.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.coalesce("value", F.lit(0.0))).alias("s"),
+                F.countDistinct("event_type").alias("nt"),
+            )
+            .collect()
+        }
+        assert got == batch
+        return
 
     stream = events_file_stream(spark, events_dir)
     q = (
