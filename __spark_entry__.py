@@ -209,6 +209,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_canonical": DD.dedup_keep_canonical,
         # similarity search (beyond-reference, embeddings table)
         "ann_bruteforce_topk": SIM.ann_bruteforce_topk,
+        # Arrow fast path: rows-only under the driver gate (BLAS sims
+        # agree with the exact fold to 1e-6, not bit-exactly; pytest
+        # cross-checks it against the oracle-checked exact twin)
+        "ann_topk_vectorized": SIM.ann_topk_vectorized,
         "lsh_bucket_histogram": SIM.lsh_bucket_histogram,
         "embedding_nearest_neighbor": SIM.embedding_nearest_neighbor,
         "embedding_centroids": SIM.embedding_centroids,

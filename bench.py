@@ -86,6 +86,24 @@ BENCH_QUERIES = (
     "event_funnel",
     "countmin_sketch",
     "priority_sample_orders",
+    # similarity / dedup pair generation (posting-list & prefix-filter
+    # joins — the candidate-generation cost centers at 100 TB)
+    "tfidf_cosine_pairs",
+    "prefix_filter_jaccard",
+    "ngram_jaccard_pairs",
+    "fuzzy_name_pairs",
+    "source_overlap_matrix",
+    # train-prep / UDF-surface / multimodal legs
+    "chunk_documents",
+    "build_vocab",
+    "user_value_median_iqr",
+    "sentence_split",
+    "frame_sample_census",
+    "stride_downsample",
+    # Arrow fast-path A/B twin of ann_bruteforce_topk: same query, numpy
+    # matrix product per batch instead of expression folds — the gap
+    # between these two rows is the measured Arrow win (DEPLOY.md)
+    "ann_topk_vectorized",
 )
 
 
