@@ -207,6 +207,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": DD.dedup_clusters,  # iterative; recursive-CTE oracle
         "dedup_keep_first": DD.dedup_keep_first,
         "dedup_keep_canonical": DD.dedup_keep_canonical,
+        "segment_dedup_stats": DD.segment_dedup_stats,
+        "cross_doc_ngram_dup": DD.cross_doc_ngram_dup,
         # similarity search (beyond-reference, embeddings table)
         "ann_bruteforce_topk": SIM.ann_bruteforce_topk,
         # Arrow fast path: rows-only under the driver gate (BLAS sims
@@ -359,6 +361,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": DD.ORACLE_CLUSTERS,
         "dedup_keep_first": DD.ORACLE_DEDUP_KEEP,
         "dedup_keep_canonical": DD.ORACLE_KEEP_CANONICAL,
+        "segment_dedup_stats": DD.ORACLE_SEGMENT_DEDUP,
+        "cross_doc_ngram_dup": DD.ORACLE_CROSS_DOC_NGRAM,
         "ann_bruteforce_topk": SIM.ORACLE_ANN_TOPK,
         "lsh_bucket_histogram": SIM.ORACLE_LSH_HIST,
         "embedding_nearest_neighbor": SIM.ORACLE_NN,

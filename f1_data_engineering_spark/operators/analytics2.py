@@ -385,38 +385,55 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer-name pairs within Levenshtein distance 1, via the
     SymSpell deletion-neighborhood join.
 
-    Scale shape: each name emits len+1 keys (itself + every
-    single-char deletion); candidates are an EQUI-join on the key —
-    shuffle cost is (avg_len+1)·N rows of short strings, and the
-    quadratic blow-up of a cross join with a levenshtein filter never
-    happens.  The exact distance check runs only on candidates that
-    already share a key (which distance-1 pairs provably do), so the
-    filter is verification, not search.
+    Scale shape: each name emits len+1 POSITIONAL keys — (name, 0)
+    plus (deletion at i, i) — deduplicated per name to one row per
+    DISTINCT key string carrying its position SET (a char-run yields
+    the same deletion at every run position).  Candidates equi-join on
+    the key string — same join cardinality as plain SymSpell — with a
+    position guard as a join-side filter: a SUBSTITUTION pair's
+    deletions match at a COMMON position, and an INSERT/DELETE pair
+    matches via the shorter name's identity key (pos 0), so requiring
+    ``arrays_overlap(pos_a, pos_b) OR 0 ∈ pos_a OR 0 ∈ pos_b`` loses
+    no distance-≤1 pair while rejecting the dominant false-candidate
+    class — equal-length names whose deletions at strictly different
+    positions collide ("aab"/"aba"), which on templated key spaces
+    (zero-padded serial names) otherwise dwarfs the true pairs and
+    pays the distinct + levenshtein cost downstream.  The exact
+    distance check runs only on surviving candidates, so the filter
+    is verification, not search.
     """
     c = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
     )
-    keyed = c.select(
-        "id",
-        "name",
-        F.explode(
-            F.array_union(
-                F.array(F.col("name")),
-                F.transform(
-                    F.sequence(F.lit(1), F.length("name")),
-                    lambda i: F.concat(
-                        F.substring(F.col("name"), F.lit(1), (i - F.lit(1)).cast("int")),
-                        F.col("name").substr(i + F.lit(1), F.length("name")),
-                    ),
-                ),
-            )
-        ).alias("key"),
+    keys = F.concat(
+        F.array(F.struct(F.col("name").alias("key"), F.lit(0).alias("pos"))),
+        F.transform(
+            F.sequence(F.lit(1), F.length("name")),
+            lambda i: F.struct(
+                F.concat(
+                    F.substring(F.col("name"), F.lit(1), (i - F.lit(1)).cast("int")),
+                    F.col("name").substr(i + F.lit(1), F.length("name")),
+                ).alias("key"),
+                i.cast("int").alias("pos"),
+            ),
+        ),
+    )
+    keyed = (
+        c.select("id", "name", F.explode(keys).alias("k"))
+        .groupBy("id", "name", F.col("k.key").alias("key"))
+        .agg(F.collect_set("k.pos").alias("poss"))
     )
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.key") == F.col("b.key")) & (F.col("a.id") < F.col("b.id")),
+            (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (
+                F.arrays_overlap(F.col("a.poss"), F.col("b.poss"))
+                | F.array_contains(F.col("a.poss"), 0)
+                | F.array_contains(F.col("b.poss"), 0)
+            ),
         )
         .select(
             F.col("a.id").alias("id1"),

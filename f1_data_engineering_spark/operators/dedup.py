@@ -17,6 +17,10 @@ Scale design (the point of each operator):
   shuffle.  This is the only sub-quadratic near-dup path at 100 TB.
 * **SimHash** — one 60-bit token-weighted fingerprint per doc;
   near-dup ⇔ small Hamming distance.
+* **duplication censuses** — segment_dedup_stats (CCNet-style
+  line/segment repeats) and cross_doc_ngram_dup (Lee-et-al-style
+  cross-document n-gram mass): per-source health metrics whose
+  shuffles carry 8-byte gram hashes, never text.
 
 Hash-function parity: every hash here derives from ``md5`` (the one
 cryptographic hash Spark and DuckDB share bit-for-bit) — the first 15
@@ -763,8 +767,25 @@ def prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix shingles and completeness is guaranteed, not sampled.
     Rarest-first ordering makes those prefixes the least-shared
     shingles in the corpus — candidate count collapses toward the
-    true-duplicate density.  Verification computes the exact
-    intersection restricted to candidates.
+    true-duplicate density.
+
+    Two further PPJoin prunes run INSIDE the candidate join (both
+    sound, pinned by the brute-force completeness test):
+
+    * length filter — J ≥ τ ⇒ |A∩B| ≤ min ⇒ min(|A|,|B|) ≥ τ·max;
+    * positional filter — a qualifying pair's FIRST common shingle
+      (global rarity order) sits in both prefixes at positions
+      (i, j), and every common shingle ranks ≥ it, so
+      |A∩B| ≤ 1 + min(|A|−i, |B|−j) must still reach the τ-implied
+      floor ⌈τ/(1+τ)·(|A|+|B|)⌉.
+
+    On a templated corpus (shared boilerplate vocabulary) these two
+    prunes are what keep the candidate set near the true-duplicate
+    density — rarity alone degrades when even rare shingles have
+    corpus-sized document frequency.  Verification then intersects
+    the two docs' COMPACT sorted shingle arrays per candidate
+    (array_intersect — codegen, no row explosion), instead of
+    re-exploding candidates × shingles through a join.
 
     Runs on the near-dup-augmented corpus so the planted pairs
     provably surface.
@@ -772,9 +793,10 @@ def prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     corpus = _near_dup_corpus(spark, sf_dir)
-    sh = corpus.select(
-        "doc_id", F.explode(F.array_distinct(shingles("text"))).alias("tok")
+    docs = corpus.select(
+        "doc_id", F.array_sort(F.array_distinct(shingles("text"))).alias("toks")
     )
+    sh = docs.select("doc_id", F.explode("toks").alias("tok"))
     df_tok = sh.groupBy("tok").agg(F.count(F.lit(1)).alias("dfr"))
     wdoc = W.partitionBy("doc_id").orderBy(F.col("dfr").asc(), "tok")
     ranked = (
@@ -790,8 +812,23 @@ def prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rn") <= F.col("sz") - F.ceil(F.lit(PF_TAU) * F.col("sz")) + 1
     )
     a, b = pref.alias("a"), pref.alias("b")
+    overlap_floor = F.ceil(
+        F.lit(PF_TAU / (1.0 + PF_TAU)) * (F.col("a.sz") + F.col("b.sz"))
+    )
+    pos_ubound = F.lit(1) + F.least(
+        F.col("a.sz") - F.col("a.rn"), F.col("b.sz") - F.col("b.rn")
+    )
     cand = (
-        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: min size within τ·max
+            & (F.col("a.sz") >= PF_TAU * F.col("b.sz"))
+            & (F.col("b.sz") >= PF_TAU * F.col("a.sz"))
+            # positional filter: suffix room must reach the τ floor
+            & (pos_ubound >= overlap_floor),
+        )
         .select(
             F.col("a.doc_id").alias("d1"),
             F.col("b.doc_id").alias("d2"),
@@ -800,15 +837,32 @@ def prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    x, y = sh.alias("x"), sh.alias("y")
+    # Broadcast the compact doc→array table into BOTH verification
+    # joins: the candidate stream then never re-shuffles carrying
+    # shingle arrays (one doc-array row is ~1.5 KB; the table is
+    # row-count-of-docs, far below fact scale).  Beyond broadcast
+    # range, swap the arrays for 64-bit shingle hashes first — the
+    # intersect is hash-agnostic.
     inter = (
-        cand.join(x, F.col("d1") == F.col("x.doc_id"))
-        .join(
-            y,
-            (F.col("d2") == F.col("y.doc_id")) & (F.col("x.tok") == F.col("y.tok")),
+        cand.join(
+            F.broadcast(
+                docs.select(F.col("doc_id").alias("d1"), F.col("toks").alias("t1"))
+            ),
+            "d1",
         )
-        .groupBy("d1", "d2", "sz1", "sz2")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(
+            F.broadcast(
+                docs.select(F.col("doc_id").alias("d2"), F.col("toks").alias("t2"))
+            ),
+            "d2",
+        )
+        .select(
+            "d1",
+            "d2",
+            "sz1",
+            "sz2",
+            F.size(F.array_intersect("t1", "t2")).alias("n_common"),
+        )
     )
     jac = F.col("n_common").cast("double") / (
         F.col("sz1") + F.col("sz2") - F.col("n_common")
@@ -867,4 +921,201 @@ scored AS (
 SELECT d1, d2, n_common, jaccard
 FROM scored WHERE jkey >= {PF_TAU}
 ORDER BY jkey DESC, d1, d2
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus-level duplication censuses (CCNet line dedup / Lee et al.
+# cross-doc n-gram duplication, in Spark-aggregate form)
+# ---------------------------------------------------------------------------
+
+#: Non-overlapping segment width (tokens) for segment_dedup_stats — the
+#: stand-in for CCNet's newline-split "lines" on this corpus (the
+#: synthetic documents carry no newline structure; on a real corpus the
+#: splitter is split(text, '\n') and everything downstream is
+#: unchanged: hash the unit, count repeats corpus-wide).
+SEGMENT_TOKENS = 32
+
+#: Shingle width for the cross-document duplication mass (Lee et al.,
+#: "Deduplicating Training Data Makes Language Models Better" use
+#: 50-token spans for substring dedup; 8-gram mass is the cheap
+#: aggregate census of the same phenomenon).
+DUP_NGRAM_N = 8
+
+
+def segment_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style segment-level dedup census per source: how much of
+    each source is verbatim-repeated segments (boilerplate, mirrored
+    pages).
+
+    Per source: docs, segment occurrences, distinct segments within
+    the source, occurrences whose segment text appears >1× corpus-wide
+    (``n_dup_occurrences``), and that duplicated fraction.
+
+    Scale shape: segments are hashed to 60-bit ints scan-side, so both
+    shuffles (per-hash census, per-(source, hash) census) carry 8-byte
+    keys, never segment text.  Output is one row per source.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    t = d.select("doc_id", "source", tokens("text").alias("toks")).select(
+        "doc_id", "source", "toks", F.size("toks").alias("n")
+    )
+    n_seg = F.greatest(
+        ((F.col("n") + SEGMENT_TOKENS - 1) / SEGMENT_TOKENS).cast("long"), F.lit(1)
+    )
+    seg = (
+        t.filter(F.col("n") > 0)
+        .select(
+            "doc_id",
+            "source",
+            "toks",
+            F.explode(F.sequence(F.lit(0), n_seg - 1)).alias("i"),
+        )
+        .select(
+            "source",
+            _md5_int(
+                "seg#",
+                F.concat_ws(
+                    " ", F.slice(F.col("toks"), F.col("i") * SEGMENT_TOKENS + 1, SEGMENT_TOKENS)
+                ),
+            ).alias("h"),
+        )
+    )
+    global_cnt = seg.groupBy("h").agg(F.count(F.lit(1)).alias("g"))
+    per_src = seg.groupBy("source", "h").agg(F.count(F.lit(1)).alias("c"))
+    docs_per_src = (
+        t.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return (
+        per_src.join(global_cnt, "h")
+        .groupBy("source")
+        .agg(
+            F.sum("c").alias("n_segments"),
+            F.count(F.lit(1)).alias("n_distinct_in_source"),
+            F.sum(F.when(F.col("g") > 1, F.col("c")).otherwise(0)).alias(
+                "n_dup_occurrences"
+            ),
+        )
+        .join(docs_per_src, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_segments",
+            "n_distinct_in_source",
+            "n_dup_occurrences",
+            F.round(
+                F.col("n_dup_occurrences").cast("double") / F.col("n_segments"), 6
+            ).alias("pct_dup"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_SEGS = (
+    f"CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[]) ELSE "
+    f"list_transform(range((len(toks) + {SEGMENT_TOKENS} - 1) // {SEGMENT_TOKENS}), "
+    f"i -> array_to_string(toks[i*{SEGMENT_TOKENS}+1 : i*{SEGMENT_TOKENS}+{SEGMENT_TOKENS}], ' ')) END"
+)
+
+ORACLE_SEGMENT_DEDUP = f"""
+WITH t AS (
+  SELECT doc_id, source, {_SQL_TOKS} AS toks FROM documents
+),
+seg AS (
+  SELECT source, {_sql_md5_int("'seg#'", "s")} AS h
+  FROM (SELECT source, unnest({_SQL_SEGS}) AS s FROM t WHERE len(toks) > 0)
+),
+g AS (SELECT h, COUNT(*) AS g FROM seg GROUP BY h),
+per_src AS (SELECT source, h, COUNT(*) AS c FROM seg GROUP BY source, h),
+docs AS (SELECT source, COUNT(*) AS n_docs FROM t GROUP BY source),
+roll AS (
+  SELECT p.source,
+    CAST(SUM(c) AS BIGINT) AS n_segments,
+    COUNT(*) AS n_distinct_in_source,
+    CAST(SUM(CASE WHEN g.g > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_occurrences
+  FROM per_src p JOIN g USING (h) GROUP BY p.source
+)
+SELECT r.source, d.n_docs, r.n_segments, r.n_distinct_in_source,
+  r.n_dup_occurrences,
+  ROUND(CAST(r.n_dup_occurrences AS DOUBLE) / r.n_segments, 6) AS pct_dup
+FROM roll r JOIN docs d ON r.source = d.source
+ORDER BY r.source
+"""
+
+
+def cross_doc_ngram_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated n-gram mass per source — the aggregate
+    census behind substring-level train-data dedup (Lee et al.): what
+    fraction of each source's {DUP_NGRAM_N}-gram occurrences also occur
+    in at least one OTHER document (within-doc repetition deliberately
+    does not count — that is repetition_stats' job).
+
+    Scale shape: grams hashed scan-side to 60-bit ints; the per-gram
+    census aggregates (occurrences, distinct docs) in one shuffle on
+    the hash, the per-(source, hash) census partitions on the same key,
+    and the rollup is source-cardinality.  No document text ever
+    shuffles.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    ex = d.select(
+        "doc_id",
+        "source",
+        F.explode(shingles("text", DUP_NGRAM_N)).alias("gram"),
+    ).select("doc_id", "source", _md5_int("xd#", F.col("gram")).alias("h"))
+    per_gram = ex.groupBy("h").agg(
+        F.count(F.lit(1)).alias("occ_all"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+    per_src = ex.groupBy("source", "h").agg(F.count(F.lit(1)).alias("occ_src"))
+    return (
+        per_src.join(per_gram, "h")
+        .groupBy("source")
+        .agg(
+            F.sum("occ_src").alias("n_grams"),
+            F.sum(
+                F.when(F.col("n_docs") > 1, F.col("occ_src")).otherwise(0)
+            ).alias("n_cross_doc_dup"),
+            F.count(F.lit(1)).alias("n_distinct_grams_in_source"),
+        )
+        .select(
+            "source",
+            "n_grams",
+            "n_cross_doc_dup",
+            "n_distinct_grams_in_source",
+            F.round(
+                F.col("n_cross_doc_dup").cast("double") / F.col("n_grams"), 6
+            ).alias("pct_cross_doc_dup"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_SHINGLES_N = (
+    f"CASE WHEN len(toks) >= {DUP_NGRAM_N} THEN "
+    f"list_transform(range(len(toks)-{DUP_NGRAM_N - 1}), "
+    f"i -> array_to_string(toks[i+1 : i+{DUP_NGRAM_N}], ' ')) "
+    "WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')] "
+    "ELSE CAST([] AS VARCHAR[]) END"
+)
+
+ORACLE_CROSS_DOC_NGRAM = f"""
+WITH t AS (SELECT doc_id, source, {_SQL_TOKS} AS toks FROM documents),
+ex AS (
+  SELECT doc_id, source, {_sql_md5_int("'xd#'", "gram")} AS h
+  FROM (SELECT doc_id, source, unnest({_SQL_SHINGLES_N}) AS gram FROM t)
+),
+per_gram AS (
+  SELECT h, COUNT(*) AS occ_all, COUNT(DISTINCT doc_id) AS n_docs
+  FROM ex GROUP BY h
+),
+per_src AS (SELECT source, h, COUNT(*) AS occ_src FROM ex GROUP BY source, h)
+SELECT p.source,
+  CAST(SUM(occ_src) AS BIGINT) AS n_grams,
+  CAST(SUM(CASE WHEN g.n_docs > 1 THEN occ_src ELSE 0 END) AS BIGINT)
+    AS n_cross_doc_dup,
+  COUNT(*) AS n_distinct_grams_in_source,
+  ROUND(CAST(SUM(CASE WHEN g.n_docs > 1 THEN occ_src ELSE 0 END) AS DOUBLE)
+        / SUM(occ_src), 6) AS pct_cross_doc_dup
+FROM per_src p JOIN per_gram g USING (h)
+GROUP BY p.source ORDER BY p.source
 """

@@ -551,3 +551,40 @@ def test_ngram_jaccard_stop_shingle_cap(spark, tmp_path):
     top = next(r for r in out if (r["d1"], r["d2"]) == (1000, 1001))
     # 7 tokens -> 5 shingles each, 4 shared: J = 4/(5+5-4)
     assert top["n_common"] == 4 and abs(top["jaccard"] - round(4 / 6, 6)) < 1e-9
+
+
+def test_duplication_censuses_hand_computed(spark, tmp_path):
+    """segment_dedup_stats / cross_doc_ngram_dup on a planted corpus
+    with known per-source duplication."""
+    from f1_data_engineering_spark.operators import dedup as DD
+
+    rows = [
+        # source A: doc 1 and 2 identical (1 segment each, duplicated);
+        # doc 3 unique
+        (1, "alpha beta gamma", "A"),
+        (2, "alpha beta gamma", "A"),
+        (3, "delta epsilon zeta", "A"),
+        # source B: doc 4 copies A's duplicated text (cross-source),
+        # doc 5 unique
+        (4, "alpha beta gamma", "B"),
+        (5, "eta theta iota", "B"),
+    ]
+    df = spark.createDataFrame(
+        [(d, t, "en", s, len(t)) for d, t, s in rows],
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    seg = {r["source"]: r for r in DD.segment_dedup_stats(spark, str(tmp_path)).collect()}
+    assert seg["A"]["n_docs"] == 3 and seg["A"]["n_segments"] == 3
+    assert seg["A"]["n_distinct_in_source"] == 2
+    assert seg["A"]["n_dup_occurrences"] == 2  # docs 1+2 (global count 3 > 1)
+    assert seg["B"]["n_dup_occurrences"] == 1  # doc 4 matches A's text
+    assert abs(seg["B"]["pct_dup"] - 0.5) < 1e-9
+
+    # docs < 8 tokens -> one whole-text shingle each, so the gram
+    # census mirrors the segment one here
+    x = {r["source"]: r for r in DD.cross_doc_ngram_dup(spark, str(tmp_path)).collect()}
+    assert x["A"]["n_grams"] == 3 and x["A"]["n_cross_doc_dup"] == 2
+    assert x["B"]["n_grams"] == 2 and x["B"]["n_cross_doc_dup"] == 1
+    assert abs(x["B"]["pct_cross_doc_dup"] - 0.5) < 1e-9
