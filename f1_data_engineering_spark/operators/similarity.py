@@ -394,19 +394,33 @@ def ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     bq_mat = spark.sparkContext.broadcast(q_mat)
 
     def score(batches):
+        k = 3
         for pdf in batches:
             v = np.array(pdf["embedding"].tolist(), dtype=np.float64)
             norms = np.linalg.norm(v, axis=1, keepdims=True)
             norms[norms == 0] = np.nan
             sims = (v / norms) @ bq_mat.value.T  # (batch, n_queries)
-            n = len(pdf)
+            ids = pdf["vec_id"].to_numpy()
             nq = len(bq_ids.value)
+            keys = np.round(sims, 9)
+            # per-batch partial top-k under the EXACT final order
+            # (sim_key desc, neighbor_id asc): the global top-k per
+            # query is a subset of each batch's top-k union, so only
+            # k rows per (query, batch) reach the ranking window —
+            # the map-side-combine of top-k search.
+            out_q, out_n, out_s, out_k = [], [], [], []
+            for qi in range(nq):
+                order = np.lexsort((ids, -keys[:, qi]))[:k]
+                out_q.append(np.full(len(order), bq_ids.value[qi]))
+                out_n.append(ids[order])
+                out_s.append(np.round(sims[order, qi], 6))
+                out_k.append(keys[order, qi])
             yield pd.DataFrame(
                 {
-                    "query_id": np.repeat(bq_ids.value, n),
-                    "neighbor_id": np.tile(pdf["vec_id"].to_numpy(), nq),
-                    "sim": np.round(sims.T.ravel(), 6),
-                    "sim_key": np.round(sims.T.ravel(), 9),
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "sim": np.concatenate(out_s),
+                    "sim_key": np.concatenate(out_k),
                 }
             )
 
