@@ -131,7 +131,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d1, d2).  The df filter and the self-join hash-partition on the
     same key, so the exchange is reused.
     """
-    d = load_table(spark, sf_dir, "documents").select(
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id").select(
         "doc_id", F.array_distinct(shingles("text", 3)).alias("sh")
     )
     ex_all = d.select("doc_id", F.explode("sh").alias("shingle"))
@@ -347,7 +347,10 @@ def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("text"),
         )
     )
-    return d.unionByName(pert)
+    # spread: every consumer runs shingle/hash expressions over this —
+    # without it the whole map stage inherits the input's partition
+    # count (2 files at bench SF ⇒ 2 of 32 cores busy)
+    return spread(d.unionByName(pert), "doc_id")
 
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -650,7 +653,7 @@ def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         F.lit("copy").alias("source"),
     )
-    corpus = d.unionByName(copies)
+    corpus = spread(d.unionByName(copies), "doc_id")
     fp = F.md5(F.concat_ws(" ", tokens("text")).cast("binary"))
     w = W.partitionBy("fp").orderBy("doc_id")
     kept = (
@@ -795,7 +798,7 @@ def prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _near_dup_corpus(spark, sf_dir)
     docs = corpus.select(
         "doc_id", F.array_sort(F.array_distinct(shingles("text"))).alias("toks")
-    )
+    ).cache()  # consumed 3×: shingle explode + both verification sides
     sh = docs.select("doc_id", F.explode("toks").alias("tok"))
     df_tok = sh.groupBy("tok").agg(F.count(F.lit(1)).alias("dfr"))
     wdoc = W.partitionBy("doc_id").orderBy(F.col("dfr").asc(), "tok")
