@@ -588,3 +588,33 @@ def test_duplication_censuses_hand_computed(spark, tmp_path):
     assert x["A"]["n_grams"] == 3 and x["A"]["n_cross_doc_dup"] == 2
     assert x["B"]["n_grams"] == 2 and x["B"]["n_cross_doc_dup"] == 1
     assert abs(x["B"]["pct_cross_doc_dup"] - 0.5) < 1e-9
+
+
+def test_f1_telemetry_join_is_broadcast_hash(spark):
+    """The F1 lap-telemetry band join must resolve to a broadcast HASH
+    join on the Driver equality (band predicates as residual filter) —
+    never a sort-merge shuffle of the telemetry stream, never a
+    nested-loop."""
+    from f1_data_engineering_spark.operators import f1_fixture_queries as FX
+
+    plan = FX.f1_lap_telemetry_summary(spark, "")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_prefix_filter_verification_is_broadcast(spark, sf_dir):
+    """prefix_filter_jaccard's verification joins must broadcast the
+    compact doc-array table (candidates never re-shuffle carrying
+    shingle arrays); the candidate join itself must be a hash join on
+    the shingle."""
+    from f1_data_engineering_spark.operators import dedup as DD
+
+    plan = (
+        DD.prefix_filter_jaccard(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    assert "CartesianProduct" not in plan
