@@ -4,7 +4,7 @@ The driver's testdata has no F1-shaped tables, so the reference's own
 query surface (laps / telemetry / weather / stints — streamlit_app.py
 display_* views and the f1_dataExtractor.py:251-302 telemetry engine)
 could previously only be pytest-checked.  This script materializes
-small, seed-pinned silver tables under benchdata/f1fix/ so those
+small, seed-pinned silver tables under fixtures/f1fix/ so those
 queries run under the same DuckDB differential gate as everything else
 (operators/f1_fixture_queries.py reads them by absolute path).
 
@@ -32,7 +32,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                       "benchdata", "f1fix")
+                       "fixtures", "f1fix")
 
 DRIVERS = [
     ("VER", 1, "Red Bull Racing"), ("PER", 11, "Red Bull Racing"),

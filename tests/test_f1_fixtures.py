@@ -1,5 +1,5 @@
 """F1 fixture surface (operators/f1_fixture_queries.py): the committed
-seed-42 parquet under benchdata/f1fix/ plus the five oracle-checked
+seed-42 parquet under fixtures/f1fix/ plus the five oracle-checked
 queries over it.  Values are pinned by the DuckDB differential gate;
 these tests pin the fixture contract itself (shape, planted edge
 cases) so a regenerated fixture that breaks parity assumptions fails
