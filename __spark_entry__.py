@@ -196,6 +196,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": TX.inverted_index,
         "zipf_fit": TX.zipf_fit,
         "source_overlap_matrix": TX.source_overlap_matrix,
+        "gopher_rules": TX.gopher_rules,
         "value_quartiles": TO.value_quartiles,
         # deduplication (beyond-reference)
         "dedup_exact": DD.dedup_exact,
@@ -208,6 +209,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_first": DD.dedup_keep_first,
         "dedup_keep_canonical": DD.dedup_keep_canonical,
         "segment_dedup_stats": DD.segment_dedup_stats,
+        "segment_dedup_clean": DD.segment_dedup_clean,
         "cross_doc_ngram_dup": DD.cross_doc_ngram_dup,
         # similarity search (beyond-reference, embeddings table)
         "ann_bruteforce_topk": SIM.ann_bruteforce_topk,
@@ -242,6 +244,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_splits": TP.dataset_splits,
         "chunk_documents": TP.chunk_documents,
         "token_budget_mix": TP.token_budget_mix,
+        "dsir_importance_weights": TP.dsir_importance_weights,
         # data-layout optimization (z-order clustering, compaction)
         "zorder_tile_stats": LY.zorder_tile_stats,
         "compaction_plan": LY.compaction_plan,
@@ -351,6 +354,7 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index": TX.ORACLE_INVERTED_INDEX,
         "zipf_fit": TX.ORACLE_ZIPF,
         "source_overlap_matrix": TX.ORACLE_SOURCE_OVERLAP,
+        "gopher_rules": TX.ORACLE_GOPHER,
         "value_quartiles": TO.ORACLE_QUARTILES,
         "dedup_exact": DD.ORACLE_DEDUP_EXACT,
         "ngram_jaccard_pairs": DD.ORACLE_JACCARD_PAIRS,
@@ -362,6 +366,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_first": DD.ORACLE_DEDUP_KEEP,
         "dedup_keep_canonical": DD.ORACLE_KEEP_CANONICAL,
         "segment_dedup_stats": DD.ORACLE_SEGMENT_DEDUP,
+        "segment_dedup_clean": DD.ORACLE_SEGMENT_CLEAN,
         "cross_doc_ngram_dup": DD.ORACLE_CROSS_DOC_NGRAM,
         "ann_bruteforce_topk": SIM.ORACLE_ANN_TOPK,
         "lsh_bucket_histogram": SIM.ORACLE_LSH_HIST,
@@ -383,6 +388,7 @@ def oracle_sql() -> dict[str, str]:
         "dataset_splits": TP.ORACLE_SPLITS,
         "chunk_documents": TP.ORACLE_CHUNKS,
         "token_budget_mix": TP.ORACLE_BUDGET_MIX,
+        "dsir_importance_weights": TP.ORACLE_DSIR,
         "zorder_tile_stats": LY.ORACLE_ZORDER_TILES,
         "compaction_plan": LY.ORACLE_COMPACTION,
         "decontaminate_ngrams": DC.ORACLE_DECONTAM,

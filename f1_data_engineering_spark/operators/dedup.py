@@ -1046,6 +1046,114 @@ ORDER BY r.source
 """
 
 
+def segment_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/CCNet-style segment-level dedup as a TRANSFORM: remove every
+    corpus-wide repeated {SEGMENT_TOKENS}-token segment except its
+    first occurrence (ordered by (doc_id, segment index)) and
+    reassemble each document from its surviving segments in order.
+
+    Complements segment_dedup_stats (the census): this is the query
+    that actually produces the cleaned corpus.  Output stays compact —
+    per doc: segment count, survivors, cleaned-text md5 + length —
+    because the driver gate hashes values; the cleaned text itself is
+    the ``cleaned`` expression one column away.
+
+    Scale shape: survival is row_number() == 1 over
+    (PARTITION BY segment-hash ORDER BY doc_id, i) — one shuffle
+    hash-partitioned by the 60-bit segment hash.  Segment text rides
+    that shuffle because the rebuild needs it; that is inherent to any
+    dedup transform (the output IS corpus-sized).  The rebuild is one
+    further shuffle on doc_id with sort_array over per-doc surviving
+    segments (bounded by document length, not corpus size).  No
+    driver-side state anywhere.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    t = d.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id", "toks", F.size("toks").alias("n")
+    )
+    n_seg = F.when(
+        F.col("n") > 0,
+        ((F.col("n") + SEGMENT_TOKENS - 1) / SEGMENT_TOKENS).cast("long"),
+    ).otherwise(F.lit(0))
+    seg = (
+        t.filter(F.col("n") > 0)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(0), n_seg - 1)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "i",
+            F.concat_ws(
+                " ",
+                F.slice(F.col("toks"), F.col("i") * SEGMENT_TOKENS + 1, SEGMENT_TOKENS),
+            ).alias("s"),
+        )
+        .select("doc_id", "i", "s", _md5_int("seg#", F.col("s")).alias("h"))
+    )
+    from pyspark.sql import Window as W
+
+    first = F.row_number().over(W.partitionBy("h").orderBy("doc_id", "i"))
+    kept = seg.withColumn("rn", first).filter(F.col("rn") == 1)
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "s"))), lambda x: x["s"]
+            ),
+        ).alias("cleaned"),
+    )
+    return (
+        t.select("doc_id", n_seg.alias("n_segments"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_segments",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.md5(F.coalesce("cleaned", F.lit("")).cast("binary")).alias("cleaned_md5"),
+            F.length(F.coalesce("cleaned", F.lit(""))).cast("long").alias("cleaned_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_SEGMENT_CLEAN = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+),
+base AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+seg AS (
+  SELECT doc_id, u.i AS i, u.s AS s, {_sql_md5_int("'seg#'", "u.s")} AS h
+  FROM (
+    SELECT doc_id,
+      unnest(list_transform(range((n + {SEGMENT_TOKENS} - 1) // {SEGMENT_TOKENS}),
+        i -> {{'i': i, 's': array_to_string(
+                toks[i*{SEGMENT_TOKENS}+1 : i*{SEGMENT_TOKENS}+{SEGMENT_TOKENS}], ' ')}})) AS u
+    FROM base WHERE n > 0)
+),
+kept AS (
+  SELECT doc_id, i, s,
+    row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn
+  FROM seg
+),
+rebuilt AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+    COALESCE(string_agg(s, ' ' ORDER BY i), '') AS cleaned
+  FROM kept WHERE rn = 1 GROUP BY doc_id
+)
+SELECT b.doc_id,
+  CASE WHEN b.n > 0 THEN CAST((b.n + {SEGMENT_TOKENS} - 1) // {SEGMENT_TOKENS} AS BIGINT)
+       ELSE 0 END AS n_segments,
+  COALESCE(r.n_kept, 0) AS n_kept,
+  md5(COALESCE(r.cleaned, '')) AS cleaned_md5,
+  CAST(length(COALESCE(r.cleaned, '')) AS BIGINT) AS cleaned_chars
+FROM base b LEFT JOIN rebuilt r ON b.doc_id = r.doc_id
+ORDER BY b.doc_id
+"""
+
+
 def cross_doc_ngram_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicated n-gram mass per source — the aggregate
     census behind substring-level train-data dedup (Lee et al.): what

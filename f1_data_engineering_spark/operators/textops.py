@@ -1237,3 +1237,173 @@ scored AS (
 SELECT d1, d2, shared_terms, sim
 FROM scored ORDER BY sim_key DESC, d1, d2 LIMIT {TFIDF_COS_TOPK}
 """
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality-rule census
+# ---------------------------------------------------------------------------
+
+#: Gopher rule constants (Rae et al. 2021, Table A1).  The symbol and
+#: repetition thresholds are the published ones; the word-count floor is
+#: the published 50.
+# 60-bit md5 hash helpers shared with the dedup operators (single
+# definition keeps the Spark/DuckDB twins in lock-step).
+from .dedup import _md5_int, _sql_md5_int  # noqa: E402
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_WLEN = 3.0
+GOPHER_MAX_WLEN = 10.0
+GOPHER_ALPHA_FRAC = 0.80  # ≥80% of words contain an alphabetic char
+GOPHER_MIN_STOP = 2       # ≥2 distinct stop words present
+GOPHER_MAX_SYM = 0.10     # '#'/'...' per word
+GOPHER_MAX_TOP_TOK = 0.20 # most frequent token's share of the doc
+
+
+def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule census per source: how many documents pass
+    each published Gopher pre-filter (Rae et al. 2021), and all of
+    them jointly — the rule-by-rule diagnostic a curation run reads
+    before choosing thresholds.
+
+    Rules: word count in [{50}, {100k}]; mean word length in [3, 10];
+    ≥80% of words alphabetic; ≥2 distinct stop words; symbol ('#',
+    '...') rate ≤0.1/word; top-token share ≤20% (the single-token
+    degenerate-repetition rule — Gopher's line/paragraph repetition
+    rules need line structure this corpus lacks and live in
+    repetition_stats).
+
+    Scale shape: five rules are pure scan-side expressions.  The
+    top-token rule is the only shuffle: per-(doc, token-hash) counts →
+    per-doc max — two hash aggregates carrying 8-byte keys — joined
+    back to the flags on doc_id.  Rollup output is source-cardinality.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = tokens("text")
+    stop_arr = F.array(*[F.lit(w) for w in _ALL_STOP])
+    flags = d.select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("n_tok"),
+        F.length(F.array_join(toks, "")).cast("double").alias("tok_chars"),
+        F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))).alias("n_alpha_tok"),
+        F.size(F.array_intersect(F.array_distinct(toks), stop_arr)).alias("n_stop"),
+        (
+            F.regexp_count(F.col("text"), F.lit(r"#"))
+            + F.regexp_count(F.col("text"), F.lit(r"\.\.\."))
+        ).alias("n_sym"),
+    )
+    ex = d.select("doc_id", F.explode(toks).alias("g")).select(
+        "doc_id", _md5_int("gr#", F.col("g")).alias("h")
+    )
+    rep = (
+        ex.groupBy("doc_id", "h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_tok"))
+    )
+    n_tok_d = F.col("n_tok").cast("double")
+    mean_wlen = F.col("tok_chars") / F.greatest(n_tok_d, F.lit(1.0))
+    p_wordcount = (F.col("n_tok") >= GOPHER_MIN_WORDS) & (
+        F.col("n_tok") <= GOPHER_MAX_WORDS
+    )
+    p_wordlen = (mean_wlen >= GOPHER_MIN_WLEN) & (mean_wlen <= GOPHER_MAX_WLEN)
+    p_alpha = F.col("n_alpha_tok").cast("double") >= F.lit(GOPHER_ALPHA_FRAC) * n_tok_d
+    p_stop = F.col("n_stop") >= GOPHER_MIN_STOP
+    p_sym = F.col("n_sym").cast("double") <= F.lit(GOPHER_MAX_SYM) * n_tok_d
+    p_rep = (F.col("n_tok") > 0) & (
+        F.coalesce(F.col("max_tok"), F.lit(0)).cast("double")
+        <= F.lit(GOPHER_MAX_TOP_TOK) * n_tok_d
+    )
+
+    def cnt(p, name):
+        return F.sum(p.cast("long")).alias(name)
+
+    joined = flags.join(rep, "doc_id", "left").select(
+        "source",
+        p_wordcount.alias("pw"),
+        p_wordlen.alias("pl"),
+        p_alpha.alias("pa"),
+        p_stop.alias("ps"),
+        p_sym.alias("py"),
+        p_rep.alias("pr"),
+        (p_wordcount & p_wordlen & p_alpha & p_stop & p_sym & p_rep).alias("pall"),
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            cnt(F.col("pw"), "n_pass_wordcount"),
+            cnt(F.col("pl"), "n_pass_wordlen"),
+            cnt(F.col("pa"), "n_pass_alpha"),
+            cnt(F.col("ps"), "n_pass_stop"),
+            cnt(F.col("py"), "n_pass_symbol"),
+            cnt(F.col("pr"), "n_pass_repetition"),
+            cnt(F.col("pall"), "n_pass_all"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_pass_wordcount",
+            "n_pass_wordlen",
+            "n_pass_alpha",
+            "n_pass_stop",
+            "n_pass_symbol",
+            "n_pass_repetition",
+            "n_pass_all",
+            F.round(
+                F.col("n_pass_all").cast("double") / F.col("n_docs").cast("double"), 6
+            ).alias("pct_pass_all"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_GOPHER = f"""
+WITH t AS (
+  SELECT doc_id, source, text, {_SQL_TOKENS} AS toks FROM documents
+),
+flags AS (
+  SELECT doc_id, source,
+    len(toks) AS n_tok,
+    CAST(length(array_to_string(toks, '')) AS DOUBLE) AS tok_chars,
+    len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha_tok,
+    len(list_intersect(list_distinct(toks),
+        [{", ".join(f"'{w}'" for w in _ALL_STOP)}])) AS n_stop,
+    (len(regexp_extract_all(COALESCE(text, ''), '#'))
+     + len(regexp_extract_all(COALESCE(text, ''), '\\.\\.\\.'))) AS n_sym
+  FROM t
+),
+rep AS (
+  SELECT doc_id, MAX(c) AS max_tok FROM (
+    SELECT doc_id, h, COUNT(*) AS c FROM (
+      SELECT doc_id, {_sql_md5_int("'gr#'", "g")} AS h
+      FROM (SELECT doc_id, unnest(toks) AS g FROM t)
+    ) GROUP BY doc_id, h
+  ) GROUP BY doc_id
+),
+j AS (
+  SELECT f.source,
+    (f.n_tok >= {GOPHER_MIN_WORDS} AND f.n_tok <= {GOPHER_MAX_WORDS}) AS pw,
+    (f.tok_chars / GREATEST(CAST(f.n_tok AS DOUBLE), 1.0) >= {GOPHER_MIN_WLEN}
+     AND f.tok_chars / GREATEST(CAST(f.n_tok AS DOUBLE), 1.0) <= {GOPHER_MAX_WLEN}) AS pl,
+    (CAST(f.n_alpha_tok AS DOUBLE) >= {GOPHER_ALPHA_FRAC} * f.n_tok) AS pa,
+    (f.n_stop >= {GOPHER_MIN_STOP}) AS ps,
+    (CAST(f.n_sym AS DOUBLE) <= {GOPHER_MAX_SYM} * f.n_tok) AS py,
+    (f.n_tok > 0 AND CAST(COALESCE(r.max_tok, 0) AS DOUBLE)
+       <= {GOPHER_MAX_TOP_TOK} * f.n_tok) AS pr
+  FROM flags f LEFT JOIN rep r ON f.doc_id = r.doc_id
+)
+SELECT source, COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN pw THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_wordcount,
+  CAST(SUM(CASE WHEN pl THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_wordlen,
+  CAST(SUM(CASE WHEN pa THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_alpha,
+  CAST(SUM(CASE WHEN ps THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_stop,
+  CAST(SUM(CASE WHEN py THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_symbol,
+  CAST(SUM(CASE WHEN pr THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_repetition,
+  CAST(SUM(CASE WHEN pw AND pl AND pa AND ps AND py AND pr THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_pass_all,
+  ROUND(CAST(SUM(CASE WHEN pw AND pl AND pa AND ps AND py AND pr THEN 1 ELSE 0 END)
+        AS DOUBLE) / COUNT(*), 6) AS pct_pass_all
+FROM j GROUP BY source ORDER BY source
+"""

@@ -494,3 +494,171 @@ def bpe_train(
     return spark.createDataFrame(
         merges, schema="rank long, pair string, merged string, weighted_count long"
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weighting (data selection for language models)
+# ---------------------------------------------------------------------------
+
+from .dedup import _md5_int  # 60-bit md5 (single Spark/DuckDB-twin definition)
+
+#: Hashed feature space size for DSIR (Xie et al. 2023 use 10k buckets
+#: over unigrams+bigrams; 512 keeps the sf0.01 bucket tables exercised
+#: while the algorithm is bucket-count-agnostic).
+DSIR_BUCKETS = 512
+DSIR_TOPK = 100
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): score every document
+    by how target-like its hashed n-gram distribution is, where the
+    target is the ``lang = 'en'`` slice and the raw distribution is the
+    whole corpus.  Top-``DSIR_TOPK`` docs by weight are what importance
+    resampling would draw first.
+
+    weight(d) = mean over d's grams g of
+        ln P_target(bucket(g)) − ln P_raw(bucket(g)),
+    with add-one smoothing over ``DSIR_BUCKETS`` hashed unigram+bigram
+    buckets.
+
+    Scale shape: the two bucket LMs are ``DSIR_BUCKETS``-row tables
+    built by one hash aggregate each over the exploded grams (8-byte
+    keys); both broadcast into the scoring join.  Per-doc scoring is
+    one (doc_id, bucket) aggregate plus a broadcast join — no
+    corpus-sized shuffle carries text.  FP parity: each bucket's two
+    ln's are rounded to 9 dp and summed as DECIMAL (order-free, same
+    trick as lm_perplexity); only the final mean runs in double.
+
+    Reference scope: beyond-reference (training-data curation family
+    the brief asks for); no analog in /root/reference.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = tokens("text")
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = F.concat(toks, bigrams)
+    ex = d.select(
+        "doc_id", "lang", F.explode(grams).alias("g")
+    ).select(
+        "doc_id",
+        "lang",
+        (_md5_int("dsir#", F.col("g")) % DSIR_BUCKETS).alias("b"),
+    )
+    raw_b = ex.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt_b = ex.filter(F.col("lang") == "en").groupBy("b").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    totals = raw_b.agg(F.sum("cr").alias("nr")).crossJoin(
+        tgt_b.agg(F.sum("ct").alias("nt"))
+    )
+    lnw = (
+        raw_b.join(tgt_b, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            (
+                F.round(
+                    F.log(
+                        (F.coalesce(F.col("ct"), F.lit(0)).cast("double") + 1.0)
+                        / (F.col("nt").cast("double") + F.lit(float(DSIR_BUCKETS)))
+                    ),
+                    9,
+                ).cast("decimal(20,9)")
+                - F.round(
+                    F.log(
+                        (F.col("cr").cast("double") + 1.0)
+                        / (F.col("nr").cast("double") + F.lit(float(DSIR_BUCKETS)))
+                    ),
+                    9,
+                ).cast("decimal(20,9)")
+            ).alias("lnw"),
+        )
+    )
+    doc_b = ex.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    scored = (
+        doc_b.join(F.broadcast(lnw), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            # c must shrink to decimal(9,0) first: long(=decimal(20,0))
+            # × decimal(20,9) needs precision 41 > 38, so Spark would
+            # silently REDUCE THE SCALE to 6 (allowPrecisionLoss) and
+            # the decimal-exact parity with DuckDB breaks at the 6th dp
+            F.sum(F.col("c").cast("decimal(9,0)") * F.col("lnw")).alias("sum_lnw"),
+        )
+    )
+    # Tie-proof 6-dp mean: round(sum/n, 6) on doubles diverges between
+    # engines when the quotient lands on a .5e-6 boundary (observed at
+    # sf0.01).  Instead scale the exact decimal sum to integer nanos
+    # and round half-up in integer arithmetic — floor((a + b/2) / b)
+    # with a = sum·1e9, b = 1000·n — which both engines compute
+    # identically (all magnitudes ≪ 2^53, so the one double division
+    # is exact enough that floor is unambiguous: quotients are ≥ 1/b
+    # away from the next integer except at exact ties).
+    s_nano = (F.col("sum_lnw") * F.lit(1_000_000_000)).cast("long")
+    n = F.col("n_grams")
+    w_micro = F.floor(
+        (s_nano + 500 * n).cast("double") / (1000 * n).cast("double")
+    )
+    w_key = s_nano.cast("double") / n.cast("double")
+    return (
+        scored.select(
+            "doc_id",
+            "n_grams",
+            w_key.alias("wkey"),
+            (w_micro.cast("double") / F.lit(1e6)).alias("dsir_weight"),
+        )
+        .orderBy(F.col("wkey").desc(), "doc_id")
+        .limit(DSIR_TOPK)
+        .select("doc_id", "n_grams", "dsir_weight")
+    )
+
+
+_SQL_GRAMS = (
+    "list_concat(toks, CASE WHEN len(toks) >= 2 THEN "
+    "list_transform(list_zip(toks[1:len(toks)-1], toks[2:len(toks)]), "
+    "p -> p[1] || ' ' || p[2]) ELSE [] END)"
+)
+
+ORACLE_DSIR = f"""
+WITH t AS (SELECT doc_id, lang, {_SQL_TOKENS} AS toks FROM documents),
+ex AS (
+  SELECT doc_id, lang,
+    CAST(('0x' || substr(md5('dsir#' || g), 1, 15)) AS BIGINT) % {DSIR_BUCKETS} AS b
+  FROM (SELECT doc_id, lang, unnest({_SQL_GRAMS}) AS g FROM t)
+),
+raw_b AS (SELECT b, COUNT(*) AS cr FROM ex GROUP BY b),
+tgt_b AS (SELECT b, COUNT(*) AS ct FROM ex WHERE lang = 'en' GROUP BY b),
+totals AS (
+  SELECT (SELECT SUM(cr) FROM raw_b) AS nr, (SELECT SUM(ct) FROM tgt_b) AS nt
+),
+lnw AS (
+  SELECT raw_b.b,
+    CAST(ROUND(ln((CAST(COALESCE(tgt_b.ct, 0) AS DOUBLE) + 1.0)
+                  / (CAST(totals.nt AS DOUBLE) + {DSIR_BUCKETS}.0)), 9)
+         AS DECIMAL(20,9))
+    - CAST(ROUND(ln((CAST(raw_b.cr AS DOUBLE) + 1.0)
+                    / (CAST(totals.nr AS DOUBLE) + {DSIR_BUCKETS}.0)), 9)
+           AS DECIMAL(20,9)) AS lnw
+  FROM raw_b LEFT JOIN tgt_b ON raw_b.b = tgt_b.b CROSS JOIN totals
+),
+doc_b AS (SELECT doc_id, b, COUNT(*) AS c FROM ex GROUP BY doc_id, b),
+scored AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+    SUM(CAST(c AS DECIMAL(9,0)) * lnw) AS sum_lnw
+  FROM doc_b JOIN lnw USING (b) GROUP BY doc_id
+)
+SELECT doc_id, n_grams,
+  floor((CAST(CAST(sum_lnw * 1000000000 AS BIGINT) AS DOUBLE) + 500.0 * n_grams)
+        / (1000.0 * n_grams)) / 1e6 AS dsir_weight
+FROM scored
+ORDER BY CAST(CAST(sum_lnw * 1000000000 AS BIGINT) AS DOUBLE) / n_grams DESC, doc_id
+LIMIT {DSIR_TOPK}
+"""
