@@ -149,10 +149,21 @@ def shingles(c: Column | str, n: int = 3) -> Column:
     toks = tokens(c)
     k = F.size(toks)
     joined = F.concat_ws(" ", toks)
-    grams = F.transform(
-        F.sequence(F.lit(0), k - n),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
+    # Build the n-grams as an (n-1)-deep zip_with over 1-step-offset
+    # slices.  zip_with MATERIALIZES each input array once per row and
+    # then walks elements, so the tokenize expression is evaluated
+    # O(n) times per row.  The transform(sequence, i -> slice(toks,...))
+    # formulation this replaces re-evaluated the full split/lower/trim
+    # pipeline PER ELEMENT — O(tokens²) work per document (the same
+    # trap operators/dedup.py:_shingle_hash_df documents; measured ~3×
+    # on ngram_jaccard_pairs at sf0.1).
+    grams = F.slice(toks, 1, k - (n - 1))
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, 1 + j, k - (n - 1)),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
     return (
         F.when(k >= n, grams)
         .when(k > 0, F.array(joined))
