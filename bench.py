@@ -104,6 +104,11 @@ BENCH_QUERIES = (
     # matrix product per batch instead of expression folds — the gap
     # between these two rows is the measured Arrow win (DEPLOY.md)
     "ann_topk_vectorized",
+    # round-3 curation transforms: segment-removal dedup (corpus-sized
+    # rebuild shuffle), Gopher rule census, DSIR importance weighting
+    "segment_dedup_clean",
+    "gopher_rules",
+    "dsir_importance_weights",
 )
 
 
