@@ -98,3 +98,21 @@ def test_dsir_weights_directional(spark, tmp_path):
     assert min(w[i] for i in range(8)) > max(w[i] for i in range(8, 16))
     # weights are per-gram means: identical docs score identically
     assert len({w[i] for i in range(8)}) == 1
+
+
+def test_curation_ops_plan_quality(spark, sf_dir):
+    """Plan shapes for the round-3 curation ops: DSIR's scoring join
+    broadcasts the bucket LM (feature-space-sized), and neither the
+    segment-removal transform nor the Gopher census plans a
+    CartesianProduct anywhere."""
+    from f1_data_engineering_spark.plans import assert_broadcast_join, physical_plan
+
+    dsir = TP.dsir_importance_weights(spark, sf_dir)
+    assert "CartesianProduct" not in physical_plan(dsir, "simple")
+    assert_broadcast_join(dsir, at_least=1)  # bucket lnw table
+
+    clean = DD.segment_dedup_clean(spark, sf_dir)
+    assert "CartesianProduct" not in physical_plan(clean, "simple")
+
+    rules = TX.gopher_rules(spark, sf_dir)
+    assert "CartesianProduct" not in physical_plan(rules, "simple")
