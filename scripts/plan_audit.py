@@ -22,6 +22,7 @@ from f1_data_engineering_spark.operators import profiling as PF
 from f1_data_engineering_spark.operators import relational as R
 from f1_data_engineering_spark.operators import similarity as SIM
 from f1_data_engineering_spark.operators import timeops as TO
+from f1_data_engineering_spark.operators import trainprep as TP
 from f1_data_engineering_spark.plans import count_exchanges, physical_plan
 from f1_data_engineering_spark.session import get_spark
 
@@ -226,6 +227,28 @@ AUDIT = [
         "As-of version join: the temporal predicate is a residual "
         "filter on the custkey hash join — per-key version selection, "
         "never a dimension-wide range join.",
+    ),
+    (
+        "segment_dedup_clean",
+        DD.segment_dedup_clean,
+        "Dedup TRANSFORM: first-occurrence survival via one window "
+        "hash-partitioned by the 60-bit segment hash, then one doc_id "
+        "aggregate for reassembly — two shuffles, both inherent (the "
+        "output IS the cleaned corpus). No cartesian anywhere.",
+    ),
+    (
+        "gopher_rules",
+        TX2.gopher_rules,
+        "Five rules scan-side in one projection; the top-token rule is "
+        "two hash aggregates over (doc_id, token-hash) — 8-byte keys — "
+        "joined back on doc_id; rollup output is source-cardinality.",
+    ),
+    (
+        "dsir_importance_weights",
+        TP.dsir_importance_weights,
+        "Bucket LMs are feature-space-sized tables broadcast into the "
+        "per-(doc, bucket) scoring aggregate; decimal-exact log sums; "
+        "the only corpus-sized shuffle carries (doc_id, bucket, count).",
     ),
 ]
 
