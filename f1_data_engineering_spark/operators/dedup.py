@@ -804,6 +804,14 @@ def prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (array_intersect — codegen, no row explosion), instead of
     re-exploding candidates × shingles through a join.
 
+    Shingles are HASHED to 60-bit ints scan-side (as in
+    ngram_jaccard_pairs): the rarity order becomes (df ASC, hash) —
+    any consistent total order satisfies the prefix bound, which only
+    requires both documents to rank their shingles identically — and
+    every exchange, the rank sort, the candidate join, and the
+    broadcast verification arrays then work on 8-byte integers.  The
+    DuckDB twin applies the identical hash, so parity is exact.
+
     Runs on the near-dup-augmented corpus so the planted pairs
     provably surface.
     """
@@ -811,7 +819,13 @@ def prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = _near_dup_corpus(spark, sf_dir)
     docs = corpus.select(
-        "doc_id", F.array_sort(F.array_distinct(shingles("text"))).alias("toks")
+        "doc_id",
+        F.array_sort(
+            F.transform(
+                F.array_distinct(shingles("text")),
+                lambda s: _md5_int("pf#", s),
+            )
+        ).alias("toks"),
     ).cache()  # consumed 3×: shingle explode + both verification sides
     sh = docs.select("doc_id", F.explode("toks").alias("tok"))
     df_tok = sh.groupBy("tok").agg(F.count(F.lit(1)).alias("dfr"))
@@ -907,7 +921,10 @@ WITH corpus AS (
 ),
 t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM corpus),
 d AS (SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS shset FROM t),
-ex AS (SELECT doc_id, unnest(shset) AS tok FROM d),
+ex AS (
+  SELECT doc_id, {_sql_md5_int("'pf#'", "s")} AS tok
+  FROM (SELECT doc_id, unnest(shset) AS s FROM d)
+),
 dfreq AS (SELECT tok, COUNT(*) AS dfr FROM ex GROUP BY tok),
 ranked AS (
   SELECT ex.doc_id, ex.tok,
