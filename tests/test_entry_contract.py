@@ -1,0 +1,90 @@
+"""Driver-contract invariants for __spark_entry__.py — the surface the
+round harness actually exercises.  Round 1 recorded an EMPTY
+correctness file because of a loader/path bug; these tests make any
+contract break loud in pytest instead of silent in the gate."""
+
+from __future__ import annotations
+
+import importlib.util
+import inspect
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+#: Queries deliberately without a DuckDB oracle (rows-only in the
+#: gate), each pinned by pytest instead — keep in lock-step with the
+#: README "Correctness" paragraph.
+ROWS_ONLY = {
+    "ann_topk_vectorized",
+    "bpe_train",
+    "kmeans_embeddings",
+    "sketch_summary",
+}
+
+
+def _load_entry_by_path():
+    """Import the way a harness would: by FILE PATH, not package."""
+    spec = importlib.util.spec_from_file_location(
+        "entry_by_path", os.path.join(REPO, "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_entry_module_loads_by_file_path():
+    mod = _load_entry_by_path()
+    assert callable(mod.entry)
+    assert callable(mod.queries)
+    assert callable(mod.oracle_sql)
+
+
+def test_every_oracle_has_a_query_and_vice_versa():
+    mod = _load_entry_by_path()
+    qs, oracles = mod.queries(), mod.oracle_sql()
+    assert set(oracles) <= set(qs), sorted(set(oracles) - set(qs))
+    assert set(qs) - set(oracles) == ROWS_ONLY, (
+        f"rows-only drift: {sorted(set(qs) - set(oracles) - ROWS_ONLY)} missing "
+        f"oracles; {sorted(ROWS_ONLY - (set(qs) - set(oracles)))} gained one "
+        "(update ROWS_ONLY and the README paragraph)"
+    )
+
+
+def test_query_callables_take_spark_and_sfdir():
+    mod = _load_entry_by_path()
+    for name, fn in mod.queries().items():
+        params = list(inspect.signature(fn).parameters.values())
+        required = [p for p in params if p.default is inspect.Parameter.empty]
+        assert len(required) == 2, (
+            f"{name} must be callable as (spark, sf_dir); required={required}"
+        )
+
+
+def test_oracle_sql_strings_are_nonempty_selects():
+    mod = _load_entry_by_path()
+    for name, sql in mod.oracle_sql().items():
+        assert isinstance(sql, str) and "SELECT" in sql.upper(), name
+
+
+def test_unverified_queries_order_first():
+    """The driver gate records only the first ~50 queries() entries per
+    round; names without a hash-green CORRECTNESS row must lead."""
+    mod = _load_entry_by_path()
+    green = mod._driver_green_so_far()
+    if not green:  # fresh checkout without correctness records
+        return
+    names = list(mod.queries())
+    seen_green = False
+    for n in names:
+        if n in green:
+            seen_green = True
+        else:
+            assert not seen_green, (
+                f"unverified query {n!r} ordered after a driver-green one"
+            )
+
+
+def test_entry_runs_and_returns_rows(spark):
+    df = _load_entry_by_path().entry(spark)
+    assert len(df.columns) > 0
+    assert df.count() > 0
