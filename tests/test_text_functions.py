@@ -222,3 +222,43 @@ def test_null_empty_text_parity_with_sql_twins(spark):
     for doc_id, toks, sh, tc in duck:
         assert sp[doc_id] == (list(toks), list(sh), tc), doc_id
     assert sp[0] == ([], [], 0) and sp[1] == ([], [], 0) and sp[2] == ([], [], 0)
+
+
+def test_shingles_property_vs_reference(spark):
+    """The zip_with-over-offset-slices shingle builder must match the
+    obvious Python reference on arbitrary token streams (hypothesis) —
+    guards the O(tokens)-per-row formulation against off-by-one drift
+    at the array edges."""
+    from hypothesis import given, settings, strategies as st
+
+    tok = st.text(alphabet="abcxyz0", min_size=1, max_size=4)
+    cases: list[list[str]] = []
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(tok, min_size=0, max_size=9), st.integers(2, 4))
+    def collect(toks, n):
+        cases.append((toks, n))
+
+    collect()
+    # batch all hypothesis-generated cases through ONE Spark job
+    df = spark.createDataFrame(
+        [(i, " ".join(t), n) for i, (t, n) in enumerate(cases)],
+        schema="i long, x string, n int",
+    )
+    for n in sorted({n for _, n in cases}):
+        got = {
+            r["i"]: r["r"]
+            for r in df.filter(F.col("n") == n)
+            .select("i", shingles("x", n).alias("r"))
+            .collect()
+        }
+        for i, (toks, cn) in enumerate(cases):
+            if cn != n:
+                continue
+            if len(toks) >= n:
+                want = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+            elif toks:
+                want = [" ".join(toks)]
+            else:
+                want = []
+            assert got[i] == want, (toks, n, got[i], want)
