@@ -516,27 +516,30 @@ def simhash_64(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate columns to 20.  Measured 0.85s → 0.59s at sf0.1,
     # bit-identical.  Empty docs: NULL h → NULL packed sums → every
     # vote comparison fails → simhash 0 (same as the unpacked form).
+    # The 20 packed aggregates and the 60-term vote sum are built as
+    # SQL STRINGS parsed JVM-side by one F.expr each: constructing the
+    # same tree with nested Column operators costs ~500 py4j round
+    # trips (~2 s measured — more than the query's actual execution!)
+    # and is paid on EVERY plan build.  String assembly is pure Python
+    # (microseconds); semantics and codegen are identical.
     aggs = []
     for g0 in range(0, SIMHASH_BITS, 3):
-        expr = F.shiftright("h", g0).bitwiseAND(F.lit(1))
+        terms = [f"(shiftright(h, {g0}) & 1)"]
         if g0 + 1 < SIMHASH_BITS:
-            expr = expr + F.shiftleft(
-                F.shiftright("h", g0 + 1).bitwiseAND(F.lit(1)), 21
-            )
+            terms.append(f"shiftleft(shiftright(h, {g0 + 1}) & 1, 21)")
         if g0 + 2 < SIMHASH_BITS:
-            expr = expr + F.shiftleft(
-                F.shiftright("h", g0 + 2).bitwiseAND(F.lit(1)), 42
-            )
-        aggs.append(F.sum(expr).alias(f"p{g0}"))
+            terms.append(f"shiftleft(shiftright(h, {g0 + 2}) & 1, 42)")
+        aggs.append(F.expr(f"sum({' + '.join(terms)})").alias(f"p{g0}"))
     g = ex.groupBy("doc_id").agg(*aggs, F.count("h").alias("n"))
-    sim = F.lit(0)
+    mask = (1 << 21) - 1
+    vote_terms = []
     for b in range(SIMHASH_BITS):
-        cnt = F.shiftright(F.col(f"p{b - b % 3}"), 21 * (b % 3)).bitwiseAND(
-            F.lit((1 << 21) - 1)
+        cnt = f"(shiftright(p{b - b % 3}, {21 * (b % 3)}) & {mask})"
+        vote_terms.append(
+            f"if({cnt} * 2 - n > 0, shiftleft(CAST(1 AS BIGINT), {b}), "
+            f"CAST(0 AS BIGINT))"
         )
-        sim = sim + F.when(cnt * 2 - F.col("n") > 0, F.lit(1 << b)).otherwise(
-            F.lit(0)
-        )
+    sim = F.expr(" + ".join(vote_terms))
     # No final orderBy — the sort's sampling pass would re-run the
     # post-shuffle vote aggregation for no semantic gain.
     return g.select(
