@@ -551,10 +551,22 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         (_md5_int("dsir#", F.col("g")) % DSIR_BUCKETS).alias("b"),
     )
-    raw_b = ex.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
-    tgt_b = ex.filter(F.col("lang") == "en").groupBy("b").agg(
-        F.count(F.lit(1)).alias("ct")
+    # Both bucket LMs come from ONE conditional aggregate over the gram
+    # stream (raw count + count-if-target per bucket) instead of two
+    # separate passes — Spark shares no subplan without an explicit
+    # cache, so every distinct aggregation over `ex` re-scans and
+    # re-hashes the corpus.  Two corpus passes total (this one and the
+    # per-doc scoring counts below) versus three in the naive form: a
+    # wash at bench SF where stage overhead dominates, one fewer full
+    # read+md5 pass at corpus scale where the scan IS the cost.
+    raw_b = ex.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct_raw"),
     )
+    tgt_b = raw_b.filter(F.col("ct_raw") > 0).select(
+        "b", F.col("ct_raw").alias("ct")
+    )
+    raw_b = raw_b.select("b", "cr")
     totals = raw_b.agg(F.sum("cr").alias("nr")).crossJoin(
         tgt_b.agg(F.sum("ct").alias("nt"))
     )
