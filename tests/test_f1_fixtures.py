@@ -60,3 +60,27 @@ def test_f1_queries_shapes(spark):
     wx = FX.f1_weather_trends(spark, "")
     ticks = [r for r in wx.collect() if r["is_tick"]]
     assert len(ticks) == 10
+
+
+def test_generator_reproduces_committed_fixtures(tmp_path, monkeypatch):
+    """The lazy self-heal in f1_fixture_queries regenerates fixtures on
+    a checkout that lacks them and ASSUMES the output is value-identical
+    to the committed files (the oracle SQL strings read the same paths).
+    Pin that: running the generator into a scratch dir must reproduce
+    the committed parquet byte-for-byte."""
+    import hashlib
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "gen", os.path.join(os.path.dirname(FX.FIX_DIR.rstrip("/")).rsplit("/fixtures", 1)[0],
+                            "scripts", "make_f1_fixtures.py")
+    )
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+    monkeypatch.setattr(gen, "OUT_DIR", str(tmp_path))
+    gen.main()
+    for name in ("laps", "telemetry", "weather"):
+        committed = os.path.join(FX.FIX_DIR, f"{name}.parquet")
+        fresh = os.path.join(str(tmp_path), f"{name}.parquet")
+        h = lambda p: hashlib.md5(open(p, "rb").read()).hexdigest()
+        assert h(committed) == h(fresh), f"{name}: generator drifted from committed fixture"
