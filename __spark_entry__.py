@@ -102,6 +102,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f1_stint_pivot": FX.f1_stint_pivot,
         "f1_weather_trends": FX.f1_weather_trends,
         "f1_lap_telemetry_summary": FX.f1_lap_telemetry_summary,
+        "f1_stint_chart_rows": FX.f1_stint_chart_rows,
+        "f1_telemetry_compare": FX.f1_telemetry_compare,
         # §2.4 aggregation
         "q1_pricing_summary": R.q1_pricing_summary,
         "stint_summary": R.stint_summary,
@@ -270,6 +272,8 @@ def oracle_sql() -> dict[str, str]:
         "f1_stint_pivot": FX.ORACLE_F1_STINT_PIVOT,
         "f1_weather_trends": FX.ORACLE_F1_WEATHER_TRENDS,
         "f1_lap_telemetry_summary": FX.ORACLE_F1_LAP_TELEMETRY,
+        "f1_stint_chart_rows": FX.ORACLE_F1_STINT_CHART,
+        "f1_telemetry_compare": FX.ORACLE_F1_TELEMETRY_COMPARE,
         "q1_pricing_summary": R.ORACLE_Q1,
         "stint_summary": R.ORACLE_STINT,
         "agg_stats": R.ORACLE_AGG_STATS,

@@ -88,8 +88,11 @@ def stint_chart_rows(stints: DataFrame) -> DataFrame:
         "StintNumber",
         "Compound",
         "NumLapsInStint",
-        F.concat_ws(
-            "", F.col("Driver"), F.lit(" - Stint "), F.col("StintNumber").cast("string")
+        # F.concat, not concat_ws: the reference's pandas `+` chain
+        # (streamlit_app.py:388) propagates NaN for a null Driver, and
+        # concat_ws would silently swallow the null instead
+        F.concat(
+            F.col("Driver"), F.lit(" - Stint "), F.col("StintNumber").cast("string")
         ).alias("StintIdentifier"),
     ).orderBy("Driver", "StintNumber")
 
