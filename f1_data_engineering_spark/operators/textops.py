@@ -937,6 +937,15 @@ def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.array().cast("array<string>"))
     doc_bg = d.select("doc_id", F.explode(bigrams).alias("bg"))
 
+    # NOTE on the tempting "single-pass" rewrite: pre-aggregating
+    # (doc_id, bg) counts and deriving c2 from that table was measured
+    # 2× SLOWER at sf1 (4.3 s vs 2.0 s) — most (doc, bigram) pairs are
+    # unique, so the extra shuffle gets no map-side combine win and
+    # costs more than the second scan it saves, while the scoring path
+    # below is a shuffle-free broadcast join either way.  Two explode
+    # passes over the scan is the right shape here (contrast
+    # dsir_importance_weights, where the fused aggregate IS a win
+    # because both LM tables come from the same groupBy key).
     c2 = doc_bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
     # c1 (occurrences as bigram-first) derives from c2 by re-aggregating
     # the VOCAB²-bounded model table — not by re-scanning the corpus:
