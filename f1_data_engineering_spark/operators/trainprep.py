@@ -532,25 +532,33 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference scope: beyond-reference (training-data curation family
     the brief asks for); no analog in /root/reference.
     """
+    from .dedup import MINHASH_P, SHINGLE_C
+
     d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    toks = tokens("text")
-    n = F.size(toks)
-    bigrams = F.when(
-        n >= 2,
-        F.zip_with(
-            F.slice(toks, 1, n - 1),
-            F.slice(toks, 2, n - 1),
-            lambda a, b: F.concat_ws(" ", a, b),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = F.concat(toks, bigrams)
-    ex = d.select(
-        "doc_id", "lang", F.explode(grams).alias("g")
-    ).select(
+    # One md5 per TOKEN, bigram buckets from an integer rolling combine
+    # of the two token hashes (same scheme as the MinHash/decontam gram
+    # builders) — halves the hash work versus md5-ing concatenated
+    # bigram strings and never materializes them.  At corpus scale the
+    # per-token hash pass is the dominant map cost, so this matters.
+    d2 = d.select("doc_id", "lang", tokens("text").alias("toks")).select(
         "doc_id",
         "lang",
-        (_md5_int("dsir#", F.col("g")) % DSIR_BUCKETS).alias("b"),
+        F.transform("toks", lambda t: _md5_int("dsir#", t) % MINHASH_P).alias("th"),
     )
+    n = F.size("th")
+    big = F.when(
+        n >= 2,
+        F.zip_with(
+            F.expr("slice(th, 1, size(th) - 1)"),
+            F.expr("slice(th, 2, size(th) - 1)"),
+            lambda a, b: (a * SHINGLE_C + b) % MINHASH_P,
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    buckets = F.concat(
+        F.transform("th", lambda x: x % DSIR_BUCKETS),
+        F.transform(big, lambda x: x % DSIR_BUCKETS),
+    )
+    ex = d2.select("doc_id", "lang", F.explode(buckets).alias("b"))
     # Both bucket LMs come from ONE conditional aggregate over the gram
     # stream (raw count + count-if-target per bucket) instead of two
     # separate passes — Spark shares no subplan without an explicit
@@ -633,18 +641,22 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_GRAMS = (
-    "list_concat(toks, CASE WHEN len(toks) >= 2 THEN "
-    "list_transform(list_zip(toks[1:len(toks)-1], toks[2:len(toks)]), "
-    "p -> p[1] || ' ' || p[2]) ELSE [] END)"
-)
-
 ORACLE_DSIR = f"""
 WITH t AS (SELECT doc_id, lang, {_SQL_TOKENS} AS toks FROM documents),
-ex AS (
+h AS (
   SELECT doc_id, lang,
-    CAST(('0x' || substr(md5('dsir#' || g), 1, 15)) AS BIGINT) % {DSIR_BUCKETS} AS b
-  FROM (SELECT doc_id, lang, unnest({_SQL_GRAMS}) AS g FROM t)
+    list_transform(toks, x ->
+      CAST(('0x' || substr(md5('dsir#' || x), 1, 15)) AS BIGINT) % 1000000007) AS th
+  FROM t
+),
+ex AS (
+  SELECT doc_id, lang, unnest(list_concat(
+    list_transform(th, x -> x % {DSIR_BUCKETS}),
+    CASE WHEN len(th) >= 2 THEN
+      list_transform(list_zip(th[1:len(th)-1], th[2:len(th)]),
+                     p -> ((p[1] * 8191 + p[2]) % 1000000007) % {DSIR_BUCKETS})
+    ELSE [] END)) AS b
+  FROM h
 ),
 raw_b AS (SELECT b, COUNT(*) AS cr FROM ex GROUP BY b),
 tgt_b AS (SELECT b, COUNT(*) AS ct FROM ex WHERE lang = 'en' GROUP BY b),
