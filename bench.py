@@ -109,6 +109,20 @@ BENCH_QUERIES = (
     "segment_dedup_clean",
     "gopher_rules",
     "dsir_importance_weights",
+    # round-4: every oracle-backed query gets at least one timing record
+    "segment_dedup_stats",
+    "cross_doc_ngram_dup",
+    "token_budget_mix",
+    "contamination_summary",
+    # F1-native layer (fixture-backed; sf-independent but recorded so
+    # the reference's own workload has a measured number)
+    "f1_lap_times",
+    "f1_tyre_stints",
+    "f1_stint_pivot",
+    "f1_weather_trends",
+    "f1_lap_telemetry_summary",
+    "f1_stint_chart_rows",
+    "f1_telemetry_compare",
 )
 
 
@@ -147,18 +161,42 @@ def main() -> None:
     errors: dict[str, str] = {}
 
     def emit(partial: bool = False) -> None:
+        # The external runner captures only the TAIL (~2000 chars) of
+        # stdout; a per-query map for 70+ queries outgrows that and the
+        # JSON start gets cut off (round-3 recorded parsed:null).  So
+        # the stdout line stays compact — headline number + the slowest
+        # few queries — and the full per-query map goes to stderr and
+        # to BENCH_DETAIL.json next to this script.
+        slowest = dict(
+            sorted(times.items(), key=lambda kv: -kv[1])[:8]
+        )
         out = {
             "metric": "headline query wall time, noop sink",
             "value": round(sum(times.values()), 3),
             "unit": "sec",
-            "queries": times,
+            "queries": slowest,
+            "n_queries": len(times),
             "sf": sf,
         }
         if errors:
-            out["errors"] = errors
+            out["n_errors"] = len(errors)
         if partial:
             out["partial"] = True
-        print(json.dumps(out), flush=True)
+        detail = dict(out, queries=times, errors=errors)
+        print("bench detail: " + json.dumps(detail), file=sys.stderr, flush=True)
+        try:
+            detail_path = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+            )
+            with open(detail_path, "w") as fh:
+                json.dump(detail, fh, indent=1)
+        except OSError:
+            pass  # read-only checkout must not kill the stdout line
+        line = json.dumps(out)
+        if len(line) > 1900:  # belt-and-braces: never outgrow the tail capture
+            out.pop("queries", None)
+            line = json.dumps(out)
+        print(line, flush=True)
 
     def on_term(signum, frame):  # runner timeout → partial line beats none
         emit(partial=True)
@@ -174,7 +212,17 @@ def main() -> None:
     start = time.time()
     budget_hit = False
     for pass_no in range(2):
-        for name in BENCH_QUERIES:
+        # pass 2 re-measures HEAVY-FIRST: if the leftover budget runs
+        # out mid-pass, the expensive queries (the ones where a single
+        # noisy run distorts the headline most) got their second run —
+        # round-3's common-query inflation came from pass 2 never
+        # reaching the late heavy queries in registration order
+        order = (
+            BENCH_QUERIES
+            if pass_no == 0
+            else sorted(BENCH_QUERIES, key=lambda n: -times.get(n, 0.0))
+        )
+        for name in order:
             if pass_no == 1 and time.time() - start > budget:
                 break  # pass-2 is best-effort; budget_hit reflects pass 1 only
             if pass_no == 0 and time.time() - start > budget:

@@ -587,6 +587,26 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     density, and rounds needed = cluster diameter (near-dup clusters
     are shallow — a handful of rounds in practice).
     """
+    return (
+        _cluster_members(spark, sf_dir)
+        .select(
+            "label",
+            "cluster_size",
+            # ','-joined string rather than array<long>: the driver's
+            # pandas canonicalizer cannot sort list cells, so the
+            # member list ships as a scalar column (same information)
+            F.array_join(F.col("members").cast("array<string>"), ",").alias(
+                "members"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+def _cluster_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Internal array-shaped twin of :func:`dedup_clusters`:
+    (label, cluster_size, members array<long>) — composed by
+    :func:`dedup_keep_canonical` without a string round-trip."""
     pairs = minhash_lsh_pairs(spark, sf_dir).filter(
         F.col("est_jaccard") >= 0.5
     ).select("d1", "d2").cache()
@@ -619,13 +639,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels.select("node", "label")
         if changed == 0:
             break
-    return (
-        labels.groupBy("label")
-        .agg(
-            F.count(F.lit(1)).alias("cluster_size"),
-            F.sort_array(F.collect_list("node")).alias("members"),
-        )
-        .orderBy("label")
+    return labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.sort_array(F.collect_list("node")).alias("members"),
     )
 
 
@@ -647,7 +663,8 @@ reach(node, label) AS (
   SELECT u.d1, r.label FROM und u JOIN reach r ON u.d2 = r.node
 ),
 lab AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node)
-SELECT label, COUNT(*) AS cluster_size, list_sort(list(node)) AS members
+SELECT label, COUNT(*) AS cluster_size,
+       array_to_string(list_sort(list(node)), ',') AS members
 FROM lab GROUP BY label ORDER BY label
 """
 
@@ -718,7 +735,7 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
-    m = dedup_clusters(spark, sf_dir).select(
+    m = _cluster_members(spark, sf_dir).select(
         "label", F.explode("members").alias("doc_id")
     )
     corpus = _near_dup_corpus(spark, sf_dir).select(
@@ -744,7 +761,9 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_KEEP_CANONICAL = f"""
 WITH clusters AS ({ORACLE_CLUSTERS}),
-m AS (SELECT label, unnest(members) AS doc_id FROM clusters),
+m AS (SELECT label,
+             CAST(unnest(string_split(members, ',')) AS BIGINT) AS doc_id
+      FROM clusters),
 corpus AS (
   SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars FROM documents
   UNION ALL

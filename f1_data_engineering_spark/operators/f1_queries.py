@@ -48,23 +48,71 @@ def lap_times(laps: DataFrame, drivers: list[str] | None = None) -> DataFrame:
 
 def session_results_sorted(results: DataFrame) -> DataFrame:
     """display_session_results (streamlit_app.py:96-110,203-206): sort
-    by Position when present, else by finishing time."""
-    has_pos = results.filter(F.col("Position").isNotNull()).count() > 0
-    key = "Position" if has_pos else "TimeSeconds"
+    by Position when present, else by finishing time.
+
+    The dispatch ("does any row carry a Position?") is one single-pass
+    boolean aggregate returning a 1-row driver-sized result — not the
+    old filter+count() full-row-count action — so the data scan feeds
+    exactly one cheap map-side-combined agg before the sort plan is
+    chosen.
+    """
+    row = results.agg(
+        F.max(F.col("Position").isNotNull()).alias("has_pos")
+    ).first()
+    key = "Position" if row is not None and row["has_pos"] else "TimeSeconds"
     return results.orderBy(F.col(key).asc_nulls_last())
+
+
+#: weather_trends bucket width (seconds of session time).  Weather
+#: samples arrive ~1/min, so a 600 s bucket holds ~10 rows; at any
+#: realistic multi-season concatenation each bucket stays one task's
+#: worth of rows.
+WEATHER_BUCKET_S = 600.0
 
 
 def weather_trends(weather: DataFrame, n_ticks: int = 10) -> DataFrame:
     """display_weather (streamlit_app.py:249-311): weather columns with
     an O7-style deterministic stride downsample flag for axis ticks
-    (every ⌈n/ticks⌉-th sample by session time)."""
-    n = weather.count()
-    step = max(1, -(-n // n_ticks))
-    w = W.orderBy("SessionTimeSeconds")
+    (every ⌈n/ticks⌉-th sample by session time).
+
+    Same two-level global row-numbering as ``stride_downsample``
+    (relational.py): SessionTimeSeconds is the leading sort key, so
+    time buckets are order-aligned — ``row_number`` runs per bucket
+    (partitioned window, never a single-partition global sort), each
+    bucket's global offset comes from one metadata-sized bucket-count
+    aggregate (collected and rebroadcast), and the total row count for
+    the tick step falls out of the same collect — no separate
+    ``count()`` scan.  Safe for a concatenated multi-season table, not
+    just one session's ~130 samples.
+    """
+    spark = weather.sparkSession
+    # null SessionTimeSeconds → sentinel bucket that sorts before all
+    # real buckets (nulls-first, matching the window's ASC default) and
+    # stays a valid equi-join key (a null bucket would never match in
+    # the broadcast join below)
+    null_bucket = -(2**62)
+    b = weather.withColumn(
+        "bucket",
+        F.coalesce(
+            F.floor(F.col("SessionTimeSeconds") / F.lit(WEATHER_BUCKET_S)),
+            F.lit(null_bucket),
+        ),
+    )
+    counts = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    counts.sort(key=lambda r: r["bucket"])
+    total = sum(r["cnt"] for r in counts)
+    step = max(1, -(-total // n_ticks))
+    offs, acc = [], 0
+    for r in counts:
+        offs.append((r["bucket"], acc))
+        acc += r["cnt"]
+    off_df = spark.createDataFrame(offs, schema="bucket long, off long")
+    wb = W.partitionBy("bucket").orderBy("SessionTimeSeconds")
     return (
-        weather.withColumn("rn", F.row_number().over(w))
-        .withColumn("is_tick", ((F.col("rn") - 1) % step) == 0)
-        .drop("rn")
+        b.withColumn("lrn", F.row_number().over(wb))
+        .join(F.broadcast(off_df), ["bucket"], "inner")  # every bucket has an offset row
+        .withColumn("is_tick", ((F.col("off") + F.col("lrn") - 1) % step) == 0)
+        .drop("bucket", "lrn", "off")
     )
 
 

@@ -612,16 +612,23 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("df"),
             F.sum("tf").alias("total_tf"),
             F.max("tf").alias("max_tf"),
-            F.sort_array(
-                F.collect_list(
-                    F.when(
-                        F.col("rk") <= CHAMPIONS_K,
-                        F.struct(F.col("rk"), F.col("doc_id")),
+            # emitted as a ','-joined string, not array<long>: the
+            # driver's differential gate canonicalizes with a pandas
+            # lexsort that cannot sort list cells, so a scalar column
+            # carries the same information driver-checkably
+            F.array_join(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            F.col("rk") <= CHAMPIONS_K,
+                            F.struct(F.col("rk"), F.col("doc_id")),
+                        )
                     )
                 )
-            )
-            .getField("doc_id")
-            .alias("champions"),
+                .getField("doc_id")
+                .cast("array<string>"),
+                ",",
+            ).alias("champions"),
         )
         .orderBy("term")
     )
@@ -640,9 +647,9 @@ r AS (
 )
 SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
   MAX(tf) AS max_tf,
-  list_transform(
+  array_to_string(list_transform(
     list_sort(list([rk, doc_id]) FILTER (WHERE rk <= {CHAMPIONS_K})),
-    p -> p[2]) AS champions
+    p -> p[2]), ',') AS champions
 FROM r GROUP BY term ORDER BY term
 """
 
@@ -1298,8 +1305,13 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))).alias("n_alpha_tok"),
         F.size(F.array_intersect(F.array_distinct(toks), stop_arr)).alias("n_stop"),
         (
-            F.regexp_count(F.col("text"), F.lit(r"#"))
-            + F.regexp_count(F.col("text"), F.lit(r"\.\.\."))
+            # NULL-safe to match the oracle's COALESCE(text, ''):
+            # without it a NULL-text doc gets NULL n_sym → NULL p_sym
+            # → silently dropped from the n_pass_symbol sum
+            F.regexp_count(F.coalesce(F.col("text"), F.lit("")), F.lit(r"#"))
+            + F.regexp_count(
+                F.coalesce(F.col("text"), F.lit("")), F.lit(r"\.\.\.")
+            )
         ).alias("n_sym"),
     )
     ex = d.select("doc_id", F.explode(toks).alias("g")).select(

@@ -17,7 +17,7 @@ from f1_data_engineering_spark.operators import trainprep as TP
 def _write_docs(spark, tmp_path, rows):
     """rows: (doc_id, text, lang, source)."""
     df = spark.createDataFrame(
-        [(d, t, lg, s, len(t)) for d, t, lg, s in rows],
+        [(d, t, lg, s, len(t) if t is not None else 0) for d, t, lg, s in rows],
         schema="doc_id long, text string, lang string, source string, n_chars long",
     )
     df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
@@ -68,17 +68,21 @@ def test_gopher_rules_planted(spark, tmp_path):
             + " " + stopfill, "en", "A"),
         # fails stopword rule: 60 unique non-stop tokens
         (4, " ".join(f"y{j}word" for j in range(60)), "en", "A"),
+        # NULL text: 0 tokens fails wordcount but must COUNT toward
+        # n_pass_symbol (0 symbols <= 0.1*0) exactly like the SQL twin's
+        # COALESCE(text, '') — pins the NULL-safe regexp_count
+        (5, None, "en", "A"),
     ]
     _write_docs(spark, tmp_path, rows)
     out = {r["source"]: r for r in TX.gopher_rules(spark, str(tmp_path)).collect()}
     a = out["A"]
-    assert a["n_docs"] == 4
-    assert a["n_pass_wordcount"] == 3  # doc 2 fails
-    assert a["n_pass_stop"] == 3  # doc 4 fails
-    assert a["n_pass_repetition"] == 3  # doc 3 fails
-    assert a["n_pass_symbol"] == 4  # no '#'/'...' anywhere
+    assert a["n_docs"] == 5
+    assert a["n_pass_wordcount"] == 3  # docs 2, 5 fail
+    assert a["n_pass_stop"] == 3  # docs 4, 5 fail
+    assert a["n_pass_repetition"] == 3  # docs 3, 5 fail
+    assert a["n_pass_symbol"] == 5  # no '#'/'...' anywhere, NULL counts
     assert a["n_pass_all"] == 1  # only doc 1
-    assert abs(a["pct_pass_all"] - 0.25) < 1e-9
+    assert abs(a["pct_pass_all"] - 0.20) < 1e-9
 
 
 def test_dsir_weights_directional(spark, tmp_path):

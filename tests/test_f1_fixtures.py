@@ -67,9 +67,12 @@ def test_generator_reproduces_committed_fixtures(tmp_path, monkeypatch):
     a checkout that lacks them and ASSUMES the output is value-identical
     to the committed files (the oracle SQL strings read the same paths).
     Pin that: running the generator into a scratch dir must reproduce
-    the committed parquet byte-for-byte."""
-    import hashlib
+    the committed VALUES (content equality, not raw bytes — parquet
+    bytes vary with pyarrow/zstd versions, and the self-heal contract
+    only needs value identity)."""
     import importlib.util
+
+    import pyarrow.parquet as pq
 
     spec = importlib.util.spec_from_file_location(
         "gen", os.path.join(os.path.dirname(FX.FIX_DIR.rstrip("/")).rsplit("/fixtures", 1)[0],
@@ -80,7 +83,11 @@ def test_generator_reproduces_committed_fixtures(tmp_path, monkeypatch):
     monkeypatch.setattr(gen, "OUT_DIR", str(tmp_path))
     gen.main()
     for name in ("laps", "telemetry", "weather"):
-        committed = os.path.join(FX.FIX_DIR, f"{name}.parquet")
-        fresh = os.path.join(str(tmp_path), f"{name}.parquet")
-        h = lambda p: hashlib.md5(open(p, "rb").read()).hexdigest()
-        assert h(committed) == h(fresh), f"{name}: generator drifted from committed fixture"
+        committed = pq.read_table(os.path.join(FX.FIX_DIR, f"{name}.parquet"))
+        fresh = pq.read_table(os.path.join(str(tmp_path), f"{name}.parquet"))
+        assert committed.schema.equals(fresh.schema), (
+            f"{name}: generator schema drifted from committed fixture"
+        )
+        assert committed.equals(fresh), (
+            f"{name}: generator values drifted from committed fixture"
+        )

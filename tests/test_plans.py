@@ -70,8 +70,12 @@ def test_dedup_clusters_invariants(spark, sf_dir):
     """Iterative connected components: each planted near-dup (doc_id <
     10 truncated copy at +1000000) must share a cluster with its
     source, labeled by the min member."""
-    rows = DD.dedup_clusters(spark, sf_dir).collect()
-    by_label = {r["label"]: r for r in rows}
+    rows = [
+        # members ships as a ','-joined string (driver-gate shape);
+        # parse back to ints for the invariants
+        {**r.asDict(), "members": [int(m) for m in r["members"].split(",")]}
+        for r in DD.dedup_clusters(spark, sf_dir).collect()
+    ]
     planted = [r for r in rows if any(m >= 1000000 for m in r["members"])]
     assert len(planted) >= 5  # most truncated copies collide with source
     for r in rows:

@@ -66,10 +66,23 @@ def test_sketch_summary_error_bounds(spark, sf_dir):
         )
         .collect()
     }
-    assert set(sk) == set(exact)
+    # second engine: the same exact aggregates from DuckDB — the sketch
+    # estimates must satisfy the error bound against BOTH engines'
+    # ground truth, and the two ground truths must agree exactly
+    import duckdb
+
+    duck = {
+        et: (int(users), n)
+        for et, users, n in duckdb.sql(
+            f"SELECT event_type, COUNT(DISTINCT user_id), COUNT(*) "
+            f"FROM '{sf_dir}/events.parquet' GROUP BY event_type"
+        ).fetchall()
+    }
+    assert set(sk) == set(exact) == set(duck)
     for et, e in exact.items():
         s = sk[et]
-        assert s["n"] == e["n"]  # plain count rides along exactly
+        assert s["n"] == e["n"] == duck[et][1]  # plain count rides along exactly
+        assert e["users"] == duck[et][0], et  # engines agree on ground truth
         # HLL++ rsd=0.05 ⇒ 3σ = 15%
         assert abs(s["approx_users"] - e["users"]) <= max(3, 0.15 * e["users"]), et
         # approx_percentile(accuracy=10000) on n ≪ 10000 rows is exact-ish

@@ -131,8 +131,9 @@ def test_inverted_index_champions(spark, sf_dir):
     assert r["df"] == len(direct)
     assert r["total_tf"] == sum(d["count"] for d in direct)
     top = sorted(direct, key=lambda d: (-d["count"], d["doc_id"]))[: TX.CHAMPIONS_K]
-    assert sorted(r["champions"]) == sorted(d["doc_id"] for d in top)
-    assert len(r["champions"]) <= TX.CHAMPIONS_K
+    champs = [int(c) for c in r["champions"].split(",")] if r["champions"] else []
+    assert sorted(champs) == sorted(d["doc_id"] for d in top)
+    assert len(champs) <= TX.CHAMPIONS_K
 
 
 def test_zipf_fit_slope_negative(spark, sf_dir):
