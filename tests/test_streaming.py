@@ -475,3 +475,81 @@ def test_streaming_countmin_merge_equals_batch_sketch(spark, sf_dir, events_dir,
         for r in read_versioned(spark, state).collect()
     }
     assert again == exp
+
+
+def test_streaming_lap_telemetry_matches_batch(spark, tmp_path):
+    """Streaming J1 twin (SURVEY §2.9 stretch): the stream-static
+    bucketed band join + watermark-bounded stateful lap summary must
+    reproduce the batch ``lap_telemetry_summary`` exactly (ints/
+    bools/extrema) or to float-sum tolerance (averages, distance —
+    the batch side sums in exact decimal, the buffered numpy side in
+    float64).  Telemetry is re-landed as four time-ordered chunks with
+    maxFilesPerTrigger=1 so laps genuinely span micro-batches and the
+    cross-batch state merge is exercised."""
+    from f1_data_engineering_spark.operators import f1_fixture_queries as FX
+    from f1_data_engineering_spark.operators import telemetry as TEL
+    from f1_data_engineering_spark.streaming import telemetry_stream as TS
+
+    FX._ensure_fixtures()
+    telem = spark.read.parquet(os.path.join(FX.FIX_DIR, "telemetry.parquet"))
+    laps = spark.read.parquet(os.path.join(FX.FIX_DIR, "laps.parquet"))
+
+    src = tmp_path / "telem_stream"
+    src.mkdir()
+    lo, hi = telem.agg(
+        F.min("SessionTimeSeconds"), F.max("SessionTimeSeconds")
+    ).first()
+    for i in range(4):
+        a = lo + (hi - lo) * i / 4
+        b = lo + (hi - lo) * (i + 1) / 4 + (1 if i == 3 else 0)
+        telem.filter(
+            (F.col("SessionTimeSeconds") >= a) & (F.col("SessionTimeSeconds") < b)
+        ).coalesce(1).write.mode("append").parquet(str(src / f"chunk{i}"))
+
+    stream = TS.telemetry_file_stream(
+        spark, str(src) + "/*", max_files_per_trigger=1
+    )
+    out = TS.stream_lap_summary(TS.stream_lap_tag(stream, laps))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("lap_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    rows = spark.table("lap_stream").collect()
+    assert rows
+    # per lap: the completest emission (the final-state record); a
+    # final=true row, when present, must agree with it
+    best = {}
+    for r in rows:
+        k = (r["Driver"], r["LapNumber"])
+        if k not in best or r["n_samples"] > best[k]["n_samples"]:
+            best[k] = r
+    finals = [r for r in rows if r["final"]]
+    assert finals, "watermark never closed any lap"
+    for r in finals:
+        b = best[(r["Driver"], r["LapNumber"])]
+        assert r["n_samples"] == b["n_samples"]
+        assert abs(r["MaxDistance"] - b["MaxDistance"]) < 1e-9
+
+    exp = {
+        (r["Driver"], r["LapNumber"]): r
+        for r in TEL.lap_telemetry_summary(telem, laps, strategy="bucket").collect()
+    }
+    assert set(best) == set(exp)
+    for k, e in exp.items():
+        g = best[k]
+        assert g["TotalGearChanges"] == e["TotalGearChanges"], k
+        assert g["DRSActive"] == e["DRSActive"], k
+        assert g["TelemetryLapStartTime_seconds"] == e["TelemetryLapStartTime_seconds"], k
+        assert g["MaxSpeed"] == e["MaxSpeed"] and g["MinSpeed"] == e["MinSpeed"], k
+        assert g["MaxRPM"] == e["MaxRPM"], k
+        for c in ("AvgSpeed", "AvgRPM", "AvgThrottle", "AvgBrake"):
+            assert abs(g[c] - e[c]) <= 1e-9 * max(1.0, abs(e[c])), (k, c)
+        assert abs(g["MaxDistance"] - e["MaxDistance"]) <= 1e-6 * max(
+            1.0, abs(e["MaxDistance"])
+        ), k
