@@ -14,6 +14,7 @@ sys.path.insert(0, "/root/repo")
 from f1_data_engineering_spark.operators import analytics as AN
 from f1_data_engineering_spark.operators import analytics2 as A2
 from f1_data_engineering_spark.operators import decontam as DC
+from f1_data_engineering_spark.operators import f1_fixture_queries as FX
 from f1_data_engineering_spark.operators import textops as TX2
 from f1_data_engineering_spark.operators import dedup as DD
 from f1_data_engineering_spark.operators import layout as LY
@@ -249,6 +250,23 @@ AUDIT = [
         "Bucket LMs are feature-space-sized tables broadcast into the "
         "per-(doc, bucket) scoring aggregate; decimal-exact log sums; "
         "the only corpus-sized shuffle carries (doc_id, bucket, count).",
+    ),
+    (
+        "stride_downsample",
+        R.stride_downsample,
+        "O7 two-level global row-numbering: bucket-partitioned "
+        "row_number (no single-partition WindowExec) + broadcast "
+        "bucket-offset join; the bucket-count aggregate is the only "
+        "extra job and is metadata-sized.",
+    ),
+    (
+        "f1_weather_trends",
+        FX.f1_weather_trends,
+        "Round-4 rewrite: the tick flag uses the same two-level "
+        "bucketed row_number as stride_downsample — bucket-partitioned "
+        "window + broadcast offsets, no partition-less WindowExec and "
+        "no separate count() scan; safe for a concatenated "
+        "multi-season weather table.",
     ),
 ]
 
