@@ -80,7 +80,7 @@ def _sql_gram5() -> str:
     expr = "th[i+1]"
     for off in range(2, NGRAM_N + 1):
         expr = f"(({expr}) * {SHINGLE_C} + th[i+{off}]) % {MINHASH_P}"
-    whole = _sql_md5_int("'ng#'", "array_to_string(toks, ' ')") + f" % {MINHASH_P}"
+    whole = _sql_md5_int("'ng#'", "COALESCE(array_to_string(toks, ' '), '')") + f" % {MINHASH_P}"
     return (
         f"CASE WHEN len(th) >= {NGRAM_N} THEN "
         f"list_distinct(list_transform(range(len(th)-{NGRAM_N - 1}), i -> {expr})) "

@@ -91,7 +91,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_DEDUP_EXACT = f"""
 WITH per AS (
-  SELECT md5(array_to_string({_SQL_TOKS}, ' ')) AS k, COUNT(*) AS c
+  SELECT md5(COALESCE(array_to_string({_SQL_TOKS}, ' '), '')) AS k, COUNT(*) AS c
   FROM documents GROUP BY 1
 )
 SELECT CAST(SUM(c) AS BIGINT) AS n_docs,
@@ -711,8 +711,8 @@ WITH corpus AS (
 ),
 fps AS (
   SELECT doc_id, source,
-    md5(array_to_string({_SQL_TOKS}, ' ')) AS fp,
-    row_number() OVER (PARTITION BY md5(array_to_string({_SQL_TOKS}, ' '))
+    md5(COALESCE(array_to_string({_SQL_TOKS}, ' '), '')) AS fp,
+    row_number() OVER (PARTITION BY md5(COALESCE(array_to_string({_SQL_TOKS}, ' '), ''))
                        ORDER BY doc_id) AS rn
   FROM corpus
 )

@@ -161,7 +161,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_FINGERPRINTS = f"""
 WITH n AS (
-  SELECT doc_id, array_to_string({_SQL_TOKENS}, ' ') AS norm FROM documents
+  SELECT doc_id, COALESCE(array_to_string({_SQL_TOKENS}, ' '), '') AS norm FROM documents
 )
 SELECT doc_id, md5(norm) AS fp_md5,
        CAST(length(norm) AS BIGINT) AS n_norm_chars
@@ -262,7 +262,7 @@ m AS (
     CAST(length(regexp_replace(t, '[A-Za-z0-9\\s\\x0b]', '', 'g')) AS DOUBLE) AS punct,
     CAST(len(list_filter(toks,
       x -> x IN ({", ".join(f"'{w}'" for w in _ALL_STOP)}))) AS DOUBLE) AS stop_hits,
-    md5(array_to_string(toks, ' ')) AS fp,
+    md5(COALESCE(array_to_string(toks, ' '), '')) AS fp,
     {_sql_lang_scores()}
   FROM base
 ),
@@ -774,7 +774,7 @@ WITH corpus AS (
   SELECT text, 'mirror' AS source FROM documents WHERE doc_id < 25
 ),
 fp AS (
-  SELECT DISTINCT md5(array_to_string({_SQL_TOKENS}, ' ')) AS fp, source
+  SELECT DISTINCT md5(COALESCE(array_to_string({_SQL_TOKENS}, ' '), '')) AS fp, source
   FROM corpus
 )
 SELECT a.source AS source_a, b.source AS source_b,
@@ -1107,7 +1107,7 @@ m AS (
 ),
 perdoc AS (
   SELECT
-    md5(array_to_string(toks, ' ')) AS fp,
+    md5(COALESCE(array_to_string(toks, ' '), '')) AS fp,
     {_sql_lang_case()} AS lang_pred,
     CAST(CASE WHEN t IS NULL OR n_chars = 0 THEN 0.0
       ELSE ROUND(
@@ -1387,7 +1387,7 @@ WITH t AS (
 flags AS (
   SELECT doc_id, source,
     len(toks) AS n_tok,
-    CAST(length(array_to_string(toks, '')) AS DOUBLE) AS tok_chars,
+    CAST(length(COALESCE(array_to_string(toks, ''), '')) AS DOUBLE) AS tok_chars,
     len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha_tok,
     len(list_intersect(list_distinct(toks),
         [{", ".join(f"'{w}'" for w in _ALL_STOP)}])) AS n_stop,

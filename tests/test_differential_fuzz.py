@@ -1,0 +1,124 @@
+"""Differential fuzzing: random corpora through BOTH engines.
+
+The per-round driver gate and scripts/oracle_check.py difference every
+query against its DuckDB twin on the FIXED testdata corpora.  This
+fuzzer generates adversarial corpora (NULL / empty / whitespace-only /
+punctuation-heavy / unicode text, duplicate contents, single-doc
+sources) with hypothesis and asserts the same rows+schema+values gate
+on the text operators whose NULL- and empty-document paths have the
+most edge surface.  A parity bug that only manifests on a corpus shape
+absent from the fixed testdata (round 3's gopher NULL-text asymmetry
+was exactly that class) fails here before the driver ever sees it.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from f1_data_engineering_spark.operators import dedup as DD
+from f1_data_engineering_spark.operators import textops as TX
+
+_SPEC = importlib.util.spec_from_file_location(
+    "oracle_check",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts",
+        "oracle_check.py",
+    ),
+)
+_ORACLE_CHECK = importlib.util.module_from_spec(_SPEC)
+_SPEC.loader.exec_module(_ORACLE_CHECK)
+compare = _ORACLE_CHECK.compare
+
+# printable ASCII + a little unicode + the symbols the gopher rules
+# key on; whitespace variety exercises the tokenizer's \s+ split
+_ALPHABET = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    " \t\n  .,;:!?#'\"()[]-_/\\@%&*+=<>~`^|{}"
+    "äöüßéèñ中日"
+)
+
+_text = st.one_of(
+    st.none(),
+    st.text(alphabet=_ALPHABET, min_size=0, max_size=200),
+    # duplicate-prone: small closed vocabulary → exact dups across docs
+    st.lists(
+        st.sampled_from(["the quick", "brown fox", "lazy dog", "# tag", "..."]),
+        min_size=0,
+        max_size=8,
+    ).map(" ".join),
+)
+
+_corpus = st.lists(
+    st.tuples(
+        _text,
+        st.sampled_from(["en", "de", "fr", "zz"]),
+        st.sampled_from(["A", "B", "C"]),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+#: (name, spark fn, oracle SQL) — text operators with the widest
+#: NULL/empty/unicode edge surface; all read only ``documents``.
+FUZZ_QUERIES = [
+    ("text_stats", TX.text_stats, TX.ORACLE_TEXT_STATS),
+    ("quality_scores", TX.quality_scores, TX.ORACLE_QUALITY),
+    ("gopher_rules", TX.gopher_rules, TX.ORACLE_GOPHER),
+    ("doc_fingerprints", TX.doc_fingerprints, TX.ORACLE_FINGERPRINTS),
+    ("segment_dedup_stats", DD.segment_dedup_stats, DD.ORACLE_SEGMENT_DEDUP),
+    # fingerprint-keyed queries: DuckDB array_to_string([]) returning
+    # NULL (vs concat_ws '') made zero-token docs diverge here — the
+    # bug class this fuzzer exists for
+    ("dedup_exact", DD.dedup_exact, DD.ORACLE_DEDUP_EXACT),
+    ("dedup_keep_first", DD.dedup_keep_first, DD.ORACLE_DEDUP_KEEP),
+    ("source_overlap_matrix", TX.source_overlap_matrix, TX.ORACLE_SOURCE_OVERLAP),
+    ("dataset_card", TX.dataset_card, TX.ORACLE_DATASET_CARD),
+]
+
+
+@pytest.fixture(scope="module")
+def fuzz_dir(tmp_path_factory):
+    return tmp_path_factory.mktemp("diff_fuzz")
+
+
+_run_counter = [0]
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=_corpus)
+def test_text_operators_differential_fuzz(spark, fuzz_dir, corpus):
+    _run_counter[0] += 1
+    sf_dir = str(fuzz_dir / f"case{_run_counter[0]}")
+    rows = [
+        (i, t, lang, src, len(t) if t is not None else 0)
+        for i, (t, lang, src) in enumerate(corpus)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    )
+
+    con = duckdb.connect()
+    # Spark writes the table as a directory of part files; DuckDB needs
+    # the glob form
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(sf_dir, 'documents.parquet', '*.parquet')}'"
+    )
+    for name, fn, sql in FUZZ_QUERIES:
+        sdf = fn(spark, sf_dir).toPandas()
+        odf = con.execute(sql).df()
+        problems = compare(name, sdf, odf)
+        assert not problems, (name, problems, rows)
