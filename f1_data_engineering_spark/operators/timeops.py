@@ -451,7 +451,12 @@ def value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile/cume_dist ranking surface: quartile assignment of events
     by value within each event_type, with per-quartile stats."""
     ev = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    # explicit NULLS FIRST: Spark's ASC default, but DuckDB defaults to
+    # NULLS LAST — a NULL value would land in a different quartile per
+    # engine unless both sides pin it (found by the differential fuzzer)
+    w = W.partitionBy("event_type").orderBy(
+        F.col("value").asc_nulls_first(), "event_id"
+    )
     return (
         ev.withColumn("quartile", F.ntile(4).over(w))
         .groupBy("event_type", "quartile")
@@ -467,7 +472,8 @@ def value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_QUARTILES = """
 WITH q AS (
   SELECT event_type, value,
-    ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id)
+    ntile(4) OVER (PARTITION BY event_type
+                   ORDER BY value NULLS FIRST, event_id)
       AS quartile
   FROM events
 )

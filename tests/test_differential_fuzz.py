@@ -122,3 +122,82 @@ def test_text_operators_differential_fuzz(spark, fuzz_dir, corpus):
         odf = con.execute(sql).df()
         problems = compare(name, sdf, odf)
         assert not problems, (name, problems, rows)
+
+
+# --------------------------------------------------------------------------
+# events family: timestamp ties + NULL fields through both engines
+# --------------------------------------------------------------------------
+
+from datetime import datetime, timedelta
+
+from f1_data_engineering_spark.operators import timeops as TO
+
+_BASE_TS = datetime(2024, 3, 1, 12, 0, 0)
+
+# minute offsets drawn from a SMALL space so duplicate timestamps (the
+# tie-break stress case) occur constantly; a few large offsets create
+# real session gaps / empty hour buckets
+_event = st.tuples(
+    st.integers(0, 4),                                  # user_id
+    st.integers(0, 90) | st.sampled_from([600, 1200]),  # minutes offset
+    st.sampled_from(["click", "view", "purchase"]) | st.none(),
+    st.floats(-100, 100, allow_nan=False) | st.none(),  # value
+)
+
+_events_corpus = st.lists(_event, min_size=1, max_size=40)
+
+EVENT_FUZZ_QUERIES = [
+    ("hourly_event_rollup", TO.hourly_event_rollup, TO.ORACLE_HOURLY),
+    ("sessionize_events", TO.sessionize_events, TO.ORACLE_SESSIONIZE),
+    ("asof_join_purchase", TO.asof_join_purchase, TO.ORACLE_ASOF),
+    ("latest_event_state", TO.latest_event_state, TO.ORACLE_LATEST_STATE),
+    ("moving_hour_sum", TO.moving_hour_sum, TO.ORACLE_MOVING_HOUR),
+    ("value_percentiles", TO.value_percentiles, TO.ORACLE_PERCENTILES),
+    ("value_histogram", TO.value_histogram, TO.ORACLE_HISTOGRAM),
+    ("salted_user_counts", TO.salted_user_counts, TO.ORACLE_SALTED),
+    ("value_quartiles", TO.value_quartiles, TO.ORACLE_QUARTILES),
+]
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=_events_corpus)
+def test_event_operators_differential_fuzz(spark, fuzz_dir, corpus):
+    """Window / sessionization / as-of / percentile operators under
+    adversarial event streams: duplicated timestamps on every key (the
+    deterministic-tie-break claims), NULL event_type/value, sparse and
+    dense hours.  Same rows+schema+values gate as the driver."""
+    _run_counter[0] += 1
+    sf_dir = str(fuzz_dir / f"ev{_run_counter[0]}")
+    rows = [
+        (i, _BASE_TS + timedelta(minutes=mins), uid, et, val, "{}")
+        for i, (uid, mins, et, val) in enumerate(corpus)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "events.parquet")
+    )
+
+    con = duckdb.connect()
+    # Spark writes TimestampType as UTC-adjusted (isAdjustedToUTC=true),
+    # which DuckDB surfaces as TIMESTAMPTZ; the session timezone is UTC
+    # (session.py), so casting to naive TIMESTAMP recovers the same
+    # wall-clock values the Spark side computes with — the shape the
+    # fixed testdata (unannotated micros) already has.
+    con.execute("SET timezone = 'UTC'")
+    con.execute(
+        "CREATE VIEW events AS SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) "
+        f"FROM '{os.path.join(sf_dir, 'events.parquet', '*.parquet')}'"
+    )
+    for name, fn, sql in EVENT_FUZZ_QUERIES:
+        sdf = fn(spark, sf_dir).toPandas()
+        odf = con.execute(sql).df()
+        problems = compare(name, sdf, odf)
+        assert not problems, (name, problems, rows)
