@@ -553,3 +553,74 @@ def test_streaming_lap_telemetry_matches_batch(spark, tmp_path):
         assert abs(g["MaxDistance"] - e["MaxDistance"]) <= 1e-6 * max(
             1.0, abs(e["MaxDistance"])
         ), k
+
+
+def test_streaming_dedup_ingest_matches_one_shot(spark, sf_dir, tmp_path):
+    """Streaming corpus ingestion (foreachBatch → versioned append →
+    incremental index advance): the union of per-batch near-dup pair
+    outputs must equal the one-shot full-corpus computation, with
+    planted cross-batch near-dups found by the later batch."""
+    from f1_data_engineering_spark.operators.dedup import (
+        band_keys_df,
+        estimate_pairs,
+        signatures_df,
+    )
+    from f1_data_engineering_spark.sources import versioned as V
+    from f1_data_engineering_spark.sources.registry import load_table
+    from f1_data_engineering_spark.streaming import dedup_stream as DS
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    near = (
+        docs.filter("doc_id % 3 = 0").filter("doc_id < 15")
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+        .withColumn(
+            "text",
+            F.col("text").substr(F.lit(1), ((F.length("text") * 4) / 5).cast("int")),
+        )
+    )
+    src = tmp_path / "doc_stream"
+    src.mkdir()
+    # three drops; the third carries near-dups of FIRST-drop docs, so
+    # cross-batch pairs only exist if the index genuinely accumulates
+    docs.filter("doc_id % 3 = 0").coalesce(1).write.parquet(str(src / "drop0"))
+    docs.filter("doc_id % 3 != 0").coalesce(1).write.parquet(str(src / "drop1"))
+    near.coalesce(1).write.parquet(str(src / "drop2"))
+
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "sig_index")
+    pairs_out = str(tmp_path / "pairs")
+    stream = DS.document_file_stream(spark, str(src) + "/*", max_files_per_trigger=1)
+    DS.write_stream_dedup_ingest(
+        stream, corpus, index, pairs_out, str(tmp_path / "ckpt")
+    )
+
+    got = {
+        (r["d1"], r["d2"], r["est_jaccard"])
+        for r in spark.read.parquet(pairs_out).collect()
+    }
+    # one-shot reference over the final corpus
+    full_docs = V.read_versioned(spark, corpus).select("doc_id", "text")
+    sig = signatures_df(full_docs).cache()
+    bands = band_keys_df(sig)
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    exp = {
+        (r["d1"], r["d2"], r["est_jaccard"])
+        for r in estimate_pairs(cand, sig)
+        .filter(F.col("est_jaccard") >= 0.5)
+        .collect()
+    }
+    assert got == exp
+    planted = {p for p in got if p[1] >= 1000000}
+    assert len(planted) >= 4  # cross-batch near-dups surfaced
