@@ -201,3 +201,77 @@ def test_event_operators_differential_fuzz(spark, fuzz_dir, corpus):
         odf = con.execute(sql).df()
         problems = compare(name, sdf, odf)
         assert not problems, (name, problems, rows)
+
+
+# --------------------------------------------------------------------------
+# embeddings family: zero vectors, duplicates, degenerate geometry
+# --------------------------------------------------------------------------
+
+from f1_data_engineering_spark.operators import similarity as SIM
+
+# values exact in float32 so Spark's float storage round-trips; the
+# all-zero vector (NULL cosine, zero quantization scale) and duplicated
+# base vectors (tie-break stress in top-k ranks) appear constantly
+_vec_component = st.sampled_from([-2.0, -1.0, -0.25, 0.0, 0.25, 1.0, 2.5])
+
+
+@st.composite
+def _embeddings_corpus(draw):
+    n = draw(st.integers(6, 20))
+    n_base = draw(st.integers(1, 4))
+    bases = [
+        tuple(draw(_vec_component) for _ in range(SIM.DIM)) for _ in range(n_base)
+    ]
+    rows = []
+    for i in range(n):
+        kind = draw(st.integers(0, 5))
+        if kind == 0:
+            vec = (0.0,) * SIM.DIM  # zero vector: NULL cosine, 0 scale
+        elif kind <= 2:
+            vec = bases[draw(st.integers(0, n_base - 1))]  # exact duplicate
+        else:
+            vec = tuple(draw(_vec_component) for _ in range(SIM.DIM))
+        rows.append((i, list(vec), draw(st.integers(0, 2))))
+    return rows
+
+
+EMBED_FUZZ_QUERIES = [
+    ("ann_bruteforce_topk", SIM.ann_bruteforce_topk, SIM.ORACLE_ANN_TOPK),
+    ("embedding_nearest_neighbor", SIM.embedding_nearest_neighbor, SIM.ORACLE_NN),
+    ("embedding_centroids", SIM.embedding_centroids, SIM.ORACLE_CENTROIDS),
+    ("embedding_near_dup_pairs", SIM.embedding_near_dup_pairs, SIM.ORACLE_NEAR_DUP),
+    ("lsh_bucket_histogram", SIM.lsh_bucket_histogram, SIM.ORACLE_LSH_HIST),
+    ("embedding_quantize_int8", SIM.embedding_quantize_int8, SIM.ORACLE_QUANTIZE),
+]
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=_embeddings_corpus())
+def test_embedding_operators_differential_fuzz(spark, fuzz_dir, corpus):
+    """Similarity operators under degenerate geometry: the all-zero
+    vector (zero norm → NULL cosine; zero int8-quantization scale),
+    exact-duplicate vectors (rank tie-breaks), tiny corpora.  Same
+    rows+schema+values gate as the driver."""
+    _run_counter[0] += 1
+    sf_dir = str(fuzz_dir / f"emb{_run_counter[0]}")
+    df = spark.createDataFrame(
+        corpus, "vec_id long, embedding array<float>, label int"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{os.path.join(sf_dir, 'embeddings.parquet', '*.parquet')}'"
+    )
+    for name, fn, sql in EMBED_FUZZ_QUERIES:
+        sdf = fn(spark, sf_dir).toPandas()
+        odf = con.execute(sql).df()
+        problems = compare(name, sdf, odf)
+        assert not problems, (name, problems)
