@@ -554,8 +554,11 @@ def variant_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the result must be invariant to.
     """
     ev = load_table(spark, sf_dir, "events")
+    # try_parse_json, not parse_json: a single malformed props string
+    # must yield a NULL variant (→ NULL k), not kill the whole job —
+    # dirty JSON is a normal condition in ingested event streams
     v = ev.select(
-        "event_type", F.parse_json("props").alias("p")
+        "event_type", F.try_parse_json("props").alias("p")
     ).select(
         "event_type",
         F.try_variant_get(F.col("p"), "$.k", "long").alias("k"),
@@ -574,8 +577,12 @@ def variant_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_VARIANT_PROPS = """
 WITH v AS (
+  -- json_valid guard: see ORACLE_JSON_PROPS (malformed props must be
+  -- NULL, not an oracle error; matches try_parse_json -> NULL variant)
   SELECT event_type,
-         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         TRY_CAST(CASE WHEN json_valid(props)
+                       THEN json_extract_string(props, '$.k') END
+                  AS BIGINT) AS k
   FROM events
 )
 SELECT event_type, COUNT(*) AS n, COUNT(k) AS n_with_k,
@@ -777,7 +784,15 @@ ORDER BY relation, nationkey
 
 ORACLE_JSON_PROPS = """
 WITH p AS (
-  SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events
+  -- json_valid guard: DuckDB's ->> ERRORS on malformed/empty JSON
+  -- where Spark's get_json_object returns NULL; TRY_CAST mirrors
+  -- try_cast.  Checked contract is integral k / missing key /
+  -- malformed doc / NULL props; fractional k is out of contract
+  -- (Spark string->long casting rejects '3.7', DuckDB rounds).
+  SELECT event_type,
+         TRY_CAST(CASE WHEN json_valid(props) THEN props->>'k' END
+                  AS BIGINT) AS k
+  FROM events
 )
 SELECT event_type, COUNT(*) AS n,
   CAST(SUM(k) AS BIGINT) AS sum_k,

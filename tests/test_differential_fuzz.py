@@ -142,11 +142,22 @@ _event = st.tuples(
     st.integers(0, 90) | st.sampled_from([600, 1200]),  # minutes offset
     st.sampled_from(["click", "view", "purchase"]) | st.none(),
     st.floats(-100, 100, allow_nan=False) | st.none(),  # value
+    # props: valid with/without k, malformed, empty, NULL, non-numeric
+    # k — the JSON queries' checked contract (fractional k is out of
+    # contract: the engines' string->long cast matrices differ)
+    st.sampled_from(
+        ['{"k": 7}', '{"k": -3}', '{"k": 0}', '{"j": 1}', '{bad',
+         "", None, '{"k": "x"}', "[]", '{"k": null}']
+    ),
 )
 
 _events_corpus = st.lists(_event, min_size=1, max_size=40)
 
+from f1_data_engineering_spark.operators import relational as RL
+
 EVENT_FUZZ_QUERIES = [
+    ("json_props_extract", RL.json_props_extract, RL.ORACLE_JSON_PROPS),
+    ("variant_props_rollup", RL.variant_props_rollup, RL.ORACLE_VARIANT_PROPS),
     ("hourly_event_rollup", TO.hourly_event_rollup, TO.ORACLE_HOURLY),
     ("sessionize_events", TO.sessionize_events, TO.ORACLE_SESSIONIZE),
     ("asof_join_purchase", TO.asof_join_purchase, TO.ORACLE_ASOF),
@@ -173,8 +184,8 @@ def test_event_operators_differential_fuzz(spark, fuzz_dir, corpus):
     _run_counter[0] += 1
     sf_dir = str(fuzz_dir / f"ev{_run_counter[0]}")
     rows = [
-        (i, _BASE_TS + timedelta(minutes=mins), uid, et, val, "{}")
-        for i, (uid, mins, et, val) in enumerate(corpus)
+        (i, _BASE_TS + timedelta(minutes=mins), uid, et, val, props)
+        for i, (uid, mins, et, val, props) in enumerate(corpus)
     ]
     df = spark.createDataFrame(
         rows,
