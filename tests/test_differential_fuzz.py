@@ -141,7 +141,11 @@ _event = st.tuples(
     st.integers(0, 4),                                  # user_id
     st.integers(0, 90) | st.sampled_from([600, 1200]),  # minutes offset
     st.sampled_from(["click", "view", "purchase"]) | st.none(),
-    st.floats(-100, 100, allow_nan=False) | st.none(),  # value
+    # value: also duration-seconds for the format round-trips — span
+    # multi-hour magnitudes and ms-boundary edges, not just ±100 s
+    st.floats(-100000, 100000, allow_nan=False)
+    | st.sampled_from([59.9995, -59.9995, 3599.9999, 0.0005, -0.0005])
+    | st.none(),
     # props: valid with/without k, malformed, empty, NULL, non-numeric
     # k — the JSON queries' checked contract (fractional k is out of
     # contract: the engines' string->long cast matrices differ)
@@ -167,6 +171,11 @@ EVENT_FUZZ_QUERIES = [
     ("value_histogram", TO.value_histogram, TO.ORACLE_HISTOGRAM),
     ("salted_user_counts", TO.salted_user_counts, TO.ORACLE_SALTED),
     ("value_quartiles", TO.value_quartiles, TO.ORACLE_QUARTILES),
+    # F1 duration-format expressions: negative / NULL / sub-ms seconds
+    # through format -> parse round-trips in both engines
+    ("time_format_roundtrip", TO.time_format_roundtrip, TO.ORACLE_TIME_ROUNDTRIP),
+    ("wallclock_formats", TO.wallclock_formats, TO.ORACLE_WALLCLOCK),
+    ("boolean_normalize", TO.boolean_normalize, TO.ORACLE_BOOLEAN),
 ]
 
 
