@@ -126,6 +126,46 @@ BENCH_QUERIES = (
 )
 
 
+#: The external runner captures only the TAIL of stdout; anything past
+#: this budget risks the JSON start being cut off (round-3 recorded
+#: parsed:null from a 73-query line).
+MAX_LINE_CHARS = 1900
+
+
+def build_summary(
+    times: dict[str, float],
+    errors: dict[str, str],
+    sf: float,
+    partial: bool = False,
+) -> tuple[str, dict]:
+    """(compact stdout line, full detail record).
+
+    The stdout line stays under MAX_LINE_CHARS — headline number + the
+    slowest few queries — and the full per-query map goes into the
+    detail record (stderr + BENCH_DETAIL.json).  Pinned by
+    tests/test_bench_contract.py.
+    """
+    slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:8])
+    out = {
+        "metric": "headline query wall time, noop sink",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": slowest,
+        "n_queries": len(times),
+        "sf": sf,
+    }
+    if errors:
+        out["n_errors"] = len(errors)
+    if partial:
+        out["partial"] = True
+    detail = dict(out, queries=times, errors=errors)
+    line = json.dumps(out)
+    if len(line) > MAX_LINE_CHARS:  # never outgrow the tail capture
+        out.pop("queries", None)
+        line = json.dumps(out)
+    return line, detail
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -161,28 +201,7 @@ def main() -> None:
     errors: dict[str, str] = {}
 
     def emit(partial: bool = False) -> None:
-        # The external runner captures only the TAIL (~2000 chars) of
-        # stdout; a per-query map for 70+ queries outgrows that and the
-        # JSON start gets cut off (round-3 recorded parsed:null).  So
-        # the stdout line stays compact — headline number + the slowest
-        # few queries — and the full per-query map goes to stderr and
-        # to BENCH_DETAIL.json next to this script.
-        slowest = dict(
-            sorted(times.items(), key=lambda kv: -kv[1])[:8]
-        )
-        out = {
-            "metric": "headline query wall time, noop sink",
-            "value": round(sum(times.values()), 3),
-            "unit": "sec",
-            "queries": slowest,
-            "n_queries": len(times),
-            "sf": sf,
-        }
-        if errors:
-            out["n_errors"] = len(errors)
-        if partial:
-            out["partial"] = True
-        detail = dict(out, queries=times, errors=errors)
+        line, detail = build_summary(times, errors, sf, partial)
         print("bench detail: " + json.dumps(detail), file=sys.stderr, flush=True)
         try:
             detail_path = os.path.join(
@@ -192,10 +211,6 @@ def main() -> None:
                 json.dump(detail, fh, indent=1)
         except OSError:
             pass  # read-only checkout must not kill the stdout line
-        line = json.dumps(out)
-        if len(line) > 1900:  # belt-and-braces: never outgrow the tail capture
-            out.pop("queries", None)
-            line = json.dumps(out)
         print(line, flush=True)
 
     def on_term(signum, frame):  # runner timeout → partial line beats none
