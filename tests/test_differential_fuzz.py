@@ -22,6 +22,7 @@ from hypothesis import HealthCheck, given, settings, strategies as st
 
 from f1_data_engineering_spark.operators import dedup as DD
 from f1_data_engineering_spark.operators import textops as TX
+from f1_data_engineering_spark.operators import udtf_ops as UT
 
 _SPEC = importlib.util.spec_from_file_location(
     "oracle_check",
@@ -79,6 +80,9 @@ FUZZ_QUERIES = [
     ("dedup_keep_first", DD.dedup_keep_first, DD.ORACLE_DEDUP_KEEP),
     ("source_overlap_matrix", TX.source_overlap_matrix, TX.ORACLE_SOURCE_OVERLAP),
     ("dataset_card", TX.dataset_card, TX.ORACLE_DATASET_CARD),
+    # Python-UDTF leg: sentence boundaries over arbitrary unicode /
+    # punctuation-only / NULL text
+    ("sentence_split", UT.sentence_split, UT.ORACLE_SENTENCES),
 ]
 
 
@@ -157,6 +161,7 @@ _event = st.tuples(
 
 _events_corpus = st.lists(_event, min_size=1, max_size=40)
 
+from f1_data_engineering_spark.operators import pandas_ops as PDO
 from f1_data_engineering_spark.operators import relational as RL
 
 EVENT_FUZZ_QUERIES = [
@@ -171,6 +176,10 @@ EVENT_FUZZ_QUERIES = [
     ("value_histogram", TO.value_histogram, TO.ORACLE_HISTOGRAM),
     ("salted_user_counts", TO.salted_user_counts, TO.ORACLE_SALTED),
     ("value_quartiles", TO.value_quartiles, TO.ORACLE_QUARTILES),
+    # Arrow pandas-UDF legs: zero-variance users, single-event users,
+    # NULL values through grouped-map zscore and grouped-agg median/IQR
+    ("zscore_by_user", PDO.zscore_by_user, PDO.ORACLE_ZSCORE),
+    ("user_value_median_iqr", PDO.user_value_median_iqr, PDO.ORACLE_MEDIAN_IQR),
     # F1 duration-format expressions: negative / NULL / sub-ms seconds
     # through format -> parse round-trips in both engines
     ("time_format_roundtrip", TO.time_format_roundtrip, TO.ORACLE_TIME_ROUNDTRIP),
