@@ -204,3 +204,76 @@ def test_event_info_kv_transpose(spark):
     assert session_header(empty, "folder_ev", "folder_se") == (
         "folder_ev", "folder_se",
     )
+
+
+def test_weather_trends_matches_naive_reference(spark):
+    """The two-level bucketed tick plan (round-4 rewrite: bucket-local
+    row_number + broadcast offsets, no partition-less window) must mark
+    exactly the rows a naive sorted-enumerate reference marks, across
+    sizes that straddle bucket boundaries, for unevenly-spaced and
+    bucket-sparse streams."""
+    import math
+
+    from hypothesis import given, settings, strategies as st
+
+    from f1_data_engineering_spark.operators.f1_queries import (
+        WEATHER_BUCKET_S,
+        weather_trends,
+    )
+
+    cases = []
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(
+            # span many buckets with gaps; unique times keep the naive
+            # reference well-defined
+            st.integers(0, 40 * int(WEATHER_BUCKET_S)),
+            min_size=1,
+            max_size=60,
+            unique=True,
+        ),
+        st.integers(1, 12),
+    )
+    def collect(times, n_ticks):
+        cases.append((sorted(float(t) for t in times), n_ticks))
+
+    collect()
+    for times, n_ticks in cases:
+        df = spark.createDataFrame(
+            [(t, 20.0) for t in times],
+            schema="SessionTimeSeconds double, AirTemp double",
+        )
+        got = {
+            r["SessionTimeSeconds"]
+            for r in weather_trends(df, n_ticks=n_ticks).collect()
+            if r["is_tick"]
+        }
+        step = max(1, math.ceil(len(times) / n_ticks))
+        exp = set(times[::step])
+        assert got == exp, (times, n_ticks)
+
+
+def test_session_results_sorted_dispatch(spark):
+    """Position present -> Position order; all-NULL Position -> time
+    order; empty input -> empty output (the round-4 single-pass-agg
+    dispatch, no full count() action)."""
+    from f1_data_engineering_spark.operators.f1_queries import (
+        session_results_sorted,
+    )
+
+    schema = "Driver string, Position int, TimeSeconds double"
+    with_pos = spark.createDataFrame(
+        [("HAM", 2, 95.0), ("VER", 1, 94.0), ("LEC", None, 90.0)], schema
+    )
+    rows = session_results_sorted(with_pos).collect()
+    assert [r["Driver"] for r in rows] == ["VER", "HAM", "LEC"]  # nulls last
+
+    no_pos = spark.createDataFrame(
+        [("HAM", None, 95.0), ("VER", None, 94.0)], schema
+    )
+    rows = session_results_sorted(no_pos).collect()
+    assert [r["Driver"] for r in rows] == ["VER", "HAM"]  # by TimeSeconds
+
+    empty = spark.createDataFrame([], schema)
+    assert session_results_sorted(empty).collect() == []
