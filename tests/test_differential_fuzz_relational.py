@@ -1,0 +1,165 @@
+"""Differential fuzzing of the relational/TPC-H family.
+
+The fixed testdata is referentially CLEAN — every order has a
+customer, every lineitem an order, every key joins.  Real lakes are
+not: partial loads, late dims, and deletes leave dangling foreign
+keys and empty groups, which is exactly where outer joins, anti
+joins, scalar subqueries, and AVG-over-empty silently diverge
+between engines.  This fuzzer samples random FK-HOLED subsets of the
+real sf0.001 tables (drop random customers but keep their orders,
+orders but keep their lineitems, parts/suppliers under their
+lineitems…) and differences the TPC-H shapes and join operators
+against their DuckDB twins with the driver's rows+schema+values gate.
+Column values stay realistic because rows come from the real tables —
+only the referential structure is adversarial.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+import duckdb
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from f1_data_engineering_spark.operators import analytics as AN
+from f1_data_engineering_spark.operators import profiling as PF
+from f1_data_engineering_spark.operators import relational as R
+from f1_data_engineering_spark.operators import tpch_shapes as TS
+from f1_data_engineering_spark.operators import tpch_shapes2 as T2
+
+_SPEC = importlib.util.spec_from_file_location(
+    "oracle_check2",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts",
+        "oracle_check.py",
+    ),
+)
+_ORACLE_CHECK = importlib.util.module_from_spec(_SPEC)
+_SPEC.loader.exec_module(_ORACLE_CHECK)
+compare = _ORACLE_CHECK.compare
+
+_SRC = "/root/testdata/sf0.001"
+_TABLES = ("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+#: copied full into each lake (some queries read them alongside the
+#: TPC-H tables); never subset — the FK fuzz targets the relational core
+_AUX_TABLES = ("events", "documents", "embeddings")
+
+RELATIONAL_FUZZ_QUERIES = [
+    ("q1_pricing_summary", R.q1_pricing_summary, "ORACLE_Q1", R),
+    ("q6_forecast_revenue", R.q6_forecast_revenue, "ORACLE_Q6", R),
+    ("q17_small_quantity_revenue", R.q17_small_quantity_revenue, "ORACLE_Q17", R),
+    ("q18_large_orders", R.q18_large_orders, "ORACLE_Q18", R),
+    ("filter_project", R.filter_project, "ORACLE_FILTER_PROJECT", R),
+    ("join_customer_nation_region", R.join_customer_nation_region, "ORACLE_JOIN_CNR", R),
+    ("revenue_by_nation", R.revenue_by_nation, "ORACLE_REVENUE_NATION", R),
+    ("semi_anti_join", R.semi_anti_join, "ORACLE_SEMI_ANTI", R),
+    ("outer_join_order_counts", R.outer_join_order_counts, "ORACLE_OUTER_COUNTS", R),
+    ("rank_orders_per_customer", R.rank_orders_per_customer, "ORACLE_RANK_ORDERS", R),
+    ("top_orders", R.top_orders, "ORACLE_TOP_ORDERS", R),
+    ("set_ops_keys", R.set_ops_keys, "ORACLE_SET_OPS", R),
+    ("rollup_order_priority", R.rollup_order_priority, "ORACLE_ROLLUP", R),
+    ("cube_status_priority", R.cube_status_priority, "ORACLE_CUBE", R),
+    ("pivot_returnflag", R.pivot_returnflag, "ORACLE_PIVOT", R),
+    ("agg_stats", R.agg_stats, "ORACLE_AGG_STATS", R),
+    ("stint_summary", R.stint_summary, "ORACLE_STINT", R),
+    ("grouping_sets_revenue", AN.grouping_sets_revenue, "ORACLE_GROUPING_SETS", AN),
+    ("modal_quantity_per_flag", AN.modal_quantity_per_flag, "ORACLE_MODE", AN),
+    ("q3_shipping_priority", TS.q3_shipping_priority, "ORACLE_Q3", TS),
+    ("q4_late_shipment_orders", TS.q4_late_shipment_orders, "ORACLE_Q4", TS),
+    ("q12_priority_by_month", TS.q12_priority_by_month, "ORACLE_Q12", TS),
+    ("q14_promo_revenue", TS.q14_promo_revenue, "ORACLE_Q14", TS),
+    ("q16_supplier_variety", TS.q16_supplier_variety, "ORACLE_Q16", TS),
+    ("q19_disjunctive_revenue", TS.q19_disjunctive_revenue, "ORACLE_Q19", TS),
+    ("q22_idle_customers", TS.q22_idle_customers, "ORACLE_Q22", TS),
+    ("q2_min_cost_supplier", T2.q2_min_cost_supplier, "ORACLE_Q2", T2),
+    ("q5_local_supplier_volume", T2.q5_local_supplier_volume, "ORACLE_Q5", T2),
+    ("q7_nation_trade_flows", T2.q7_nation_trade_flows, "ORACLE_Q7", T2),
+    ("q8_market_share", T2.q8_market_share, "ORACLE_Q8", T2),
+    ("q9_product_profit", T2.q9_product_profit, "ORACLE_Q9", T2),
+    ("q10_returned_items", T2.q10_returned_items, "ORACLE_Q10", T2),
+    ("q11_important_parts", T2.q11_important_parts, "ORACLE_Q11", T2),
+    ("q15_top_supplier", T2.q15_top_supplier, "ORACLE_Q15", T2),
+    ("q20_heavy_shippers", T2.q20_heavy_shippers, "ORACLE_Q20", T2),
+    ("q21_waiting_suppliers", T2.q21_waiting_suppliers, "ORACLE_Q21", T2),
+    ("profile_orders", PF.profile_orders, "ORACLE_PROFILE_ORDERS", PF),
+    ("numeric_corr_matrix", PF.numeric_corr_matrix, "ORACLE_CORR_MATRIX", PF),
+]
+
+
+@pytest.fixture(scope="module")
+def base_tables():
+    return {
+        t: pq.read_table(os.path.join(_SRC, f"{t}.parquet"))
+        for t in _TABLES + _AUX_TABLES
+    }
+
+
+@pytest.fixture(scope="module")
+def fuzz_dir(tmp_path_factory):
+    return tmp_path_factory.mktemp("rel_fuzz")
+
+
+_counter = [0]
+
+
+def _keep_mask(rng, n, frac):
+    return rng.random_sample(n) < frac
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    cust_frac=st.floats(0.0, 1.0),
+    supp_frac=st.floats(0.1, 1.0),
+    part_frac=st.floats(0.1, 1.0),
+    order_frac=st.floats(0.05, 1.0),
+    line_frac=st.floats(0.05, 1.0),
+)
+def test_relational_operators_differential_fuzz(
+    spark, base_tables, fuzz_dir, seed, cust_frac, supp_frac, part_frac,
+    order_frac, line_frac,
+):
+    """Random FK-holed micro-lakes: customers dropped under their
+    orders (dangling o_custkey), orders dropped under their lineitems
+    (dangling l_orderkey), parts/suppliers dropped under lineitem
+    references, childless orders, idle customers.  Dims region/nation
+    stay full (TPC-H semantics)."""
+    rng = np.random.RandomState(seed)
+    _counter[0] += 1
+    sf_dir = str(fuzz_dir / f"lake{_counter[0]}")
+    os.makedirs(sf_dir, exist_ok=True)
+
+    sub = dict(base_tables)
+    # independent subsetting per table — FK holes appear on BOTH sides
+    for t, frac in (
+        ("customer", cust_frac),
+        ("supplier", supp_frac),
+        ("part", part_frac),
+        ("orders", order_frac),
+        ("lineitem", line_frac),
+    ):
+        tab = base_tables[t]
+        sub[t] = tab.filter(_keep_mask(rng, tab.num_rows, frac))
+    for t in _TABLES + _AUX_TABLES:
+        pq.write_table(sub[t], os.path.join(sf_dir, f"{t}.parquet"))
+
+    con = duckdb.connect()
+    for t in _TABLES + _AUX_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{os.path.join(sf_dir, t + '.parquet')}'"
+        )
+    for name, fn, oracle_attr, mod in RELATIONAL_FUZZ_QUERIES:
+        sdf = fn(spark, sf_dir).toPandas()
+        odf = con.execute(getattr(mod, oracle_attr)).df()
+        problems = compare(name, sdf, odf)
+        assert not problems, (name, problems, seed)
