@@ -279,9 +279,19 @@ def _shingle_hash_df(df: DataFrame) -> DataFrame:
         lambda ab, c: (ab * SHINGLE_C + c) % MINHASH_P,
     )
     whole = F.array(_md5_int("mh#", F.concat_ws(" ", F.col("toks"))) % MINHASH_P)
+    # zero-token docs get an EMPTY hash set, same as the SQL twin's
+    # ELSE [] branch and the shingles() contract — the old otherwise()
+    # fallback hashed '' for them, giving every empty doc an identical
+    # signature: at scale a million empty docs would band into one
+    # bucket and emit ~10^12 bogus pairs (found by the differential
+    # fuzzer on a NULL-text corpus)
     return d2.select(
         "doc_id",
-        F.array_distinct(F.when(F.col("k") >= 3, grams).otherwise(whole)).alias("hb"),
+        F.array_distinct(
+            F.when(F.col("k") >= 3, grams)
+            .when(F.col("k") > 0, whole)
+            .otherwise(F.array().cast("array<long>"))
+        ).alias("hb"),
     )
 
 
@@ -406,7 +416,15 @@ def signatures_df(docs: DataFrame) -> DataFrame:
 
 
 def band_keys_df(sig: DataFrame) -> DataFrame:
-    """(doc_id, band, key) LSH band keys from a signature frame."""
+    """(doc_id, band, key) LSH band keys from a signature frame.
+
+    Zero-shingle docs (empty hash set → all-NULL signature) emit NO
+    band keys: concat_ws would silently skip the NULLs and collapse
+    every empty doc onto the key '' — one catastrophic bucket.  The
+    SQL twin gets the same exclusion for free (its NULL keys never
+    pass the equi-join).
+    """
+    sig = sig.filter(F.col("sig")[0].isNotNull())
     return sig.select(
         "doc_id",
         F.explode(

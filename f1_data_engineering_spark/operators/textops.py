@@ -330,10 +330,15 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_REPETITION = f"""
 WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS toks FROM documents),
 sh AS (
+  -- three-branch shingle CASE exactly like functions/text.shingles:
+  -- a ZERO-token doc yields NO shingles and drops out (the old
+  -- two-branch form emitted a [NULL] row for it and kept the doc —
+  -- found by the differential fuzzer on a NULL-text corpus)
   SELECT doc_id, unnest(CASE WHEN len(toks) >= 3 THEN
     list_transform(range(len(toks)-2),
                    i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
-    ELSE [array_to_string(toks, ' ')] END) AS sh
+    WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+    ELSE CAST([] AS VARCHAR[]) END) AS sh
   FROM t
 ),
 per_sh AS (SELECT doc_id, sh, COUNT(*) AS c FROM sh GROUP BY doc_id, sh)

@@ -278,7 +278,10 @@ c AS (
 )
 SELECT doc_id, chunk_idx,
   CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
-  array_to_string(chunk, ' ') AS chunk_text
+  -- COALESCE: DuckDB's array_to_string([]) is NULL, Spark's
+  -- array_join([]) is '' — a zero-token doc's single empty chunk
+  -- must agree (found by the differential fuzzer)
+  COALESCE(array_to_string(chunk, ' '), '') AS chunk_text
 FROM c
 """
 

@@ -304,3 +304,67 @@ def test_embedding_operators_differential_fuzz(spark, fuzz_dir, corpus):
         odf = con.execute(sql).df()
         problems = compare(name, sdf, odf)
         assert not problems, (name, problems)
+
+
+# --------------------------------------------------------------------------
+# extended families, driven from the entry-module registry
+# --------------------------------------------------------------------------
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import __spark_entry__ as _entry
+
+_QS = _entry._base_queries()
+_ORACLES = _entry.oracle_sql()
+
+#: every remaining documents-only oracle query: train-prep, decontam,
+#: the full dedup family (incl. the iterative cluster flood via
+#: dedup_keep_canonical), and the rest of the text analytics
+EXTENDED_DOC_QUERIES = [
+    "build_vocab", "bpe_merge_candidates", "pack_sequences",
+    "dataset_splits", "chunk_documents", "token_budget_mix",
+    "dsir_importance_weights", "decontaminate_ngrams",
+    "contamination_summary", "minhash_signatures", "minhash_lsh_pairs",
+    "simhash_64", "ngram_jaccard_pairs", "prefix_filter_jaccard",
+    "segment_dedup_clean", "cross_doc_ngram_dup", "dedup_keep_canonical",
+    "top_ngrams", "tfidf_top_terms", "bm25_rank", "lm_perplexity",
+    "repetition_stats", "pii_scrub_stats", "corpus_quality_gate",
+    "language_id_confusion", "stop_shingle_stats", "zipf_fit",
+    "inverted_index", "tfidf_cosine_pairs",
+]
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=_corpus)
+def test_text_extended_differential_fuzz(spark, fuzz_dir, corpus):
+    """The remaining documents-only oracle queries under the same
+    adversarial corpora — including single-doc, all-NULL, and
+    all-duplicate lakes that starve LMs, LSH bands, and the Zipf fit
+    of the structure the fixed testdata always provides."""
+    _run_counter[0] += 1
+    sf_dir = str(fuzz_dir / f"ext{_run_counter[0]}")
+    rows = [
+        (i, t, lang, src, len(t) if t is not None else 0)
+        for i, (t, lang, src) in enumerate(corpus)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{os.path.join(sf_dir, 'documents.parquet', '*.parquet')}'"
+    )
+    for name in EXTENDED_DOC_QUERIES:
+        sdf = _QS[name](spark, sf_dir).toPandas()
+        odf = con.execute(_ORACLES[name]).df()
+        problems = compare(name, sdf, odf)
+        assert not problems, (name, problems, rows)
