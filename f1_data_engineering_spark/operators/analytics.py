@@ -128,8 +128,13 @@ def null_safe_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_NULL_SAFE_JOIN = """
 WITH ev AS (
+  -- json_valid guard: DuckDB's JSON extraction ERRORS on malformed
+  -- documents where Spark's get_json_object returns NULL (same class
+  -- as ORACLE_JSON_PROPS; found by the differential fuzzer)
   SELECT event_type,
-         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         TRY_CAST(CASE WHEN json_valid(props)
+                       THEN json_extract_string(props, '$.k') END
+                  AS BIGINT) AS k
   FROM events
 ),
 a AS (
@@ -412,9 +417,14 @@ def event_type_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     entries, so per-row map work is O(1)-ish.
     """
     ev = load_table(spark, sf_dir, "events")
-    per = ev.groupBy("user_id", "event_type").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
+    # NULL event_type normalizes to a sentinel bucket: map keys cannot
+    # be NULL (map_from_entries throws NULL_MAP_KEY — found by the
+    # differential fuzzer on a dirty stream), and a sentinel keeps the
+    # ordering/tie-break deterministic in both engines
+    per = ev.groupBy(
+        "user_id",
+        F.coalesce(F.col("event_type"), F.lit("(null)")).alias("event_type"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
     m = per.groupBy("user_id").agg(
         F.map_from_entries(
             F.sort_array(F.collect_list(F.struct("event_type", "cnt")))
@@ -448,7 +458,10 @@ def event_type_map_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_MAP_STATS = """
 WITH per AS (
-  SELECT user_id, event_type, COUNT(*) AS cnt
+  -- sentinel for NULL event_type, mirroring the Spark side's map-key
+  -- normalization
+  SELECT user_id, COALESCE(event_type, '(null)') AS event_type,
+         COUNT(*) AS cnt
   FROM events GROUP BY 1, 2
 ),
 r AS (

@@ -161,6 +161,8 @@ _event = st.tuples(
 
 _events_corpus = st.lists(_event, min_size=1, max_size=40)
 
+from f1_data_engineering_spark.operators import analytics as ANA
+from f1_data_engineering_spark.operators import analytics2 as A2
 from f1_data_engineering_spark.operators import pandas_ops as PDO
 from f1_data_engineering_spark.operators import relational as RL
 
@@ -185,6 +187,17 @@ EVENT_FUZZ_QUERIES = [
     ("time_format_roundtrip", TO.time_format_roundtrip, TO.ORACLE_TIME_ROUNDTRIP),
     ("wallclock_formats", TO.wallclock_formats, TO.ORACLE_WALLCLOCK),
     ("boolean_normalize", TO.boolean_normalize, TO.ORACLE_BOOLEAN),
+    # windows / ordered-state queries where duplicate timestamps stress
+    # the deterministic-tie-break claims hardest
+    ("window_value_changes", RL.window_value_changes, RL.ORACLE_WINDOW_CHANGES),
+    ("running_total", RL.running_total, RL.ORACLE_RUNNING_TOTAL),
+    ("event_type_map_stats", ANA.event_type_map_stats, ANA.ORACLE_MAP_STATS),
+    ("null_safe_event_join", ANA.null_safe_event_join, ANA.ORACLE_NULL_SAFE_JOIN),
+    ("event_funnel", A2.event_funnel, A2.ORACLE_FUNNEL),
+    ("countmin_sketch", A2.countmin_sketch, A2.ORACLE_CMS),
+    ("decayed_value_recursive", A2.decayed_value_recursive, A2.ORACLE_DECAYED),
+    ("frequent_event_types", A2.frequent_event_types, A2.ORACLE_FREQ),
+    ("retention_cohorts", TO.retention_cohorts, TO.ORACLE_RETENTION),
 ]
 
 
