@@ -26,6 +26,10 @@ import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from f1_data_engineering_spark.operators import analytics as AN
+from f1_data_engineering_spark.operators import analytics2 as A2
+from f1_data_engineering_spark.operators import integrity as IG
+from f1_data_engineering_spark.operators import layout as LY
+from f1_data_engineering_spark.operators import merge as MG
 from f1_data_engineering_spark.operators import profiling as PF
 from f1_data_engineering_spark.operators import relational as R
 from f1_data_engineering_spark.operators import tpch_shapes as TS
@@ -88,6 +92,18 @@ RELATIONAL_FUZZ_QUERIES = [
     ("q21_waiting_suppliers", T2.q21_waiting_suppliers, "ORACLE_Q21", T2),
     ("profile_orders", PF.profile_orders, "ORACLE_PROFILE_ORDERS", PF),
     ("numeric_corr_matrix", PF.numeric_corr_matrix, "ORACLE_CORR_MATRIX", PF),
+    # orders/customer-keyed operators: deletion-neighborhood pairs,
+    # weighted sampling, date spines, layout planning, SCD2 merges,
+    # and the FK audit — on FK-holed lakes the audit actually has
+    # orphans to find
+    ("fuzzy_name_pairs", A2.fuzzy_name_pairs, "ORACLE_FUZZY", A2),
+    ("priority_sample_orders", A2.priority_sample_orders, "ORACLE_PRIORITY_SAMPLE", A2),
+    ("daily_order_spine", AN.daily_order_spine, "ORACLE_DAILY_SPINE", AN),
+    ("zorder_tile_stats", LY.zorder_tile_stats, "ORACLE_ZORDER_TILES", LY),
+    ("scd2_customer_merge", MG.scd2_customer_merge, "ORACLE_SCD2", MG),
+    ("scd2_point_in_time", MG.scd2_point_in_time, "ORACLE_SCD2_PIT", MG),
+    ("stratified_sample_orders", PF.stratified_sample_orders, "ORACLE_STRATIFIED_SAMPLE", PF),
+    ("fk_orphan_audit", IG.fk_orphan_audit, "ORACLE_FK_AUDIT", IG),
 ]
 
 
