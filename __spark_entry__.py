@@ -46,6 +46,7 @@ from f1_data_engineering_spark.operators import integrity as IG
 from f1_data_engineering_spark.operators import udtf_ops as UT
 from f1_data_engineering_spark.operators import analytics as AN
 from f1_data_engineering_spark.operators import analytics2 as A2
+from f1_data_engineering_spark.operators import analytics3 as A3
 from f1_data_engineering_spark.operators import f1_fixture_queries as FX
 
 
@@ -261,6 +262,16 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_orders": PF.stratified_sample_orders,
         "sketch_summary": PF.sketch_summary,  # sketch estimates; rows-only check
         "numeric_corr_matrix": PF.numeric_corr_matrix,
+        # round-4 wave: sequence mining / attribution / robust anomaly /
+        # skyline / text-distribution analytics (kept LAST so the
+        # never-green-first ordering places them behind the backlog)
+        "event_bigram_transitions": A3.event_bigram_transitions,
+        "first_touch_attribution": A3.first_touch_attribution,
+        "sliding_zscore_anomaly": A3.sliding_zscore_anomaly,
+        "mad_outlier_events": A3.mad_outlier_events,
+        "pareto_frontier_orders": A3.pareto_frontier_orders,
+        "token_entropy": TX.token_entropy,
+        "term_cooccurrence_pmi": TX.term_cooccurrence_pmi,
     }
 
 
@@ -402,5 +413,12 @@ def oracle_sql() -> dict[str, str]:
         "profile_orders": PF.ORACLE_PROFILE_ORDERS,
         "stratified_sample_orders": PF.ORACLE_STRATIFIED_SAMPLE,
         "numeric_corr_matrix": PF.ORACLE_CORR_MATRIX,
+        "event_bigram_transitions": A3.ORACLE_BIGRAM_TRANSITIONS,
+        "first_touch_attribution": A3.ORACLE_FIRST_TOUCH,
+        "sliding_zscore_anomaly": A3.ORACLE_SLIDING_ZSCORE,
+        "mad_outlier_events": A3.ORACLE_MAD_OUTLIERS,
+        "pareto_frontier_orders": A3.ORACLE_PARETO_FRONTIER,
+        "token_entropy": TX.ORACLE_TOKEN_ENTROPY,
+        "term_cooccurrence_pmi": TX.ORACLE_TERM_PMI,
     }
     return out

@@ -123,6 +123,15 @@ BENCH_QUERIES = (
     "f1_lap_telemetry_summary",
     "f1_stint_chart_rows",
     "f1_telemetry_compare",
+    # round-4 analytics wave: sequence mining, attribution, rolling
+    # anomaly, MAD outliers, skyline, entropy, PMI
+    "event_bigram_transitions",
+    "first_touch_attribution",
+    "sliding_zscore_anomaly",
+    "mad_outlier_events",
+    "pareto_frontier_orders",
+    "token_entropy",
+    "term_cooccurrence_pmi",
 )
 
 

@@ -1433,3 +1433,151 @@ SELECT source, COUNT(*) AS n_docs,
         AS DOUBLE) / COUNT(*), 6) AS pct_pass_all
 FROM j GROUP BY source ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# token-distribution entropy (quality signal)
+# ---------------------------------------------------------------------------
+
+
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution — the
+    classic repetition/diversity quality signal (templated or looping
+    text scores far below natural prose).
+
+    H = ln(n) − Σ c·ln(c) / n over per-token counts c.  Scale shape:
+    explode → (doc_id, tok) count (map-side combine) → per-doc
+    aggregate; every shuffle key contains doc_id so the layout is
+    reused.  FP parity: each c·ln(c) term is rounded to 9 dp and
+    summed as DECIMAL(38,9) — order-independent across engines — and
+    the final entropy math runs on that exact scalar only (same scheme
+    as lm_perplexity).  Empty docs survive via the left join back to
+    the base table: n_tokens = 0, entropy NULL.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tk = spread(d, "doc_id").select("doc_id", F.explode(tokens("text")).alias("tok"))
+    cnt = tk.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    c_d = F.col("c").cast("double")
+    term = F.round(c_d * F.log(c_d), 9).cast("decimal(38,9)")
+    per = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum(term).alias("sclnc"),
+    )
+    n_d = F.col("n_tokens").cast("double")
+    h = F.log(n_d) - F.col("sclnc").cast("double") / n_d
+    return (
+        d.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_unique"), F.lit(0)).cast("long").alias("n_unique"),
+            F.when(F.col("n_tokens") > 0, F.round(h, 6)).alias("entropy"),
+            F.when(
+                F.col("n_unique") > 1,
+                F.round(h / F.log(F.col("n_unique").cast("double")), 6),
+            ).alias("norm_entropy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_TOKEN_ENTROPY = f"""
+WITH t AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents),
+cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY doc_id, tok),
+per AS (
+  SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_unique,
+    SUM(CAST(ROUND(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)), 9)
+        AS DECIMAL(38,9))) AS sclnc
+  FROM cnt GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+  CAST(COALESCE(p.n_unique, 0) AS BIGINT) AS n_unique,
+  CASE WHEN p.n_tokens > 0 THEN
+    ROUND(ln(CAST(p.n_tokens AS DOUBLE))
+          - CAST(p.sclnc AS DOUBLE) / CAST(p.n_tokens AS DOUBLE), 6) END AS entropy,
+  CASE WHEN p.n_unique > 1 THEN
+    ROUND((ln(CAST(p.n_tokens AS DOUBLE))
+           - CAST(p.sclnc AS DOUBLE) / CAST(p.n_tokens AS DOUBLE))
+          / ln(CAST(p.n_unique AS DOUBLE)), 6) END AS norm_entropy
+FROM documents d LEFT JOIN per p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# term co-occurrence PMI (collocation mining)
+# ---------------------------------------------------------------------------
+
+#: vocabulary cap and minimum co-occurrence support for the PMI query
+PMI_VOCAB = 40
+PMI_MIN_AB = 5
+
+
+def term_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between top-vocabulary terms at the
+    document level: pmi(a,b) = ln(n_ab·N / (n_a·n_b)) over document
+    frequencies — the standard collocation / topic-association miner.
+
+    Scale shape: the vocabulary is a top-k (deterministic
+    ``df DESC, term`` tie-break) and BROADCAST, so the per-doc term
+    set after the vocab semi-join is ≤ |vocab| rows; the co-occurrence
+    self-join on doc_id therefore emits ≤ C(|vocab|,2) pairs per doc —
+    bounded per row, never corpus-quadratic.  The pair aggregate is
+    |vocab|²-bounded, map-side combined.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dt = spread(d, "doc_id").select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("term")
+    )
+    dfreq = dt.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    vocab = dfreq.orderBy(F.col("df").desc(), "term").limit(PMI_VOCAB)
+    dtv = dt.join(F.broadcast(vocab), "term")
+    a = dtv.select("doc_id", F.col("term").alias("term_a"), F.col("df").alias("n_a"))
+    b = dtv.select("doc_id", F.col("term").alias("term_b"), F.col("df").alias("n_b"))
+    co = (
+        a.join(b, "doc_id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    pmi = F.round(
+        F.log(
+            (F.col("n_ab").cast("double") * F.col("n_docs").cast("double"))
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+        ),
+        6,
+    )
+    return (
+        co.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("n_ab") >= PMI_MIN_AB)
+        .select("term_a", "term_b", "n_a", "n_b", "n_ab", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "term_a", "term_b")
+        .limit(30)
+    )
+
+
+ORACLE_TERM_PMI = f"""
+WITH t AS (
+  SELECT doc_id, unnest(list_distinct({_SQL_TOKENS})) AS term FROM documents
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM t GROUP BY term),
+vocab AS (SELECT term, df FROM dfreq ORDER BY df DESC, term LIMIT {PMI_VOCAB}),
+dtv AS (SELECT t.doc_id, t.term, v.df FROM t JOIN vocab v USING (term)),
+co AS (
+  SELECT a.term AS term_a, b.term AS term_b, a.df AS n_a, b.df AS n_b,
+    COUNT(*) AS n_ab
+  FROM dtv a JOIN dtv b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2, 3, 4
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT term_a, term_b, n_a, n_b, n_ab,
+  ROUND(ln((CAST(n_ab AS DOUBLE) * CAST(n_docs AS DOUBLE))
+           / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))), 6) AS pmi
+FROM co, n
+WHERE n_ab >= {PMI_MIN_AB}
+ORDER BY pmi DESC, term_a, term_b LIMIT 30
+"""

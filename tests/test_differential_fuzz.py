@@ -83,6 +83,10 @@ FUZZ_QUERIES = [
     # Python-UDTF leg: sentence boundaries over arbitrary unicode /
     # punctuation-only / NULL text
     ("sentence_split", UT.sentence_split, UT.ORACLE_SENTENCES),
+    # round-4 text-distribution wave: entropy's empty-doc left-join
+    # path and PMI's vocab tie-breaks under duplicate-heavy corpora
+    ("token_entropy", TX.token_entropy, TX.ORACLE_TOKEN_ENTROPY),
+    ("term_cooccurrence_pmi", TX.term_cooccurrence_pmi, TX.ORACLE_TERM_PMI),
 ]
 
 
@@ -163,6 +167,7 @@ _events_corpus = st.lists(_event, min_size=1, max_size=40)
 
 from f1_data_engineering_spark.operators import analytics as ANA
 from f1_data_engineering_spark.operators import analytics2 as A2
+from f1_data_engineering_spark.operators import analytics3 as A3
 from f1_data_engineering_spark.operators import pandas_ops as PDO
 from f1_data_engineering_spark.operators import relational as RL
 
@@ -198,6 +203,13 @@ EVENT_FUZZ_QUERIES = [
     ("decayed_value_recursive", A2.decayed_value_recursive, A2.ORACLE_DECAYED),
     ("frequent_event_types", A2.frequent_event_types, A2.ORACLE_FREQ),
     ("retention_cohorts", TO.retention_cohorts, TO.ORACLE_RETENTION),
+    # round-4 sequence/robust-stats wave: NULL event_type as a
+    # transition endpoint / attribution channel / percentile group,
+    # NULL values inside rolling frames, duplicate-ts tie-breaks
+    ("event_bigram_transitions", A3.event_bigram_transitions, A3.ORACLE_BIGRAM_TRANSITIONS),
+    ("first_touch_attribution", A3.first_touch_attribution, A3.ORACLE_FIRST_TOUCH),
+    ("sliding_zscore_anomaly", A3.sliding_zscore_anomaly, A3.ORACLE_SLIDING_ZSCORE),
+    ("mad_outlier_events", A3.mad_outlier_events, A3.ORACLE_MAD_OUTLIERS),
 ]
 
 

@@ -27,6 +27,7 @@ from hypothesis import HealthCheck, given, settings, strategies as st
 
 from f1_data_engineering_spark.operators import analytics as AN
 from f1_data_engineering_spark.operators import analytics2 as A2
+from f1_data_engineering_spark.operators import analytics3 as A3
 from f1_data_engineering_spark.operators import integrity as IG
 from f1_data_engineering_spark.operators import layout as LY
 from f1_data_engineering_spark.operators import merge as MG
@@ -104,6 +105,9 @@ RELATIONAL_FUZZ_QUERIES = [
     ("scd2_point_in_time", MG.scd2_point_in_time, "ORACLE_SCD2_PIT", MG),
     ("stratified_sample_orders", PF.stratified_sample_orders, "ORACLE_STRATIFIED_SAMPLE", PF),
     ("fk_orphan_audit", IG.fk_orphan_audit, "ORACLE_FK_AUDIT", IG),
+    # skyline: per-date champions + running max — FK holes shuffle
+    # which dates survive, stressing the frontier's strictness edges
+    ("pareto_frontier_orders", A3.pareto_frontier_orders, "ORACLE_PARETO_FRONTIER", A3),
 ]
 
 
