@@ -13,6 +13,7 @@ sys.path.insert(0, "/root/repo")
 
 from f1_data_engineering_spark.operators import analytics as AN
 from f1_data_engineering_spark.operators import analytics2 as A2
+from f1_data_engineering_spark.operators import analytics3 as A3
 from f1_data_engineering_spark.operators import decontam as DC
 from f1_data_engineering_spark.operators import f1_fixture_queries as FX
 from f1_data_engineering_spark.operators import textops as TX2
@@ -267,6 +268,38 @@ AUDIT = [
         "window + broadcast offsets, no partition-less WindowExec and "
         "no separate count() scan; safe for a concatenated "
         "multi-season weather table.",
+    ),
+    (
+        "sliding_zscore_anomaly",
+        A3.sliding_zscore_anomaly,
+        "One exchange on user_id feeds a single WindowExec computing "
+        "count/Σv/Σv² over the trailing-20 frame in one pass; the "
+        "z-score and both filters are codegen'd projections on top — "
+        "no joins, no second shuffle.",
+    ),
+    (
+        "mad_outlier_events",
+        A3.mad_outlier_events,
+        "Two grouped exact percentiles on the bounded event_type key, "
+        "each re-entering the fact scan as a BROADCAST hash join; the "
+        "final census aggregates map-side.  At an unbounded key the "
+        "percentile swaps for approx_percentile (mergeable t-digest).",
+    ),
+    (
+        "pareto_frontier_orders",
+        A3.pareto_frontier_orders,
+        "Date-partitioned row_number prunes to one champion per date "
+        "BEFORE the global running-max window, so the partition-less "
+        "WindowExec sees only |distinct dates| rows (calendar-bounded); "
+        "dominance compares exact DECIMAL(12,2).",
+    ),
+    (
+        "term_cooccurrence_pmi",
+        TX2.term_cooccurrence_pmi,
+        "Top-40 vocabulary via TakeOrderedAndProject (no global sort), "
+        "broadcast into the doc-term scan; the co-occurrence self-join "
+        "shuffles ≤40 rows per doc and the pair aggregate is "
+        "|vocab|²-bounded with map-side combine.",
     ),
 ]
 

@@ -24,6 +24,11 @@ CASES = [
     ("dsir_importance_weights", "trainprep"),
     ("ngram_jaccard_pairs", "dedup"),
     ("f1_lap_telemetry_summary", "f1_fixture_queries"),
+    # round-4 wave: decimal log-sum entropy, rolling integer-sum
+    # z-scores, and two-stage rounded percentiles
+    ("token_entropy", "textops"),
+    ("sliding_zscore_anomaly", "analytics3"),
+    ("mad_outlier_events", "analytics3"),
 ]
 
 

@@ -622,3 +622,38 @@ def test_prefix_filter_verification_is_broadcast(spark, sf_dir):
     )
     assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
     assert "CartesianProduct" not in plan
+
+
+def test_round4_analytics_plan_quality(spark, sf_dir):
+    """Round-4 wave plan posture: the MAD scalars and the PMI vocab
+    must BROADCAST (per-type/vocab dimension rows, never a shuffled
+    side), the attribution/bigram/zscore paths must stay hash-join +
+    partitioned-window only, and nothing may plan a CartesianProduct.
+    (The PMI n_docs fan-out is a deliberate 1-row broadcast cross —
+    the degenerate-J2 shape.)"""
+    from f1_data_engineering_spark.operators import analytics3 as A3
+    from f1_data_engineering_spark.operators import textops as TX
+
+    mad = A3.mad_outlier_events(spark, sf_dir)
+    assert "CartesianProduct" not in physical_plan(mad, "simple")
+    assert_broadcast_join(mad, at_least=2)  # med + mad scalars
+
+    pmi = TX.term_cooccurrence_pmi(spark, sf_dir)
+    assert "CartesianProduct" not in physical_plan(pmi, "simple")
+    assert_broadcast_join(pmi, at_least=1)  # top-40 vocab
+
+    for q in (
+        A3.event_bigram_transitions,
+        A3.first_touch_attribution,
+        A3.sliding_zscore_anomaly,
+    ):
+        plan = physical_plan(q(spark, sf_dir), "simple")
+        assert "CartesianProduct" not in plan, q.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, q.__name__
+
+    # the skyline's only partition-less window runs over per-DATE
+    # champions (calendar-bounded); the per-date stage must keep its
+    # partitioned window so raw orders never hit one reducer
+    pf_plan = physical_plan(A3.pareto_frontier_orders(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in pf_plan
+    assert pf_plan.count("Window") >= 2  # date-partitioned + champion scan
