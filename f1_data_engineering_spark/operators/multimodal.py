@@ -68,7 +68,11 @@ def decode_media_batch(batch: pd.DataFrame) -> pd.DataFrame:
     (stable across runs and engines).  Replace the body — not the
     signature — to productionize.
     """
-    n_bytes = batch["blob"].map(len)
+    # NULL blob ⇒ empty bytes (the repo-wide NULL-text convention:
+    # missing media metadata-processes like a zero-byte payload
+    # instead of crashing the batch — found by the differential fuzzer
+    # on a NULL-text corpus)
+    n_bytes = batch["blob"].map(lambda v: len(v) if v is not None else 0)
     return pd.DataFrame(
         {
             "doc_id": batch["doc_id"],
@@ -146,7 +150,8 @@ def sample_frames(df: DataFrame, every_nth: int = 10) -> DataFrame:
                 "frame_digest": [],
             }
             for doc_id, blob in zip(b["doc_id"], b["blob"]):
-                raw = bytes(blob)
+                # NULL blob ⇒ empty bytes (repo NULL-text convention)
+                raw = bytes(blob) if blob is not None else b""
                 n_frames = len(raw) // 16 + 1  # fake demux: 16 B / frame
                 for idx in range(0, n_frames, every_nth):
                     h = hashlib.sha256(raw + idx.to_bytes(8, "big")).hexdigest()
@@ -184,7 +189,9 @@ def extract_features(df: DataFrame) -> DataFrame:
         for b in batches:
             embs = []
             for blob in b["blob"]:
-                digest = hashlib.sha256(bytes(blob)).digest()
+                digest = hashlib.sha256(
+                    bytes(blob) if blob is not None else b""
+                ).digest()
                 embs.append(
                     [
                         int.from_bytes(digest[4 * i : 4 * i + 4], "big")
@@ -224,8 +231,8 @@ def frame_sample_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_FRAME_CENSUS = """
 SELECT doc_id,
-  CAST((strlen(text) // 16 + 1 + 9) // 10 AS BIGINT) AS n_sampled,
-  CAST(strlen(text) // 16 + 1 AS BIGINT) AS n_frames
+  CAST((COALESCE(strlen(text), 0) // 16 + 1 + 9) // 10 AS BIGINT) AS n_sampled,
+  CAST(COALESCE(strlen(text), 0) // 16 + 1 AS BIGINT) AS n_frames
 FROM documents ORDER BY doc_id
 """
 
@@ -264,7 +271,7 @@ def resize_images(df: DataFrame, max_side: int = 224) -> DataFrame:
                 "dst_width", "dst_height", "scale", "resized_digest",
             )}
             for doc_id, blob in zip(b["doc_id"], b["blob"]):
-                raw = bytes(blob)
+                raw = bytes(blob) if blob is not None else b""
                 n = len(raw)
                 # fake decode: same dimension derivation as decode_media
                 sw, sh = n % 1920 + 1, n % 1080 + 1

@@ -699,14 +699,19 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
     )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    )
+    # degenerate corpora (≤1 distinct term, or every term at the same
+    # rank-log) have a zero regression denominator: the fit is
+    # undefined → NULL on both engines (Spark ANSI mode would raise
+    # DIVIDE_BY_ZERO; found by the differential fuzzer on a
+    # single-token corpus)
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(den != 0, (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / den)
     return s.select(
         F.col("n").cast("long").alias("n_terms"),
         F.round(slope, 6).alias("zipf_slope"),
         F.round(
-            (F.col("sy") - slope * F.col("sx")) / F.col("n"), 6
+            F.when((den != 0) & (F.col("n") > 0), (F.col("sy") - slope * F.col("sx")) / F.col("n")),
+            6,
         ).alias("zipf_intercept"),
     )
 
@@ -728,8 +733,10 @@ s AS (
   FROM xy
 )
 SELECT CAST(n AS BIGINT) AS n_terms,
-  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
-  ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+  ROUND(CASE WHEN n * sxx - sx * sx <> 0
+        THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6) AS zipf_slope,
+  ROUND(CASE WHEN n * sxx - sx * sx <> 0 AND n > 0
+        THEN (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n END, 6)
     AS zipf_intercept
 FROM s
 """

@@ -21,6 +21,7 @@ import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from f1_data_engineering_spark.operators import dedup as DD
+from f1_data_engineering_spark.operators import multimodal as MM
 from f1_data_engineering_spark.operators import textops as TX
 from f1_data_engineering_spark.operators import udtf_ops as UT
 
@@ -87,6 +88,10 @@ FUZZ_QUERIES = [
     # path and PMI's vocab tie-breaks under duplicate-heavy corpora
     ("token_entropy", TX.token_entropy, TX.ORACLE_TOKEN_ENTROPY),
     ("term_cooccurrence_pmi", TX.term_cooccurrence_pmi, TX.ORACLE_TERM_PMI),
+    # multimodal plumbing: blob synthesis + mapInPandas demux over
+    # NULL/empty/unicode documents (the NULL-blob crash class)
+    ("blob_metadata", MM.blob_metadata, MM.ORACLE_BLOB_METADATA),
+    ("frame_sample_census", MM.frame_sample_census, MM.ORACLE_FRAME_CENSUS),
 ]
 
 
@@ -296,6 +301,10 @@ EMBED_FUZZ_QUERIES = [
     ("embedding_near_dup_pairs", SIM.embedding_near_dup_pairs, SIM.ORACLE_NEAR_DUP),
     ("lsh_bucket_histogram", SIM.lsh_bucket_histogram, SIM.ORACLE_LSH_HIST),
     ("embedding_quantize_int8", SIM.embedding_quantize_int8, SIM.ORACLE_QUANTIZE),
+    # bucketed ANN paths: degenerate geometry (zero vectors, exact
+    # duplicates) through hyperplane cells and the IVF coarse quantizer
+    ("lsh_multiprobe_ann", SIM.lsh_multiprobe_ann, SIM.ORACLE_MULTIPROBE_ANN),
+    ("ivf_ann", SIM.ivf_ann, SIM.ORACLE_IVF_ANN),
 ]
 
 
@@ -357,6 +366,9 @@ EXTENDED_DOC_QUERIES = [
     "repetition_stats", "pii_scrub_stats", "corpus_quality_gate",
     "language_id_confusion", "stop_shingle_stats", "zipf_fit",
     "inverted_index", "tfidf_cosine_pairs",
+    # the iterative cluster flood itself (dedup_keep_canonical already
+    # consumes it; this also pins the raw cluster-table output)
+    "dedup_clusters",
 ]
 
 

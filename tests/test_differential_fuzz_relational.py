@@ -101,6 +101,7 @@ RELATIONAL_FUZZ_QUERIES = [
     ("priority_sample_orders", A2.priority_sample_orders, "ORACLE_PRIORITY_SAMPLE", A2),
     ("daily_order_spine", AN.daily_order_spine, "ORACLE_DAILY_SPINE", AN),
     ("zorder_tile_stats", LY.zorder_tile_stats, "ORACLE_ZORDER_TILES", LY),
+    ("compaction_plan", LY.compaction_plan, "ORACLE_COMPACTION", LY),
     ("scd2_customer_merge", MG.scd2_customer_merge, "ORACLE_SCD2", MG),
     ("scd2_point_in_time", MG.scd2_point_in_time, "ORACLE_SCD2_PIT", MG),
     ("stratified_sample_orders", PF.stratified_sample_orders, "ORACLE_STRATIFIED_SAMPLE", PF),
@@ -108,6 +109,14 @@ RELATIONAL_FUZZ_QUERIES = [
     # skyline: per-date champions + running max — FK holes shuffle
     # which dates survive, stressing the frontier's strictness edges
     ("pareto_frontier_orders", A3.pareto_frontier_orders, "ORACLE_PARETO_FRONTIER", A3),
+    # sort/limit/set-op/window surfaces whose tie-breaks and two-level
+    # rank plans must hold on arbitrary FK-holed key distributions
+    ("distinct_sorted_types", R.distinct_sorted_types, "ORACLE_DISTINCT_TYPES", R),
+    ("unpivot_measures", R.unpivot_measures, "ORACLE_UNPIVOT", R),
+    ("stride_downsample", R.stride_downsample, "ORACLE_STRIDE", R),
+    ("orderkey_islands", AN.orderkey_islands, "ORACLE_ISLANDS", AN),
+    ("window_rank_suite", AN.window_rank_suite, "ORACLE_RANK_SUITE", AN),
+    ("range_join_events_orders", R.range_join_events_orders, "ORACLE_RANGE_JOIN", R),
 ]
 
 

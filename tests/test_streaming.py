@@ -624,3 +624,58 @@ def test_streaming_dedup_ingest_matches_one_shot(spark, sf_dir, tmp_path):
     assert got == exp
     planted = {p for p in got if p[1] >= 1000000}
     assert len(planted) >= 4  # cross-batch near-dups surfaced
+
+
+def test_streaming_zscore_anomaly_matches_batch(spark, tmp_path):
+    """Streaming twin of sliding_zscore_anomaly: the keyed rolling
+    buffer (applyInPandasWithState) must reproduce the batch trailing-
+    frame operator's flag set EXACTLY — same (user_id, event_id,
+    n_prev) membership and bit-equal z-scores (both sides evaluate the
+    identical IEEE-double tree over the same exact cent-longs).
+    Events are re-landed as four time-ordered chunks with
+    maxFilesPerTrigger=1 so user histories genuinely span
+    micro-batches and the cross-batch buffer carry-over is what is
+    being tested."""
+    from f1_data_engineering_spark.operators import analytics3 as A3
+    from f1_data_engineering_spark.streaming import anomaly_stream as AS
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+    src = tmp_path / "ev_stream"
+    src.mkdir()
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    bounds = [lo + (hi - lo) * i / 4 for i in range(5)]
+    for i in range(4):
+        cond = (F.col("ts") >= bounds[i]) & (
+            (F.col("ts") < bounds[i + 1]) if i < 3 else F.lit(True)
+        )
+        ev.filter(cond).coalesce(1).write.mode("append").parquet(
+            str(src / f"chunk{i}")
+        )
+
+    stream = AS.events_anomaly_stream(spark, str(src) + "/*", max_files_per_trigger=1)
+    q = (
+        AS.stream_zscore_anomaly(stream)
+        .writeStream.format("memory")
+        .queryName("zscore_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "zckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r["user_id"], r["event_id"]): r
+        for r in spark.table("zscore_stream").collect()
+    }
+    exp = {
+        (r["user_id"], r["event_id"]): r
+        for r in A3.sliding_zscore_anomaly(spark, sf_dir).collect()
+    }
+    assert exp, "batch operator flagged nothing at sf0.001 — test is vacuous"
+    assert set(got) == set(exp)
+    for k, e in exp.items():
+        assert got[k]["n_prev"] == e["n_prev"], k
+        assert got[k]["zscore"] == e["zscore"], (k, got[k]["zscore"], e["zscore"])
