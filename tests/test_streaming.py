@@ -679,3 +679,69 @@ def test_streaming_zscore_anomaly_matches_batch(spark, tmp_path):
     for k, e in exp.items():
         assert got[k]["n_prev"] == e["n_prev"], k
         assert got[k]["zscore"] == e["zscore"], (k, got[k]["zscore"], e["zscore"])
+
+
+def test_streaming_zscore_anomaly_recovers_from_checkpoint(spark, tmp_path):
+    """Restart semantics: stop the anomaly stream after the first half
+    of the data, start a NEW query on the same checkpoint for the rest
+    — the rolling per-user buffers must recover from the state store,
+    and the union of both runs' outputs must equal the batch operator
+    exactly.  (A state-recovery bug would mis-score every event whose
+    trailing window straddles the restart.)"""
+    from f1_data_engineering_spark.operators import analytics3 as A3
+    from f1_data_engineering_spark.streaming import anomaly_stream as AS
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    mid = lo + (hi - lo) / 2
+
+    src = tmp_path / "ev_restart"
+    src.mkdir()
+    out_dir = str(tmp_path / "anomalies_out")
+    ckpt = str(tmp_path / "restart_ckpt")
+
+    def run_once():
+        stream = AS.events_anomaly_stream(
+            spark, str(src) + "/*", max_files_per_trigger=1
+        )
+        q = (
+            AS.stream_zscore_anomaly(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: first half only
+    ev.filter(F.col("ts") < mid).coalesce(1).write.mode("append").parquet(
+        str(src / "half1")
+    )
+    run_once()
+    n_first = spark.read.parquet(out_dir).count()
+
+    # run 2: a brand-new query instance picks up the checkpoint and the
+    # second half
+    ev.filter(F.col("ts") >= mid).coalesce(1).write.mode("append").parquet(
+        str(src / "half2")
+    )
+    run_once()
+
+    got = {
+        (r["user_id"], r["event_id"]): r
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    exp = {
+        (r["user_id"], r["event_id"]): r
+        for r in A3.sliding_zscore_anomaly(spark, sf_dir).collect()
+    }
+    assert set(got) == set(exp)
+    for k, e in exp.items():
+        assert got[k]["n_prev"] == e["n_prev"], k
+        assert got[k]["zscore"] == e["zscore"], k
+    # the restart actually mattered: both runs contributed output, and
+    # at least one flag was scored against a buffer recovered across it
+    assert 0 < n_first < len(got)
