@@ -1237,6 +1237,16 @@ def cross_doc_ngram_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hash, the per-(source, hash) census partitions on the same key,
     and the rollup is source-cardinality.  No document text ever
     shuffles.
+
+    NOTE on the tempting one-pass rewrite (same trade as
+    lm_perplexity's): since every doc has exactly ONE source, both
+    censuses derive from a single groupBy(source, h) with a
+    count_distinct(doc_id) — but that was MEASURED SLOWER at sf0.1
+    (1.67 s → 2.33 s min-of-3, solo): grams are mostly unique, so the
+    distinct-aggregate expand gets no map-side combine win and costs
+    more than the second scan+md5 pass it saves.  Two explode passes
+    over the scan is the right shape here; revisit only if the hash
+    pass ever dominates (profile first).
     """
     d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     ex = d.select(
