@@ -604,11 +604,23 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc
         + F.abs(F.floor(x / F.col("scale") + F.lit(0.5)) * F.col("scale") - x),
     )
+    # q is emitted as a CSV string, not array<long>: the driver's
+    # pandas canonicalizer cannot sort list cells (round 3's
+    # inverted_index/dedup_clusters err class — caught for this query
+    # by tests/test_entry_contract.py::test_no_query_returns_nested_columns
+    # before it ever reached the gate)
+    q_csv = F.array_join(
+        F.transform(
+            F.when(F.col("scale") == 0, zero).otherwise(qexpr),
+            lambda x: x.cast("string"),
+        ),
+        ",",
+    )
     return base.select(
         "vec_id",
         "n_dims",
         F.round("scale", 9).alias("scale_r"),
-        F.when(F.col("scale") == 0, zero).otherwise(qexpr).alias("q"),
+        q_csv.alias("q_csv"),
         F.round(
             F.when(F.col("scale") == 0, F.lit(0.0)).otherwise(
                 err_sum / F.col("n_dims")
@@ -628,11 +640,13 @@ WITH v AS (
   FROM embeddings
 )
 SELECT vec_id, n_dims, ROUND(scale, 9) AS scale_r,
-  CASE WHEN scale = 0
+  -- COALESCE: DuckDB's array_to_string([]) is NULL where Spark's
+  -- array_join is '' (the known empty-list asymmetry)
+  COALESCE(array_to_string(CASE WHEN scale = 0
        THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
        ELSE list_transform(embedding,
               x -> CAST(FLOOR(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))
-  END AS q,
+  END, ','), '') AS q_csv,
   ROUND(CASE WHEN scale = 0 THEN 0.0 ELSE
     list_sum(list_transform(embedding,
       x -> abs(FLOOR(CAST(x AS DOUBLE) / scale + 0.5) * scale

@@ -88,3 +88,21 @@ def test_entry_runs_and_returns_rows(spark):
     df = _load_entry_by_path().entry(spark)
     assert len(df.columns) > 0
     assert df.count() > 0
+
+
+def test_no_query_returns_nested_columns(spark):
+    """The driver's pandas canonicalizer lexsorts all columns and dies
+    on list/map cells (round 3: inverted_index + dedup_clusters err'd
+    on array outputs).  Every registered query must therefore emit
+    only atomic top-level columns — checked at PLAN TIME (schema
+    analysis, no execution), so the whole surface audits in seconds."""
+    from pyspark.sql import types as T
+
+    mod = _load_entry_by_path()
+    bad = []
+    for name, fn in mod.queries().items():
+        schema = fn(spark, "/root/testdata/sf0.001").schema
+        for f in schema.fields:
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+                bad.append((name, f.name, f.dataType.simpleString()))
+    assert not bad, f"nested output columns break the driver gate: {bad}"

@@ -276,7 +276,9 @@ def test_quantize_int8_roundtrip(spark, sf_dir):
     assert len(rows) > 0
     for r in rows[:50]:
         assert r["n_dims"] == 64
-        assert all(-127 <= q <= 127 for q in r["q"])
+        codes = [int(q) for q in r["q_csv"].split(",")]
+        assert len(codes) == r["n_dims"]
+        assert all(-127 <= q <= 127 for q in codes)
         assert r["scale_r"] >= 0
         assert r["mae_r"] <= r["scale_r"] / 2 + 1e-12
 
