@@ -37,6 +37,14 @@ _ORACLE_CHECK = importlib.util.module_from_spec(_SPEC)
 _SPEC.loader.exec_module(_ORACLE_CHECK)
 compare = _ORACLE_CHECK.compare
 
+
+def _n_examples(default: int) -> int:
+    """Soak knob: SPARK_GRAFT_FUZZ_EXAMPLES scales every fuzz test's
+    example count by default-relative proportion (e.g. =40 runs the
+    8-example tests at 40 and the 4-example tests at 20)."""
+    base = int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "0"))
+    return max(1, round(base * default / 8)) if base else default
+
 # printable ASCII + a little unicode + the symbols the gopher rules
 # key on; whitespace variety exercises the tokenizer's \s+ split
 _ALPHABET = (
@@ -104,7 +112,7 @@ _run_counter = [0]
 
 
 @settings(
-    max_examples=8,
+    max_examples=_n_examples(8),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -219,7 +227,7 @@ EVENT_FUZZ_QUERIES = [
 
 
 @settings(
-    max_examples=8,
+    max_examples=_n_examples(8),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -309,7 +317,7 @@ EMBED_FUZZ_QUERIES = [
 
 
 @settings(
-    max_examples=6,
+    max_examples=_n_examples(6),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -373,7 +381,7 @@ EXTENDED_DOC_QUERIES = [
 
 
 @settings(
-    max_examples=4,
+    max_examples=_n_examples(4),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

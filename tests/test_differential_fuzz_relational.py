@@ -48,6 +48,14 @@ _ORACLE_CHECK = importlib.util.module_from_spec(_SPEC)
 _SPEC.loader.exec_module(_ORACLE_CHECK)
 compare = _ORACLE_CHECK.compare
 
+
+def _n_examples(default: int) -> int:
+    """Soak knob: SPARK_GRAFT_FUZZ_EXAMPLES scales every fuzz test's
+    example count by default-relative proportion (e.g. =40 runs the
+    8-example tests at 40 and the 4-example tests at 20)."""
+    base = int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "0"))
+    return max(1, round(base * default / 8)) if base else default
+
 _SRC = "/root/testdata/sf0.001"
 _TABLES = ("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
 #: copied full into each lake (some queries read them alongside the
@@ -141,7 +149,7 @@ def _keep_mask(rng, n, frac):
 
 
 @settings(
-    max_examples=5,
+    max_examples=_n_examples(5),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
