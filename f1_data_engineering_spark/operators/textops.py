@@ -1211,9 +1211,15 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na, nb = norms.alias("na"), norms.alias("nb")
     sim = F.col("dot").cast("double") / (F.col("na.norm") * F.col("nb.norm"))
+    # zero-norm docs (every term corpus-universal → idf 0 everywhere,
+    # e.g. a corpus of identical documents) have no defined cosine:
+    # exclude them rather than divide by zero (Spark ANSI raises;
+    # found by the 4× differential-fuzz soak on a two-identical-doc
+    # corpus)
     scored = (
         dots.join(na, F.col("d1") == F.col("na.doc_id"))
         .join(nb, F.col("d2") == F.col("nb.doc_id"))
+        .filter((F.col("na.norm") > 0) & (F.col("nb.norm") > 0))
         .select(
             "d1",
             "d2",
@@ -1261,6 +1267,7 @@ scored AS (
   FROM dots
   JOIN norms na ON d1 = na.doc_id
   JOIN norms nb ON d2 = nb.doc_id
+  WHERE na.norm > 0 AND nb.norm > 0
 )
 SELECT d1, d2, shared_terms, sim
 FROM scored ORDER BY sim_key DESC, d1, d2 LIMIT {TFIDF_COS_TOPK}
