@@ -48,6 +48,7 @@ from f1_data_engineering_spark.operators import analytics as AN
 from f1_data_engineering_spark.operators import analytics2 as A2
 from f1_data_engineering_spark.operators import analytics3 as A3
 from f1_data_engineering_spark.operators import f1_fixture_queries as FX
+from f1_data_engineering_spark.operators import graphops as GR
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -272,6 +273,12 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_frontier_orders": A3.pareto_frontier_orders,
         "token_entropy": TX.token_entropy,
         "term_cooccurrence_pmi": TX.term_cooccurrence_pmi,
+        # round-4b wave: graph analytics over the trade graph (also
+        # kept last — behind the never-green backlog)
+        "pagerank_nations": GR.pagerank_nations,
+        "triangle_count_trade": GR.triangle_count_trade,
+        "semdedup_prune": SIM.semdedup_prune,
+        "exact_substring_dup": DD.exact_substring_dup,
     }
 
 
@@ -420,5 +427,9 @@ def oracle_sql() -> dict[str, str]:
         "pareto_frontier_orders": A3.ORACLE_PARETO_FRONTIER,
         "token_entropy": TX.ORACLE_TOKEN_ENTROPY,
         "term_cooccurrence_pmi": TX.ORACLE_TERM_PMI,
+        "pagerank_nations": GR.ORACLE_PAGERANK,
+        "triangle_count_trade": GR.ORACLE_TRIANGLES,
+        "semdedup_prune": SIM.ORACLE_SEMDEDUP,
+        "exact_substring_dup": DD.ORACLE_SUBSTR_DUP,
     }
     return out

@@ -132,6 +132,11 @@ BENCH_QUERIES = (
     "pareto_frontier_orders",
     "token_entropy",
     "term_cooccurrence_pmi",
+    # round-4b graph/curation wave
+    "pagerank_nations",
+    "triangle_count_trade",
+    "semdedup_prune",
+    "exact_substring_dup",
 )
 
 

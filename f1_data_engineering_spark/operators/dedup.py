@@ -1311,3 +1311,111 @@ SELECT p.source,
 FROM per_src p JOIN per_gram g USING (h)
 GROUP BY p.source ORDER BY p.source
 """
+
+
+# ---------------------------------------------------------------------------
+# exact-substring duplicate census (char-level windows; Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+SUBSTR_WINDOW = 40
+
+
+def exact_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document census of duplicated ``SUBSTR_WINDOW``-char
+    windows: a window is duplicated iff its exact text occurs ≥ 2
+    times in the corpus (across documents OR repeated within one).
+
+    This is the detection half of exact-substring dedup ("Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2022):
+    stride-1 char windows instead of a suffix array, which finds the
+    same ≥ ``SUBSTR_WINDOW``-char duplicate spans (every such span
+    contains a duplicated window) with plain hash aggregation.
+
+    Scale shape: windows are hashed to 60-bit ints INSIDE the scan
+    stage (``transform`` over the index sequence, md5 per window, no
+    window text ever shuffles); the global occurrence count is one
+    hash aggregate on the 8-byte key with map-side partials, and the
+    per-doc census joins window hashes to the duplicated-key set on
+    the same 8-byte key.  Cost is O(total chars) rows of 16-byte pairs
+    — the published algorithm's linear cost; a production run at
+    100 TB would raise the stride (windows overlap 39/40) and
+    re-verify candidates exactly, trading recall granularity for a
+    stride-factor cost cut.
+    """
+    # spread: the window hashing does an md5 per CHAR of the corpus —
+    # compute-bound, so parallelism must come from rows, not bytes
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    nw = F.greatest(F.length(txt) - F.lit(SUBSTR_WINDOW - 1), F.lit(0))
+    # sequence(1, 0) would produce a DESCENDING [1, 0] — guard empty
+    idx = F.when(nw >= 1, F.sequence(F.lit(1), nw)).otherwise(
+        F.array().cast("array<int>")
+    )
+    hashes = F.transform(
+        idx,
+        lambda i: F.conv(
+            F.substring(
+                F.md5(F.substring(txt, i, SUBSTR_WINDOW).cast("binary")), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    w = d.select("doc_id", F.explode_outer(hashes).alias("h"))
+    occ = (
+        w.filter(F.col("h").isNotNull())
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    dup = occ.filter(F.col("n_occ") >= 2).select("h")
+    per_doc = (
+        w.filter(F.col("h").isNotNull())
+        .join(dup, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    )
+    base = d.select("doc_id", nw.cast("long").alias("n_windows"))
+    ndw = F.coalesce("n_dup_windows", F.lit(0))
+    ratio = F.when(
+        F.col("n_windows") > 0,
+        F.round(ndw.cast("double") / F.col("n_windows"), 6),
+    ).otherwise(F.lit(0.0))
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            ndw.cast("long").alias("n_dup_windows"),
+            ratio.alias("dup_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_SUBSTR_DUP = f"""
+WITH d AS (
+  SELECT doc_id, COALESCE(text, '') AS text,
+    GREATEST(length(COALESCE(text, '')) - {SUBSTR_WINDOW - 1}, 0) AS n_windows
+  FROM documents
+),
+w AS MATERIALIZED (
+  SELECT doc_id,
+    UNNEST(list_transform(range(1, n_windows + 1),
+      i -> {_sql_md5_int("''", f"substr(text, i, {SUBSTR_WINDOW})")})) AS h
+  FROM d
+),
+dup AS (
+  SELECT h FROM w GROUP BY h HAVING COUNT(*) >= 2
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_dup_windows
+  FROM w WHERE h IN (SELECT h FROM dup) GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(d.n_windows AS BIGINT) AS n_windows,
+  CAST(COALESCE(p.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+  CASE WHEN d.n_windows > 0
+    THEN ROUND(CAST(COALESCE(p.n_dup_windows, 0) AS DOUBLE) / d.n_windows, 6)
+    ELSE 0.0 END AS dup_ratio
+FROM d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+ORDER BY d.doc_id
+"""

@@ -941,3 +941,155 @@ r AS (
 SELECT query_id, neighbor_id, sim, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= {IVF_TOPK}
 """
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (semantic dedup via embedding clusters; Abbas et al. 2023)
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_TAU = 0.4
+SEMDEDUP_PLANTED = 20
+
+
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup pruning decision per vector: cluster the corpus into
+    ``IVF_NLIST`` cells (seeded centroids, as :func:`ivf_ann`), score
+    within-cell pairs by cosine, and prune vector *i* iff some
+    same-cell vector *j < i* has sim ≥ ``SEMDEDUP_TAU`` — exactly the
+    upper-triangular-max rule of the reference SemDeDup
+    implementation (prune where ``max_{j<i} sim(i,j) > eps``), made
+    deterministic by the id order.
+
+    The corpus is augmented with verbatim copies of ``vec_id <
+    SEMDEDUP_PLANTED`` at ``vec_id + 100000`` so exact semantic
+    duplicates (sim 1.0) are provably pruned alongside the organic
+    near-threshold pairs.
+
+    Scale shape: ONE broadcast pass assigns cells (max-struct hash
+    aggregate, map-side partials); candidate scoring is an EQUI-join
+    on the cell id, so pair work is bucket-local (at 100 TB, NLIST
+    grows ~√N — see DEPLOY.md — keeping cells bounded); the prune
+    decision is a per-vector MAX aggregate over candidate sims, never
+    a collected matrix.
+    """
+    e = spread(load_table(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id", "embedding"
+    )
+    planted = e.filter(F.col("vec_id") < SEMDEDUP_PLANTED).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = e.unionByName(planted).select(
+        "vec_id", "embedding", l2_norm("embedding").alias("enorm")
+    )
+    cent = corpus.filter(F.col("vec_id") < IVF_NLIST).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cvec"),
+        F.col("enorm").alias("cnorm"),
+    )
+    cdenom = F.col("enorm") * F.col("cnorm")
+    ckey = F.coalesce(
+        F.round(
+            F.when(cdenom > 0, dot("embedding", "cvec") / cdenom).otherwise(
+                F.lit(None).cast("double")
+            ),
+            9,
+        ),
+        F.lit(-2.0),
+    )
+    assigned = (
+        corpus.join(F.broadcast(cent))
+        .select("vec_id", "embedding", "enorm", "cent_id", ckey.alias("ckey"))
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("ckey"), (-F.col("cent_id")).alias("neg"), F.col("cent_id")
+                )
+            ).alias("b"),
+            F.first("embedding").alias("embedding"),
+            F.first("enorm").alias("enorm"),
+        )
+        .select("vec_id", "embedding", "enorm", F.col("b.cent_id").alias("cell"))
+        .cache()
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("jd"),
+        F.col("embedding").alias("v1"),
+        F.col("enorm").alias("n1"),
+        "cell",
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vec_id"),
+        F.col("embedding").alias("v2"),
+        F.col("enorm").alias("n2"),
+        "cell",
+    )
+    denom = F.col("n1") * F.col("n2")
+    sim = F.when(denom > 0, dot("v1", "v2") / denom).otherwise(
+        F.lit(None).cast("double")
+    )
+    prior = (
+        a.join(b, "cell")
+        .filter(F.col("jd") < F.col("vec_id"))
+        .select("vec_id", F.round(sim, 9).alias("sim9"))
+        .groupBy("vec_id")
+        .agg(F.max("sim9").alias("max_prior_sim9"))
+    )
+    return (
+        assigned.join(prior, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("long").alias("cell"),
+            F.round(F.col("max_prior_sim9"), 6).alias("max_prior_sim"),
+            F.when(F.col("max_prior_sim9") >= SEMDEDUP_TAU, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("pruned"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+ORACLE_SEMDEDUP = f"""
+WITH corpus AS MATERIALIZED (
+  SELECT vec_id, embedding, {_SQL_L2.format(v="embedding")} AS enorm
+  FROM (
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000 AS vec_id, embedding
+    FROM embeddings WHERE vec_id < {SEMDEDUP_PLANTED}
+  )
+),
+cent AS (
+  SELECT vec_id AS cent_id, embedding AS cvec, enorm AS cnorm
+  FROM corpus WHERE vec_id < {IVF_NLIST}
+),
+scored AS (
+  SELECT e.vec_id, e.embedding, e.enorm, c.cent_id,
+    COALESCE(ROUND(CASE WHEN e.enorm * c.cnorm > 0
+      THEN {_SQL_COS_AB.format(a="e.embedding", b="c.cvec")} / (e.enorm * c.cnorm)
+      END, 9), -2.0) AS ckey
+  FROM corpus e CROSS JOIN cent c
+),
+assigned AS MATERIALIZED (
+  SELECT vec_id, embedding, enorm, cent_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY ckey DESC, cent_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+prior AS (
+  SELECT b.vec_id, MAX(ROUND(CASE WHEN a.enorm * b.enorm > 0
+      THEN {_SQL_COS_AB.format(a="a.embedding", b="b.embedding")} / (a.enorm * b.enorm)
+      END, 9)) AS max_prior_sim9
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  GROUP BY b.vec_id
+)
+SELECT s.vec_id, CAST(s.cell AS BIGINT) AS cell,
+  ROUND(p.max_prior_sim9, 6) AS max_prior_sim,
+  CAST(CASE WHEN p.max_prior_sim9 >= {SEMDEDUP_TAU} THEN 1 ELSE 0 END AS BIGINT)
+    AS pruned
+FROM assigned s LEFT JOIN prior p ON s.vec_id = p.vec_id
+ORDER BY s.vec_id
+"""

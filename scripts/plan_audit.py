@@ -18,6 +18,7 @@ from f1_data_engineering_spark.operators import decontam as DC
 from f1_data_engineering_spark.operators import f1_fixture_queries as FX
 from f1_data_engineering_spark.operators import textops as TX2
 from f1_data_engineering_spark.operators import dedup as DD
+from f1_data_engineering_spark.operators import graphops as GR
 from f1_data_engineering_spark.operators import layout as LY
 from f1_data_engineering_spark.operators import merge as MG
 from f1_data_engineering_spark.operators import profiling as PF
@@ -300,6 +301,30 @@ AUDIT = [
         "broadcast into the doc-term scan; the co-occurrence self-join "
         "shuffles ≤40 rows per doc and the pair aggregate is "
         "|vocab|²-bounded with map-side combine.",
+    ),
+    (
+        "triangle_count_trade",
+        GR.triangle_count_trade,
+        "Edge build: two broadcast dim joins + one fact equi-join, then a "
+        "16-byte-key pair aggregate. Orientation/wedge/closing joins are "
+        "all hash equi-joins on int node ids — no nested loop anywhere; "
+        "wedge fan-out is degree-orientation-bounded O(√E).",
+    ),
+    (
+        "semdedup_prune",
+        SIM.semdedup_prune,
+        "Cell assignment is ONE broadcast pass + max-struct hash aggregate "
+        "(map-side partials); candidate pairs come from a cell equi-join of "
+        "the cached assigned table against itself; the prune decision is a "
+        "per-vector MAX — no pairwise matrix is ever materialized.",
+    ),
+    (
+        "exact_substring_dup",
+        DD.exact_substring_dup,
+        "Windows are hashed to 60-bit ints inside the scan stage (spread "
+        "first: compute-bound per char, so parallelism comes from rows); "
+        "both the occurrence aggregate and the dup semi-join carry 8-byte "
+        "keys only — window TEXT never shuffles.",
     ),
 ]
 

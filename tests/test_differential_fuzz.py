@@ -313,6 +313,9 @@ EMBED_FUZZ_QUERIES = [
     # duplicates) through hyperplane cells and the IVF coarse quantizer
     ("lsh_multiprobe_ann", SIM.lsh_multiprobe_ann, SIM.ORACLE_MULTIPROBE_ANN),
     ("ivf_ann", SIM.ivf_ann, SIM.ORACLE_IVF_ANN),
+    # SemDeDup: planted copies + degenerate geometry through the
+    # cell-local prune rule (zero-norm vectors must never prune)
+    ("semdedup_prune", SIM.semdedup_prune, SIM.ORACLE_SEMDEDUP),
 ]
 
 
@@ -377,6 +380,9 @@ EXTENDED_DOC_QUERIES = [
     # the iterative cluster flood itself (dedup_keep_canonical already
     # consumes it; this also pins the raw cluster-table output)
     "dedup_clusters",
+    # char-level window census: unicode multi-byte chars exercise the
+    # length()-vs-bytes edge (both engines count CODEPOINTS)
+    "exact_substring_dup",
 ]
 
 

@@ -28,6 +28,7 @@ from hypothesis import HealthCheck, given, settings, strategies as st
 from f1_data_engineering_spark.operators import analytics as AN
 from f1_data_engineering_spark.operators import analytics2 as A2
 from f1_data_engineering_spark.operators import analytics3 as A3
+from f1_data_engineering_spark.operators import graphops as GR
 from f1_data_engineering_spark.operators import integrity as IG
 from f1_data_engineering_spark.operators import layout as LY
 from f1_data_engineering_spark.operators import merge as MG
@@ -125,6 +126,12 @@ RELATIONAL_FUZZ_QUERIES = [
     ("orderkey_islands", AN.orderkey_islands, "ORACLE_ISLANDS", AN),
     ("window_rank_suite", AN.window_rank_suite, "ORACLE_RANK_SUITE", AN),
     ("range_join_events_orders", R.range_join_events_orders, "ORACLE_RANGE_JOIN", R),
+    # graph wave: FK holes reshape the trade graph arbitrarily —
+    # nations losing all their customers become DANGLING PageRank
+    # nodes (the dm term), and the triangle census must hold on any
+    # edge subset
+    ("pagerank_nations", GR.pagerank_nations, "ORACLE_PAGERANK", GR),
+    ("triangle_count_trade", GR.triangle_count_trade, "ORACLE_TRIANGLES", GR),
 ]
 
 

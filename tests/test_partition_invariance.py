@@ -29,13 +29,28 @@ CASES = [
     ("token_entropy", "textops"),
     ("sliding_zscore_anomaly", "analytics3"),
     ("mad_outlier_events", "analytics3"),
+    # round-4b graph wave: the PageRank fixpoint is the strongest
+    # order-independence claim in the repo — 10 chained double-sum
+    # iterations, deterministic ONLY because every sum is a src-sorted
+    # fold; semdedup's prune flag hinges on a rounded float MAX
+    ("pagerank_nations", "graphops"),
+    ("semdedup_prune", "similarity"),
 ]
 
 
 def _rows_key(df):
-    """Fully-materialized, order-insensitive, exact representation."""
+    """Fully-materialized, order-insensitive, exact representation.
+
+    NULL cells sort via an (is_null, value) surrogate — tuple
+    comparison decides on the flag before ever comparing None to a
+    value, so NULL-bearing columns (e.g. semdedup's cell-leader
+    max_prior_sim) don't TypeError the sort; equality is still exact.
+    """
     cols = sorted(df.columns)
-    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+    rows = [tuple(r[c] for c in cols) for r in df.collect()]
+    return sorted(
+        rows, key=lambda t: tuple((v is None, 0 if v is None else v) for v in t)
+    )
 
 
 @pytest.mark.parametrize("name,mod", CASES)
