@@ -279,6 +279,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count_trade": GR.triangle_count_trade,
         "semdedup_prune": SIM.semdedup_prune,
         "exact_substring_dup": DD.exact_substring_dup,
+        # round-4c wave: BFS, star-contraction CC, shard manifest
+        "bfs_hops_trade": GR.bfs_hops_trade,
+        "cc_star_contraction": GR.cc_star_contraction,
+        "training_shard_manifest": TP.training_shard_manifest,
     }
 
 
@@ -431,5 +435,8 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count_trade": GR.ORACLE_TRIANGLES,
         "semdedup_prune": SIM.ORACLE_SEMDEDUP,
         "exact_substring_dup": DD.ORACLE_SUBSTR_DUP,
+        "bfs_hops_trade": GR.ORACLE_BFS,
+        "cc_star_contraction": GR.ORACLE_CC_STAR,
+        "training_shard_manifest": TP.ORACLE_SHARD_MANIFEST,
     }
     return out

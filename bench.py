@@ -137,6 +137,10 @@ BENCH_QUERIES = (
     "triangle_count_trade",
     "semdedup_prune",
     "exact_substring_dup",
+    # round-4c wave
+    "bfs_hops_trade",
+    "cc_star_contraction",
+    "training_shard_manifest",
 )
 
 

@@ -48,7 +48,12 @@ from pyspark.sql import functions as F
 
 from ..sources.registry import load_table
 
-__all__ = ["pagerank_nations", "triangle_count_trade"]
+__all__ = [
+    "pagerank_nations",
+    "triangle_count_trade",
+    "bfs_hops_trade",
+    "cc_star_contraction",
+]
 
 PR_ITERS = 10
 PR_DAMPING = 0.85  # exactly representable? 0.85 is not exact in binary,
@@ -351,3 +356,264 @@ SELECT n.n_nationkey AS node, n.n_name,
 FROM nation n LEFT JOIN corners c ON n.n_nationkey = c.node
 ORDER BY node
 """
+
+
+# ---------------------------------------------------------------------------
+# BFS hop distance over the sparsified trade graph
+# ---------------------------------------------------------------------------
+
+BFS_SOURCE = 0
+BFS_MAX_HOPS = 6
+BFS_TOP_PARTNERS = 3
+
+
+def _sparse_und_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected sparsified trade graph: each nation keeps its
+    ``BFS_TOP_PARTNERS`` strongest outgoing trade edges (by weight,
+    ties broken by dst id), then the union of both directions.
+
+    The dense nation graph is near-complete, so BFS over it is
+    trivially all-hops-1; top-k sparsification is the standard way a
+    relationship graph is thinned before path analytics (k-NN graph
+    construction).  The top-k is a per-src window — partitioned, never
+    global — and both endpoints are restricted to nodes present in
+    ``nation`` so the walk can't pass through a dangling FK.
+    """
+    nation_keys = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk")
+    )
+    e = _trade_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    rk = F.row_number().over(
+        W.partitionBy("src").orderBy(F.col("w").desc(), F.col("dst"))
+    )
+    sparse = (
+        e.withColumn("rk", rk)
+        .filter(F.col("rk") <= BFS_TOP_PARTNERS)
+        .select("src", "dst")
+    )
+    und = sparse.unionAll(
+        sparse.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    return (
+        und.join(
+            F.broadcast(nation_keys), und.src == F.col("nk"), "left_semi"
+        )
+        .join(F.broadcast(nation_keys), F.col("dst") == F.col("nk"), "left_semi")
+    )
+
+
+def bfs_hops_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distance from nation ``BFS_SOURCE`` over the sparsified
+    undirected trade graph, bounded at ``BFS_MAX_HOPS`` hops;
+    unreachable (or beyond the bound) nations report -1.
+
+    Frontier expansion: each hop is ONE equi-join of the current
+    frontier against the edge list plus a left join back onto the
+    |V|-row distance spine — the textbook distributed BFS whose
+    per-hop shuffle is |frontier ⋈ edges|, never |V|².  The distance
+    state is ``localCheckpoint``ed per hop because it feeds both the
+    frontier filter and the next join (plan would double per hop
+    otherwise, exactly the PageRank branch shape above).  Hop counts
+    are integers — no FP-parity concern — and the hop bound is fixed
+    so the DuckDB twin is a depth-bounded recursive CTE over the same
+    nation-restricted edge set.
+    """
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node"), "n_name"
+    )
+    und = _sparse_und_edges(spark, sf_dir).localCheckpoint(eager=True)
+    dist = nation.select(
+        "node",
+        F.when(F.col("node") == BFS_SOURCE, F.lit(0)).alias("hops"),
+    ).localCheckpoint(eager=True)
+    for k in range(1, BFS_MAX_HOPS + 1):
+        frontier = dist.filter(F.col("hops") == k - 1).select("node")
+        reached = (
+            und.join(frontier, und.src == frontier.node)
+            .select(F.col("dst").alias("rnode"))
+            .distinct()
+        )
+        dist = (
+            dist.join(reached, dist.node == reached.rnode, "left")
+            .select(
+                "node",
+                F.coalesce(
+                    F.col("hops"),
+                    F.when(F.col("rnode").isNotNull(), F.lit(k)),
+                ).alias("hops"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        dist.join(F.broadcast(nation), "node")
+        .select(
+            "node",
+            "n_name",
+            F.coalesce(F.col("hops"), F.lit(-1)).cast("long").alias("hops"),
+        )
+        .orderBy("node")
+    )
+
+
+ORACLE_BFS = f"""
+WITH RECURSIVE edges_raw AS ({_SQL_EDGES}),
+sparse AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rk
+    FROM edges_raw WHERE src <> dst
+  ) WHERE rk <= {BFS_TOP_PARTNERS}
+),
+und AS (
+  SELECT src, dst FROM sparse UNION SELECT dst AS src, src AS dst FROM sparse
+),
+und_n AS (
+  SELECT u.src, u.dst FROM und u
+  WHERE u.src IN (SELECT n_nationkey FROM nation)
+    AND u.dst IN (SELECT n_nationkey FROM nation)
+),
+walk(node, hops) AS (
+  SELECT n_nationkey AS node, 0 AS hops FROM nation
+  WHERE n_nationkey = {BFS_SOURCE}
+  UNION
+  SELECT u.dst, w.hops + 1 FROM walk w JOIN und_n u ON u.src = w.node
+  WHERE w.hops < {BFS_MAX_HOPS}
+),
+d AS (SELECT node, MIN(hops) AS hops FROM walk GROUP BY node)
+SELECT n.n_nationkey AS node, n.n_name,
+       CAST(COALESCE(d.hops, -1) AS BIGINT) AS hops
+FROM nation n LEFT JOIN d ON n.n_nationkey = d.node
+ORDER BY node
+"""
+
+
+# ---------------------------------------------------------------------------
+# Connected components via alternating large-star / small-star
+# ---------------------------------------------------------------------------
+
+CC_STAR_MAX_ROUNDS = 20
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al. 2014, "Connected
+    Components in MapReduce and Beyond"): every node u connects its
+    strictly-LARGER neighbors to m = min({u} ∪ N(u)).
+
+    Expressed join-only — per-node min via a hash aggregate, then the
+    neighbor list rejoined against it — so no per-node neighbor array
+    is ever materialized (the published reduce-side formulation
+    gathers N(u); the aggregate+join shape computes the same emission
+    set with bounded-size shuffle records, which is what survives a
+    power-law degree distribution at 100 TB).
+    """
+    nbrs = edges.select("u", "v").unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = nbrs.groupBy("u").agg(F.min("v").alias("mv"))
+    m = F.least(F.col("mv"), F.col("u"))
+    return (
+        nbrs.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), m.alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: orient each edge (u, v) with u > v; every
+    node u connects all its smaller neighbors AND ITSELF to
+    m = min(N(u)) — same aggregate+join shape as :func:`_large_star`."""
+    o = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    mins = o.groupBy("u").agg(F.min("v").alias("m"))
+    nbr_edges = o.join(mins, "u").select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+    self_edges = mins.select("u", F.col("m").alias("v"))
+    return (
+        nbr_edges.unionAll(self_edges)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def cc_star_contraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH near-dup pair graph
+    via alternating large-star/small-star contraction — the O(log² n)-
+    round algorithm (Kiveris et al. 2014) that replaces label flooding
+    when component DIAMETER is unbounded.
+
+    Same input pair graph, same output shape, same DuckDB oracle as
+    ``dedup_clusters`` (operators/dedup.py) — two independent
+    distributed algorithms hash-checked against one transitive-closure
+    oracle (and against each other in tests/test_graphops.py).  The
+    label flood needs diameter-many rounds (fine for shallow near-dup
+    clusters); star contraction halves path lengths per round pair, so
+    a chain-shaped 10⁶-node component converges in ~20 rounds instead
+    of 10⁶ — the variant a 100 TB corpus with adversarial chain
+    duplicates requires.  Each round is two aggregate+join passes on
+    the current edge set; ``localCheckpoint`` per round truncates the
+    iterative lineage, and the fixpoint test is a 1-row checksum
+    aggregate (count + hash sum), not a driver collect of edges.
+    """
+    from . import dedup as DD
+
+    pairs = (
+        DD.minhash_lsh_pairs(spark, sf_dir)
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select(F.col("d1").alias("u"), F.col("d2").alias("v"))
+    )
+    nodes = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges = pairs.filter(F.col("u") != F.col("v")).localCheckpoint(eager=True)
+
+    def checksum(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38,0) accumulator: a long sum of 64-bit hashes
+            # overflows under ANSI semantics
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = None
+    for _ in range(CC_STAR_MAX_ROUNDS):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        cur = checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+
+    # converged: edges are (node, component-min) stars; centers label
+    # themselves
+    labels = nodes.join(
+        edges.select(F.col("u").alias("node"), F.col("v").alias("star")),
+        "node",
+        "left",
+    ).select("node", F.coalesce(F.col("star"), F.col("node")).alias("label"))
+    return (
+        labels.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.array_join(
+                F.sort_array(F.collect_list("node")).cast("array<string>"), ","
+            ).alias("members"),
+        )
+        .orderBy("label")
+    )
+
+
+from . import dedup as _DD  # noqa: E402  (oracle reuse, no cycle)
+
+#: Same transitive-closure oracle as dedup_clusters — one oracle, two
+#: independent distributed algorithms.
+ORACLE_CC_STAR = _DD.ORACLE_CLUSTERS

@@ -29,7 +29,15 @@ from ..functions.text import token_count, tokens
 from ..sources.registry import load_table, spread
 from .ranking import bucketed_topk_rank
 
-__all__ = ["build_vocab", "pack_sequences", "dataset_splits", "chunk_documents", "token_budget_mix"]
+__all__ = [
+    "build_vocab",
+    "pack_sequences",
+    "dataset_splits",
+    "chunk_documents",
+    "token_budget_mix",
+    "training_shard_manifest",
+    "write_training_shards",
+]
 
 VOCAB_SIZE = 1000
 PACK_BUDGET = 512  # tokens per packed sequence bin
@@ -689,3 +697,110 @@ FROM scored
 ORDER BY CAST(CAST(sum_lnw * 1000000000 AS BIGINT) AS DOUBLE) / n_grams DESC, doc_id
 LIMIT {DSIR_TOPK}
 """
+
+
+# ---------------------------------------------------------------------------
+# training shard assignment + writer
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 8
+
+
+def _shard_col() -> F.Column:
+    """Deterministic shard id: 60-bit md5 of the doc id mod
+    ``N_SHARDS`` — row-local, reproducible under repartitioning and
+    retries (the same contract as :func:`dataset_splits`), and
+    mirrored digit-for-digit by the DuckDB twin."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("shard#"), F.col("doc_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (h % N_SHARDS).alias("shard")
+
+
+_SQL_SHARD = (
+    "CAST(('0x' || substr(md5('shard#' || CAST(doc_id AS VARCHAR)), 1, 15)) "
+    f"AS BIGINT) % {N_SHARDS}"
+)
+
+
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard manifest of the deterministic training-shard
+    assignment: document count, token mass, and doc-id span — the
+    record a training job reads to schedule data loading, and the
+    balance check that catches a skewed shard before a 1000-GPU run
+    starves on one file.
+
+    Scale shape: one scan computes (shard, n_tokens) row-locally; ONE
+    hash aggregate on the 8 shard keys (map-side combined) produces
+    the manifest.  No window, no sort before the 8-row output.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens"), _shard_col()
+    )
+    return (
+        d.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("shard")
+    )
+
+
+ORACLE_SHARD_MANIFEST = f"""
+WITH d AS (
+  SELECT doc_id, len({_SQL_TOKENS}) AS n_tokens, {_SQL_SHARD} AS shard
+  FROM documents
+)
+SELECT shard, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+FROM d GROUP BY shard ORDER BY shard
+"""
+
+
+def write_training_shards(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> DataFrame:
+    """Write the corpus as ``N_SHARDS`` hash-assigned parquet shards
+    under ``out_dir`` (``shard=K/`` hive layout) and return the
+    manifest of what was written.
+
+    The physical layout contract a training loader needs: every doc in
+    exactly one shard (hash-deterministic, so an incremental re-run
+    appends to the SAME shard), one writer task per shard via
+    ``repartition(N, shard)`` (no global sort), docs ordered by doc_id
+    within each shard file so sequence packing downstream is
+    reproducible.  The returned manifest is recomputed FROM THE
+    WRITTEN FILES — it certifies the sink, not the plan.
+    """
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "shard", _shard_col()
+    )
+    (
+        d.repartition(N_SHARDS, "shard")
+        .sortWithinPartitions("shard", "doc_id")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(out_dir)
+    )
+    written = spark.read.parquet(out_dir).select(
+        F.col("shard").cast("long").alias("shard"),
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+    )
+    return (
+        written.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("shard")
+    )

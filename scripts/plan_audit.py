@@ -326,6 +326,29 @@ AUDIT = [
         "both the occurrence aggregate and the dup semi-join carry 8-byte "
         "keys only — window TEXT never shuffles.",
     ),
+    (
+        "bfs_hops_trade",
+        GR.bfs_hops_trade,
+        "Top-k sparsification is a per-src window (partitioned, never "
+        "global); each BFS hop is one frontier⋈edges equi-join + a left "
+        "join onto the |V|-row distance spine, localCheckpointed per hop "
+        "so the plan stays hop-count-deep, not 2^hops.",
+    ),
+    (
+        "cc_star_contraction",
+        GR.cc_star_contraction,
+        "Each star round is two aggregate+join passes over the current "
+        "edge set (per-node min via hash aggregate, neighbors rejoined — "
+        "no per-node neighbor arrays); rounds are O(log² n) in component "
+        "size, and the fixpoint check is a 1-row checksum aggregate.",
+    ),
+    (
+        "training_shard_manifest",
+        TP.training_shard_manifest,
+        "Row-local md5 shard assignment inside the scan, then ONE "
+        "map-side-combined hash aggregate onto 8 shard keys — no window, "
+        "no sort before the 8-row output.",
+    ),
 ]
 
 

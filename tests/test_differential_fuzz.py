@@ -383,6 +383,12 @@ EXTENDED_DOC_QUERIES = [
     # char-level window census: unicode multi-byte chars exercise the
     # length()-vs-bytes edge (both engines count CODEPOINTS)
     "exact_substring_dup",
+    # star-contraction CC over whatever pair graph the corpus induces
+    # (empty graph, singleton components, chains) — same oracle as
+    # dedup_clusters, so the fuzzer differences BOTH algorithms
+    "cc_star_contraction",
+    # row-local hash sharding: manifest must hold on 1-doc lakes
+    "training_shard_manifest",
 ]
 
 

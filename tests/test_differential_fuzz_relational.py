@@ -132,6 +132,10 @@ RELATIONAL_FUZZ_QUERIES = [
     # edge subset
     ("pagerank_nations", GR.pagerank_nations, "ORACLE_PAGERANK", GR),
     ("triangle_count_trade", GR.triangle_count_trade, "ORACLE_TRIANGLES", GR),
+    # BFS: FK holes can delete the source nation itself (both engines
+    # must then report every hop as -1), orphan edge endpoints (the
+    # nation-restriction semi-joins drop them), or disconnect the graph
+    ("bfs_hops_trade", GR.bfs_hops_trade, "ORACLE_BFS", GR),
 ]
 
 

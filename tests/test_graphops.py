@@ -168,6 +168,8 @@ def test_graph_plans_no_cartesian(spark, sf_dir):
     for df in (
         GR.triangle_count_trade(spark, sf_dir),
         DD.exact_substring_dup(spark, sf_dir),
+        GR.bfs_hops_trade(spark, sf_dir),
+        GR.cc_star_contraction(spark, sf_dir),
     ):
         plan = physical_plan(df, "simple")
         assert "CartesianProduct" not in plan
@@ -248,3 +250,147 @@ def test_exact_substring_null_and_empty_text(spark, tmp_path):
     assert got[1]["n_windows"] == 0 and got[1]["n_dup_windows"] == 0
     assert got[2]["n_windows"] == 0 and got[2]["dup_ratio"] == 0.0
     assert got[3]["n_windows"] == 6 and got[3]["n_dup_windows"] == 6  # 'y'*45: all 6 windows identical
+
+
+# ---------------------------------------------------------------------------
+# BFS hop distance
+# ---------------------------------------------------------------------------
+
+
+def _bfs_reference(und_edges, source, max_hops):
+    """Plain-Python BFS over an undirected edge set."""
+    adj = {}
+    for a, b in und_edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {source: 0}
+    frontier = [source]
+    for k in range(1, max_hops + 1):
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = k
+                    nxt.append(v)
+        frontier = nxt
+    return dist
+
+
+def test_bfs_hand_computed_micro_graph(spark, tmp_path):
+    """Chain 0-1-…-8 (nodes 7, 8 beyond the 6-hop bound), an isolated
+    nation, and a weak 4th edge from node 0 that top-3 sparsification
+    must drop (its endpoint has no edges of its own -> unreachable)."""
+    nations = list(range(9)) + [20, 30]
+    edges = [(i, i + 1, 10) for i in range(8)]
+    # node 0's 4th outgoing edge, weakest by weight -> pruned; nation
+    # 30 never appears as a src so only this pruned edge could reach it
+    edges += [(0, 30, 1)]
+    _write_trade_lake(spark, str(tmp_path), nations, edges)
+    got = {r["node"]: r["hops"] for r in GR.bfs_hops_trade(spark, str(tmp_path)).collect()}
+    assert got[0] == 0
+    for i in range(1, 7):
+        assert got[i] == i, i
+    assert got[7] == -1 and got[8] == -1  # beyond BFS_MAX_HOPS
+    assert got[20] == -1  # isolated
+    # chain edge weights (10) dominate the (0, 30) edge of weight 1:
+    # node 0 keeps (0,1) plus (0,30)?  node 0 has out-edges to 1 and 30
+    # only -> both kept; nation 30 reachable at hop 1 in that case.
+    # Tighten: verify against the independent reference on the ACTUAL
+    # sparsified graph instead of hand-waving.
+    e = [(r["src"], r["dst"], r["w"]) for r in GR._trade_edges(spark, str(tmp_path)).collect()]
+    kept = set()
+    bysrc = {}
+    for s, d, w in e:
+        if s != d:
+            bysrc.setdefault(s, []).append((d, w))
+    for s, lst in bysrc.items():
+        for d, _w in sorted(lst, key=lambda x: (-x[1], x[0]))[: GR.BFS_TOP_PARTNERS]:
+            kept.add((s, d))
+    und = {(min(a, b), max(a, b)) for a, b in kept}
+    want = _bfs_reference(und, GR.BFS_SOURCE, GR.BFS_MAX_HOPS)
+    for n in nations:
+        assert got[n] == want.get(n, -1), n
+
+
+def test_bfs_topk_pruning_disconnects(spark, tmp_path):
+    """Node 0 has FOUR outgoing edges; the weakest one points at a
+    supplier-only nation (no out-edges of its own), so top-3 pruning
+    leaves it unreachable."""
+    nations = [0, 1, 2, 3, 9]
+    edges = [(0, 1, 9), (0, 2, 8), (0, 3, 7), (0, 9, 1),
+             (1, 0, 5), (2, 0, 5), (3, 0, 5)]
+    _write_trade_lake(spark, str(tmp_path), nations, edges)
+    got = {r["node"]: r["hops"] for r in GR.bfs_hops_trade(spark, str(tmp_path)).collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 1, 9: -1}
+
+
+def test_bfs_corpus_vs_reference(spark, sf_dir):
+    """Operator equals the independent Python BFS on the identically
+    sparsified corpus trade graph."""
+    e = [(r["src"], r["dst"], r["w"]) for r in GR._trade_edges(spark, sf_dir).collect()]
+    bysrc = {}
+    for s, d, w in e:
+        if s != d:
+            bysrc.setdefault(s, []).append((d, w))
+    kept = set()
+    for s, lst in bysrc.items():
+        for d, _w in sorted(lst, key=lambda x: (-x[1], x[0]))[: GR.BFS_TOP_PARTNERS]:
+            kept.add((s, d))
+    und = {(min(a, b), max(a, b)) for a, b in kept}
+    want = _bfs_reference(und, GR.BFS_SOURCE, GR.BFS_MAX_HOPS)
+    got = {r["node"]: r["hops"] for r in GR.bfs_hops_trade(spark, sf_dir).collect()}
+    assert len(got) == 25
+    assert got[GR.BFS_SOURCE] == 0
+    for n, h in got.items():
+        assert h == want.get(n, -1), n
+
+
+# ---------------------------------------------------------------------------
+# star-contraction connected components
+# ---------------------------------------------------------------------------
+
+
+def _star_fixpoint(spark, edge_pairs):
+    """Drive _large_star/_small_star to fixpoint on a literal edge list;
+    returns {node: label}."""
+    edges = spark.createDataFrame(edge_pairs, "u long, v long").localCheckpoint(
+        eager=True
+    )
+    nodes = {a for p in edge_pairs for a in p}
+    prev = None
+    for _ in range(GR.CC_STAR_MAX_ROUNDS):
+        edges = GR._small_star(GR._large_star(edges)).localCheckpoint(eager=True)
+        rows = sorted((r["u"], r["v"]) for r in edges.collect())
+        if rows == prev:
+            break
+        prev = rows
+    label = {n: n for n in nodes}
+    for u, v in rows:
+        label[u] = v
+    return label
+
+
+def test_star_contraction_chain_and_islands(spark):
+    """A 12-node chain (diameter 11 — the label flood's worst case), a
+    triangle, and a 2-node component all converge to min-labels."""
+    chain = [(i, i + 1) for i in range(100, 111)]
+    tri = [(7, 8), (8, 9), (7, 9)]
+    pair = [(40, 41)]
+    label = _star_fixpoint(spark, chain + tri + pair)
+    assert all(label[n] == 100 for n in range(100, 112))
+    assert all(label[n] == 7 for n in (7, 8, 9))
+    assert label[40] == 40 and label[41] == 40
+
+
+def test_star_contraction_matches_label_flood(spark, sf_dir):
+    """cc_star_contraction and dedup_clusters: same pair graph, two
+    independent algorithms, identical output."""
+    a = sorted(
+        (r["label"], r["cluster_size"], r["members"])
+        for r in GR.cc_star_contraction(spark, sf_dir).collect()
+    )
+    b = sorted(
+        (r["label"], r["cluster_size"], r["members"])
+        for r in DD.dedup_clusters(spark, sf_dir).collect()
+    )
+    assert a == b and len(a) > 0

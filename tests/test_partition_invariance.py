@@ -35,6 +35,11 @@ CASES = [
     # fold; semdedup's prune flag hinges on a rounded float MAX
     ("pagerank_nations", "graphops"),
     ("semdedup_prune", "similarity"),
+    # round-4c: BFS frontier order and star-contraction round order
+    # must not leak into results; shard manifest is pure hash+agg
+    ("bfs_hops_trade", "graphops"),
+    ("cc_star_contraction", "graphops"),
+    ("training_shard_manifest", "trainprep"),
 ]
 
 

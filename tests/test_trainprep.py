@@ -154,3 +154,60 @@ def test_bpe_train_matches_python_reference(spark, sf_dir):
         vocab = new_vocab
 
     assert got == expected, (got, expected)
+
+
+# ---------------------------------------------------------------------------
+# training shard assignment + writer
+# ---------------------------------------------------------------------------
+
+
+def test_shard_manifest_invariants(spark, sf_dir):
+    from f1_data_engineering_spark.operators import trainprep as TP
+    from f1_data_engineering_spark.sources.registry import load_table
+
+    rows = TP.training_shard_manifest(spark, sf_dir).collect()
+    n_docs_total = load_table(spark, sf_dir, "documents").count()
+    assert [r["shard"] for r in rows] == sorted(r["shard"] for r in rows)
+    assert set(r["shard"] for r in rows) <= set(range(TP.N_SHARDS))
+    assert sum(r["n_docs"] for r in rows) == n_docs_total
+    assert all(r["total_tokens"] > 0 for r in rows)
+    # md5 balance: no shard more than 3x the mean (loose, deterministic)
+    mean = n_docs_total / TP.N_SHARDS
+    assert all(r["n_docs"] < 3 * mean for r in rows)
+    # deterministic re-run
+    again = TP.training_shard_manifest(spark, sf_dir).collect()
+    assert rows == again
+
+
+def test_write_training_shards_layout_and_manifest(spark, sf_dir, tmp_path):
+    import os
+    import re
+
+    from f1_data_engineering_spark.operators import trainprep as TP
+
+    out = str(tmp_path / "shards")
+    written_manifest = sorted(
+        tuple(r) for r in TP.write_training_shards(spark, sf_dir, out).collect()
+    )
+    query_manifest = sorted(
+        tuple(r) for r in TP.training_shard_manifest(spark, sf_dir).collect()
+    )
+    # the files on disk certify exactly what the pure query promises
+    assert written_manifest == query_manifest
+    shard_dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert all(re.fullmatch(r"shard=\d+", d) for d in shard_dirs)
+    assert len(shard_dirs) == len(written_manifest)
+    # every doc landed in the shard its hash names, ordered by doc_id
+    for d in shard_dirs:
+        k = int(d.split("=")[1])
+        pdf = (
+            spark.read.parquet(os.path.join(out, d))
+            .select("doc_id")
+            .toPandas()
+        )
+        ids = pdf["doc_id"].tolist()
+        assert ids == sorted(ids)
+        got = spark.createDataFrame(
+            [(int(i),) for i in ids], "doc_id long"
+        ).select(TP._shard_col()).distinct().collect()
+        assert [r["shard"] for r in got] == [k]
