@@ -49,6 +49,7 @@ from f1_data_engineering_spark.operators import analytics2 as A2
 from f1_data_engineering_spark.operators import analytics3 as A3
 from f1_data_engineering_spark.operators import f1_fixture_queries as FX
 from f1_data_engineering_spark.operators import graphops as GR
+from f1_data_engineering_spark.operators import curation as CU
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -283,6 +284,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_hops_trade": GR.bfs_hops_trade,
         "cc_star_contraction": GR.cc_star_contraction,
         "training_shard_manifest": TP.training_shard_manifest,
+        # round-4d: the composed curation pipeline (quality gate →
+        # exact dedup → LSH near-dup prune → decontamination) as ONE
+        # declarative plan with per-source stage survival counts
+        "curation_pipeline": CU.curation_pipeline,
     }
 
 
@@ -438,5 +443,6 @@ def oracle_sql() -> dict[str, str]:
         "bfs_hops_trade": GR.ORACLE_BFS,
         "cc_star_contraction": GR.ORACLE_CC_STAR,
         "training_shard_manifest": TP.ORACLE_SHARD_MANIFEST,
+        "curation_pipeline": CU.ORACLE_CURATION_PIPELINE,
     }
     return out

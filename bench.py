@@ -141,6 +141,9 @@ BENCH_QUERIES = (
     "bfs_hops_trade",
     "cc_star_contraction",
     "training_shard_manifest",
+    # round-4d: the composed curation pipeline (quality -> exact ->
+    # near-dup -> decontam as one plan)
+    "curation_pipeline",
 )
 
 

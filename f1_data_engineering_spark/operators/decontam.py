@@ -56,11 +56,11 @@ def _gram5_hashes() -> Column:
     return F.array_distinct(F.when(F.col("k") >= NGRAM_N, g).otherwise(whole))
 
 
-def _gram_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spread(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
-    )
-    d = d.select("doc_id", tokens("text").alias("toks"))
+def grams_for(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, grams): the distinct 5-gram hash set
+    per document — shared by the one-shot decontamination queries and
+    the composed curation pipeline (operators/curation.py)."""
+    d = docs.select("doc_id", tokens("text").alias("toks"))
     d = d.select(
         "doc_id",
         "toks",
@@ -68,6 +68,14 @@ def _gram_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = d.select("doc_id", "toks", "th", F.size("th").alias("k"))
     return d.select("doc_id", _gram5_hashes().alias("grams"))
+
+
+def _gram_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return grams_for(
+        spread(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"
+        )
+    )
 
 
 # DuckDB twin: same md5 per token, same rolling combine, same fallback.

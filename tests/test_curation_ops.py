@@ -120,3 +120,78 @@ def test_curation_ops_plan_quality(spark, sf_dir):
 
     rules = TX.gopher_rules(spark, sf_dir)
     assert "CartesianProduct" not in physical_plan(rules, "simple")
+
+
+def test_curation_pipeline_planted(spark, tmp_path):
+    """Stage-isolating corpus for the composed pipeline: each source
+    exercises exactly one pruning stage, so every per-stage survival
+    count has one hand-computable answer.
+
+    N — near-dup: doc 5 (< 10 → the pipeline plants a truncated copy
+        at 1000005); LSH must drop the copy and keep the original.
+    Q — quality: one good English doc, one punctuation-garbage doc.
+    E — exact: docs 13/14 share a text verbatim; keep-first keeps 13.
+    V — decontamination: doc 50 (eval split, also quality-failing
+        nonsense) leaks its 5-grams into doc 51's prefix (~39% gram
+        overlap ≥ 30% threshold → contaminated) while doc 52 is clean.
+    """
+    stop_tail = "the and of to in is that it for with those people here"
+    n_text = (
+        stop_tail
+        + " "
+        + " ".join(f"neardupword{j:02d}" for j in range(50))
+    )
+    q_good = "the quick brown fox jumps over and it is that good for with everyone in town"
+    q_bad = "!!! ??? $$$ %%% ^^^ &&& *** ((( ))) @@@"
+    e_text = "copied article body and it is that same text for with every mirror of the site"
+    e_uniq = "unique essay about rivers and the slow water that it carries for with silt in autumn"
+    ev_toks = [f"evalgram{j:02d}" for j in range(30)]
+    v_eval = " ".join(ev_toks)  # no stopwords → lang 'und', fails quality
+    v_contam = " ".join(ev_toks[:20]) + " " + stop_tail + " more plain words follow here now then"
+    v_clean = "weather report for the coast says wind and rain is due in that late evening with fog"
+    rows = [
+        (5, n_text, "en", "N"),
+        (11, q_good, "en", "Q"),
+        (12, q_bad, "en", "Q"),
+        (13, e_text, "en", "E"),
+        (14, e_text, "en", "E"),
+        (15, e_uniq, "en", "E"),
+        (50, v_eval, "en", "V"),
+        (51, v_contam, "en", "V"),
+        (52, v_clean, "en", "V"),
+    ]
+    _write_docs(spark, tmp_path, rows)
+
+    from f1_data_engineering_spark.operators import curation as CU
+
+    out = {r["source"]: r for r in CU.curation_pipeline(spark, str(tmp_path)).collect()}
+    assert set(out) == {"N", "Q", "E", "V"}
+
+    n = out["N"]  # original + planted truncation; LSH prunes the copy
+    assert (n["n_raw"], n["n_quality"], n["n_exact"]) == (2, 2, 2)
+    assert (n["n_neardup"], n["n_clean"]) == (1, 1)
+
+    q = out["Q"]  # garbage doc dies at the quality gate, nothing after
+    assert (q["n_raw"], q["n_quality"]) == (2, 1)
+    assert (q["n_exact"], q["n_neardup"], q["n_clean"]) == (1, 1, 1)
+
+    e = out["E"]  # verbatim pair collapses at exact dedup only
+    assert (e["n_raw"], e["n_quality"], e["n_exact"]) == (3, 3, 2)
+    assert (e["n_neardup"], e["n_clean"]) == (2, 2)
+
+    v = out["V"]  # eval doc fails quality; doc 51 falls to decontam only
+    assert (v["n_raw"], v["n_quality"], v["n_exact"], v["n_neardup"]) == (3, 2, 2, 2)
+    assert v["n_clean"] == 1
+    assert v["clean_tokens"] == len(v_clean.split())
+
+
+def test_curation_pipeline_plan_quality(spark, sf_dir):
+    """The composed plan must stay join-sane end to end: no
+    CartesianProduct anywhere, and the eval-gram set enters the
+    contamination join as a broadcast."""
+    from f1_data_engineering_spark.operators import curation as CU
+    from f1_data_engineering_spark.plans import assert_broadcast_join, physical_plan
+
+    df = CU.curation_pipeline(spark, sf_dir)
+    assert "CartesianProduct" not in physical_plan(df, "simple")
+    assert_broadcast_join(df, at_least=1)
