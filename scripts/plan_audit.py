@@ -19,6 +19,7 @@ from f1_data_engineering_spark.operators import f1_fixture_queries as FX
 from f1_data_engineering_spark.operators import textops as TX2
 from f1_data_engineering_spark.operators import dedup as DD
 from f1_data_engineering_spark.operators import graphops as GR
+from f1_data_engineering_spark.operators import curation as CU
 from f1_data_engineering_spark.operators import layout as LY
 from f1_data_engineering_spark.operators import merge as MG
 from f1_data_engineering_spark.operators import profiling as PF
@@ -348,6 +349,16 @@ AUDIT = [
         "Row-local md5 shard assignment inside the scan, then ONE "
         "map-side-combined hash aggregate onto 8 shard keys — no window, "
         "no sort before the 8-row output.",
+    ),
+    (
+        "curation_pipeline",
+        CU.curation_pipeline,
+        "Four curation stages in ONE plan: the quality/fingerprint scan "
+        "is cached and fans out to every stage; exact dedup is one "
+        "window on the 16-byte fp; the LSH band join shuffles K-long "
+        "signatures (never text); eval grams broadcast into the "
+        "contamination join; the five per-source rollups reunite via "
+        "broadcast joins on the tiny source key.",
     ),
 ]
 
