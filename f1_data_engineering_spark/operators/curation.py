@@ -85,13 +85,13 @@ def _curation_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spread(d.unionByName(pert), "doc_id")
 
 
-def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per source: docs surviving each curation stage, and the total
-    whitespace tokens of the final clean set.
-
-    Columns: source, n_raw, n_quality, n_exact, n_neardup, n_clean,
-    clean_tokens.
-    """
+def _curation_stages(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, DataFrame]:
+    """The per-stage survivor frames, shared by the count rollup
+    (``curation_pipeline``) and the clean-corpus sink
+    (``write_clean_corpus``): scored → passed → exact → neardup →
+    clean, each carrying (doc_id, source, text, n_tok)."""
     corpus = _curation_corpus(spark, sf_dir)
     # scored feeds four consumers (raw rollup + every downstream
     # stage); score/fingerprint once.  Fixed-width columns + text —
@@ -143,11 +143,9 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus — an eval suite exists independently of what curation
     # keeps — then train survivors with ≥ 30% distinct-5-gram overlap
     # are dropped.  Eval grams broadcast; survivor bodies never shuffle.
-    # Grams are computed exactly where needed (eval split ≈ 2% of the
-    # corpus; survivors already carry text) instead of over the full
-    # corpus + join — per-doc grams are a pure function of text, so the
-    # result is identical while the pruned ~98% never reach the md5
-    # stage.  (The DuckDB twin keeps the simpler full-corpus CTE.)
+    # The gram pass runs over the full corpus ONCE and is cached (see
+    # the module docstring's A/B note for why this beats survivor-only
+    # gram computation at test scale, and when to flip it).
     grams = grams_for(corpus.select("doc_id", "text")).cache()
     eval_grams = (
         grams.filter(F.col("doc_id") % 50 == 0)
@@ -170,6 +168,25 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     clean = train.join(contaminated, "doc_id", "left_anti")
+    return {
+        "scored": scored,
+        "passed": passed,
+        "exact": exact,
+        "neardup": neardup,
+        "clean": clean,
+    }
+
+
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per source: docs surviving each curation stage, and the total
+    whitespace tokens of the final clean set.
+
+    Columns: source, n_raw, n_quality, n_exact, n_neardup, n_clean,
+    clean_tokens.
+    """
+    s = _curation_stages(spark, sf_dir)
+    scored, passed, exact = s["scored"], s["passed"], s["exact"]
+    neardup, clean = s["neardup"], s["clean"]
 
     raw_c = scored.groupBy("source").agg(F.count(F.lit(1)).alias("n_raw"))
     qual_c = passed.groupBy("source").agg(F.count(F.lit(1)).alias("n_quality"))
@@ -318,3 +335,57 @@ LEFT JOIN nd_counts n ON r.source = n.source
 LEFT JOIN clean_counts c ON r.source = c.source
 ORDER BY r.source
 """
+
+
+def write_clean_corpus(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> DataFrame:
+    """Run the full curation pipeline and WRITE the clean corpus as
+    ``source=X/`` hive-partitioned parquet under ``out_dir``; return a
+    per-source manifest recomputed FROM THE WRITTEN FILES (certifying
+    the sink, not the plan — same contract as
+    ``trainprep.write_training_shards``).
+
+    Layout contract for a training loader: every surviving doc in
+    exactly one source directory, files internally ordered by doc_id
+    so downstream sequence packing is reproducible.  Writer
+    parallelism comes from a 4-way doc_id-hash salt inside each
+    source (``repartition(source, salt)``) — without it one giant
+    source pins one writer task at 100 TB; with it a source's rows
+    span up to 4 files, each still doc_id-sorted.
+
+    Manifest columns: source, n_docs, total_tokens, min_doc_id,
+    max_doc_id — ``(n_docs, total_tokens)`` must equal
+    ``curation_pipeline``'s ``(n_clean, clean_tokens)`` for every
+    source that kept at least one doc (asserted in
+    tests/test_curation_ops.py; a fully-pruned source has no files,
+    so it appears in the counts query but not here).
+    """
+    clean = _curation_stages(spark, sf_dir)["clean"].select(
+        "doc_id", "source", "text"
+    )
+    salt = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(4)).alias("salt")
+    (
+        clean.withColumn("salt", salt)
+        .repartition("source", "salt")
+        .sortWithinPartitions("source", "doc_id")
+        .drop("salt")
+        .write.partitionBy("source")
+        .mode("overwrite")
+        .parquet(out_dir)
+    )
+    written = spark.read.parquet(out_dir).select(
+        F.col("source").cast("string").alias("source"),
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+    )
+    return (
+        written.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("source")
+    )

@@ -195,3 +195,32 @@ def test_curation_pipeline_plan_quality(spark, sf_dir):
     df = CU.curation_pipeline(spark, sf_dir)
     assert "CartesianProduct" not in physical_plan(df, "simple")
     assert_broadcast_join(df, at_least=1)
+
+
+def test_write_clean_corpus_matches_pipeline(spark, sf_dir, tmp_path):
+    """The sink's manifest (recomputed from the written parquet) must
+    agree with the pure counts query for every source that kept a doc,
+    and the written files must be doc_id-ordered within each file."""
+    import pyarrow.parquet as pq
+    import glob as _glob
+
+    from f1_data_engineering_spark.operators import curation as CU
+
+    out_dir = str(tmp_path / "clean_corpus")
+    manifest = {
+        r["source"]: r for r in CU.write_clean_corpus(spark, sf_dir, out_dir).collect()
+    }
+    counts = {r["source"]: r for r in CU.curation_pipeline(spark, sf_dir).collect()}
+
+    kept = {s for s, r in counts.items() if r["n_clean"] > 0}
+    assert set(manifest) == kept
+    for s in kept:
+        assert manifest[s]["n_docs"] == counts[s]["n_clean"], s
+        assert manifest[s]["total_tokens"] == counts[s]["clean_tokens"], s
+
+    # in-file ordering contract: every parquet file ascending by doc_id
+    files = _glob.glob(out_dir + "/source=*/*.parquet")
+    assert files
+    for f in files:
+        ids = pq.read_table(f, columns=["doc_id"]).column("doc_id").to_pylist()
+        assert ids == sorted(ids), f
