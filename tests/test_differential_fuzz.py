@@ -389,6 +389,11 @@ EXTENDED_DOC_QUERIES = [
     "cc_star_contraction",
     # row-local hash sharding: manifest must hold on 1-doc lakes
     "training_shard_manifest",
+    # the composed 4-stage pipeline: NULL/empty texts must flow
+    # through quality gate → fp window → LSH → gram join identically
+    # in both engines, incl. the planted doc_id<10 truncated copies
+    # (substr of NULL text) and the doc_id=0 eval-split membership
+    "curation_pipeline",
 ]
 
 
