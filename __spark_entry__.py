@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count_trade", "semdedup_prune", "exact_substring_dup",
         "bfs_hops_trade", "cc_star_contraction",
         "training_shard_manifest", "curation_pipeline",
+        "kmeans_exact_lloyd",
     }
     rows_only = set(base) - set(oracle_sql())
 
@@ -311,6 +312,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact dedup → LSH near-dup prune → decontamination) as ONE
         # declarative plan with per-source stage survival counts
         "curation_pipeline": CU.curation_pipeline,
+        # round-4e: the iterative Lloyd loop made cross-engine exact
+        # (decimal centroid sums), so the full algorithm sits under
+        # the differential gate unlike rows-only kmeans_embeddings
+        "kmeans_exact_lloyd": SIM.kmeans_exact_lloyd,
     }
 
 
@@ -467,5 +472,6 @@ def oracle_sql() -> dict[str, str]:
         "cc_star_contraction": GR.ORACLE_CC_STAR,
         "training_shard_manifest": TP.ORACLE_SHARD_MANIFEST,
         "curation_pipeline": CU.ORACLE_CURATION_PIPELINE,
+        "kmeans_exact_lloyd": SIM.ORACLE_KMEANS_EXACT,
     }
     return out

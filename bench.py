@@ -144,6 +144,8 @@ BENCH_QUERIES = (
     # round-4d: the composed curation pipeline (quality -> exact ->
     # near-dup -> decontam as one plan)
     "curation_pipeline",
+    # round-4e: cross-engine-exact iterative Lloyd k-means
+    "kmeans_exact_lloyd",
 )
 
 

@@ -1093,3 +1093,170 @@ SELECT s.vec_id, CAST(s.cell AS BIGINT) AS cell,
 FROM assigned s LEFT JOIN prior p ON s.vec_id = p.vec_id
 ORDER BY s.vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact Lloyd k-means (oracle-backed twin of kmeans_embeddings)
+# ---------------------------------------------------------------------------
+
+
+def kmeans_exact_lloyd(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """Lloyd's k-means made CROSS-ENGINE EXACT, so the full iterative
+    algorithm runs under the DuckDB differential gate (the plain
+    ``kmeans_embeddings`` is rows-only: its float centroid means carry
+    summation-order ulps).  Same init (k lowest vec_ids), same
+    iteration count, same Spark shape (driver-literal centroids,
+    scan-side codegen assignment, ONE hash aggregate per pass) — the
+    determinism comes from three rules, each individually proven
+    green elsewhere in the repo:
+
+    * centroid means are ``round(cast(sum(decimal(38,10)) as double)
+      / n, 6)`` — the ORACLE_CENTROIDS recipe (decimal sums are
+      order-free, the division and 6-dp round are engine-stable);
+    * distances are left-fold sums of ``(e-c)*(e-c)`` over dims in
+      fixed order on BOTH engines (Spark's unrolled ``+`` chain ⟷
+      DuckDB's sequential ``list_sum(list_transform(...))``, the
+      pairing the sorted-fold queries already pin);
+    * argmin tie-break toward the lower cluster id: Spark's
+      lexicographic ``array_min`` over (distance, j) structs ⟷
+      DuckDB's first-match ``list_position(dl, list_min(dl))``.
+
+    Empty clusters keep their previous centroid (both twins).
+    Inertia sums the per-vector min distance through decimal(38,10)
+    before one final 4-dp round, so the reduce order can't leak in.
+    """
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        )
+    )
+    cents = [list(r["e"]) for r in e.orderBy("vec_id").limit(k).collect()]
+    if len(cents) < k:
+        raise ValueError(
+            f"kmeans_exact_lloyd needs at least k={k} vectors; "
+            f"{sf_dir} has only {len(cents)}"
+        )
+
+    def dist2(c: list[float]) -> Column:
+        # left-assoc + chain == DuckDB list_sum's sequential fold
+        out = F.lit(0.0)
+        for d in range(DIM):
+            t = F.col("e").getItem(d) - F.lit(float(c[d]))
+            out = out + t * t
+        return out
+
+    def best() -> Column:
+        return F.array_min(
+            F.array(
+                *[
+                    F.struct(dist2(cents[j]).alias("d"), F.lit(j).alias("j"))
+                    for j in range(k)
+                ]
+            )
+        )
+
+    for _ in range(iters):
+        assigned = e.select("e", best().getField("j").alias("cluster"))
+        stats = (
+            assigned.groupBy("cluster")
+            .agg(
+                *[
+                    F.round(
+                        F.sum(
+                            F.col("e").getItem(d).cast("decimal(38,10)")
+                        ).cast("double")
+                        / F.count(F.lit(1)),
+                        6,
+                    ).alias(f"c{d}")
+                    for d in range(DIM)
+                ],
+            )
+            .collect()
+        )
+        by_cluster = {r["cluster"]: r for r in stats}
+        cents = [
+            [by_cluster[j][f"c{d}"] for d in range(DIM)]
+            if j in by_cluster
+            else cents[j]
+            for j in range(k)
+        ]
+
+    return (
+        e.select(best().alias("b"))
+        .select(F.col("b.j").alias("cluster"), F.col("b.d").alias("d2"))
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(
+                F.sum(F.col("d2").cast("decimal(38,10)")).cast("double"), 4
+            ).alias("inertia"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def _km_dlist(cl: str) -> str:
+    """DuckDB fragment: the k-vector of squared distances of ``e``
+    against centroid-list-of-lists scalar ``cl`` — sequential fold in
+    the same (j, then d) order as the Spark twin."""
+    return (
+        f"list_transform(range({KMEANS_K}), j -> "
+        f"list_sum(list_transform(range({DIM}), d -> "
+        f"(e[d+1] - {cl}[j+1][d+1]) * (e[d+1] - {cl}[j+1][d+1]))))"
+    )
+
+
+def _km_iteration(i: int) -> str:
+    """CTE block for one Lloyd update: assign against c{i-1}, then
+    decimal-exact 6-dp means; empty clusters inherit c{i-1}."""
+    return f"""
+a{i} AS (
+  SELECT vec_id, e, list_position(dl, list_min(dl)) - 1 AS cluster
+  FROM (SELECT vec_id, e, {_km_dlist(f"cl{i-1}.cl")} AS dl
+        FROM emb CROSS JOIN cl{i-1})
+),
+s{i} AS (
+  SELECT cluster, d,
+    ROUND(CAST(SUM(CAST(e[d+1] AS DECIMAL(38,10))) AS DOUBLE)
+          / COUNT(*), 6) AS m
+  FROM a{i} CROSS JOIN (SELECT unnest(range({DIM})) AS d) t
+  GROUP BY cluster, d
+),
+cm{i} AS (SELECT cluster AS j, list(m ORDER BY d) AS ce FROM s{i} GROUP BY cluster),
+c{i} AS (
+  SELECT p.j, COALESCE(n.ce, p.ce) AS ce
+  FROM c{i-1} p LEFT JOIN cm{i} n ON p.j = n.j
+),
+cl{i} AS (SELECT list(ce ORDER BY j) AS cl FROM c{i})"""
+
+
+ORACLE_KMEANS_EXACT = f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, e AS ce
+  FROM (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT {KMEANS_K})
+),
+cl0 AS (SELECT list(ce ORDER BY j) AS cl FROM c0),
+{",".join(_km_iteration(i + 1) for i in range(KMEANS_ITERS))},
+final AS (
+  SELECT vec_id, list_min(dl) AS d2,
+         list_position(dl, list_min(dl)) - 1 AS cluster
+  FROM (SELECT vec_id, {_km_dlist(f"cl{KMEANS_ITERS}.cl")} AS dl
+        FROM emb CROSS JOIN cl{KMEANS_ITERS})
+)
+SELECT cluster, COUNT(*) AS n_vectors,
+  ROUND(CAST(SUM(CAST(d2 AS DECIMAL(38,10))) AS DOUBLE), 4) AS inertia
+FROM final
+GROUP BY cluster
+ORDER BY cluster
+"""

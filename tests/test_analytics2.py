@@ -200,3 +200,57 @@ def test_frequent_event_types_exact_at_low_cardinality(spark, sf_dir):
     }
     got = {r["event_type"]: r["n"] for r in frequent_event_types(spark, sf_dir).collect()}
     assert got == exact
+
+
+def test_kmeans_exact_planted_pairs(spark, tmp_path):
+    """kmeans_exact_lloyd on 16 vectors forming 8 tight, well-separated
+    pairs: init (the 8 lowest vec_ids) seeds one centroid per pair, so
+    Lloyd converges to the pair means — every cluster keeps exactly its
+    2 members and inertia is the hand-computed within-pair spread."""
+    import numpy as np
+
+    from f1_data_engineering_spark.operators import similarity as SIM
+
+    dim, k = SIM.DIM, SIM.KMEANS_K
+    rows = []
+    for j in range(k):
+        base = [0.0] * dim
+        base[j] = 100.0 * (j + 1)  # pairs live far apart on distinct axes
+        mate = list(base)
+        mate[j] += 1.0  # the pair's second member, distance 1 away
+        rows.append((j, [float(x) for x in base], 0))
+        rows.append((k + j, [float(x) for x in mate], 0))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+
+    got = {
+        r["cluster"]: r
+        for r in SIM.kmeans_exact_lloyd(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == set(range(k))
+    for j in range(k):
+        assert got[j]["n_vectors"] == 2, j
+        # centroid = pair mean -> each member is 0.5 away on one axis:
+        # inertia = 2 * 0.5^2 = 0.5
+        assert got[j]["inertia"] == 0.5, (j, got[j]["inertia"])
+
+
+def test_kmeans_exact_agrees_with_float_kmeans_on_fixture(spark, sf_dir):
+    """The decimal-exact twin and the float kmeans_embeddings run the
+    same algorithm up to centroid-mean rounding; on the test corpora
+    the 6-dp mean rounding never flips an assignment, so cluster sizes
+    match exactly and inertias agree to float tolerance."""
+    from f1_data_engineering_spark.operators import similarity as SIM
+
+    exact = {r["cluster"]: r for r in SIM.kmeans_exact_lloyd(spark, sf_dir).collect()}
+    flt = {r["cluster"]: r for r in SIM.kmeans_embeddings(spark, sf_dir).collect()}
+    assert {j: r["n_vectors"] for j, r in exact.items()} == {
+        j: r["n_vectors"] for j, r in flt.items()
+    }
+    for j, r in exact.items():
+        assert abs(r["inertia"] - flt[j]["inertia"]) <= 1e-3 * max(
+            1.0, abs(flt[j]["inertia"])
+        ), (j, r["inertia"], flt[j]["inertia"])

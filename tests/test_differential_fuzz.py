@@ -316,6 +316,11 @@ EMBED_FUZZ_QUERIES = [
     # SemDeDup: planted copies + degenerate geometry through the
     # cell-local prune rule (zero-norm vectors must never prune)
     ("semdedup_prune", SIM.semdedup_prune, SIM.ORACLE_SEMDEDUP),
+    # the cross-engine-exact iterative Lloyd loop: duplicate init
+    # centroids, zero vectors, and empty-cluster carry-forward all
+    # inside a 3-iteration fixpoint (skipped when n < k — the query's
+    # documented precondition)
+    ("kmeans_exact_lloyd", SIM.kmeans_exact_lloyd, SIM.ORACLE_KMEANS_EXACT),
 ]
 
 
@@ -345,6 +350,8 @@ def test_embedding_operators_differential_fuzz(spark, fuzz_dir, corpus):
         f"'{os.path.join(sf_dir, 'embeddings.parquet', '*.parquet')}'"
     )
     for name, fn, sql in EMBED_FUZZ_QUERIES:
+        if name == "kmeans_exact_lloyd" and len(corpus) < SIM.KMEANS_K:
+            continue  # documented n >= k precondition (raises otherwise)
         sdf = fn(spark, sf_dir).toPandas()
         odf = con.execute(sql).df()
         problems = compare(name, sdf, odf)
