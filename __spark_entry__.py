@@ -47,6 +47,7 @@ from f1_data_engineering_spark.operators import udtf_ops as UT
 from f1_data_engineering_spark.operators import analytics as AN
 from f1_data_engineering_spark.operators import analytics2 as A2
 from f1_data_engineering_spark.operators import analytics3 as A3
+from f1_data_engineering_spark.operators import analytics4 as A4
 from f1_data_engineering_spark.operators import f1_fixture_queries as FX
 from f1_data_engineering_spark.operators import graphops as GR
 from f1_data_engineering_spark.operators import curation as CU
@@ -91,31 +92,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     base = _base_queries()
     green = _driver_green_so_far()
-    # 56 never-green names compete for the ~50-entry window in round 4,
-    # so rank within the never-green block too: (0) operators new this
-    # round — they have no independent judge re-run yet, so a missed
-    # window costs the most; (1) older never-green queries — all
-    # already verified by the judge's round-3 re-run of the identical
-    # gate; (2) rows-only queries — the gate can only record a weak
-    # rows-only row for them regardless.
-    new_r4 = {
-        "event_bigram_transitions", "first_touch_attribution",
-        "sliding_zscore_anomaly", "mad_outlier_events",
-        "pareto_frontier_orders", "token_entropy",
-        "term_cooccurrence_pmi", "pagerank_nations",
-        "triangle_count_trade", "semdedup_prune", "exact_substring_dup",
-        "bfs_hops_trade", "cc_star_contraction",
-        "training_shard_manifest", "curation_pipeline",
-        "kmeans_exact_lloyd",
+    # Round 5: only 10 never-green names remain, so the whole block fits
+    # the ~50-entry window with room to spare.  Rank: (0) queries whose
+    # implementation or oracle CHANGED this round — the r4 dtype
+    # hash-fails (oracle CAST fixes) and the two cross-engine-parity
+    # rebuilds — these need a fresh driver row most; (1) oracle-backed
+    # never-green (judge-green in r4, never yet in the driver window);
+    # (2) rows-only never-green (gate records a weak rows-only row);
+    # (3) already green — stable original order fills the rest of the
+    # window with re-verification of the standing surface.
+    changed_r5 = {
+        "mad_outlier_events", "training_shard_manifest",
+        "bpe_merge_candidates",  # oracle SUM → CAST AS BIGINT (r4 hash-fails)
+        "user_value_median_iqr",  # explicit-lerp + shortest-repr rounding rebuild
+        "text_stats",  # oracle NULL-text coalesce
     }
     rows_only = set(base) - set(oracle_sql())
 
     def rank(name: str) -> int:
-        if name in green:
-            return 3
-        if name in rows_only:
-            return 2
-        return 0 if name in new_r4 else 1
+        if name not in green:
+            if name in changed_r5:
+                return 0  # r4 hash-fails with this round's oracle fixes
+            return 2 if name in rows_only else 1
+        # green block: re-verify changed-this-round implementations
+        # first (still inside the ~50-entry window at position ~11-12)
+        return 3 if name in changed_r5 else 4
 
     return {k: base[k] for k in sorted(base, key=lambda n: (rank(n),))}
 
@@ -316,6 +317,14 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (decimal centroid sums), so the full algorithm sits under
         # the differential gate unlike rows-only kmeans_embeddings
         "kmeans_exact_lloyd": SIM.kmeans_exact_lloyd,
+        # round-5 wave: HLL distinct sketch, salted skew join,
+        # scale-safe equi-depth NTILE, key-skew profiler, entity
+        # resolution (blocking + star-contraction closure)
+        "hll_distinct_users": A4.hll_distinct_users,
+        "skew_join_salted": A4.skew_join_salted,
+        "equidepth_bins": A4.equidepth_bins,
+        "skew_profile": A4.skew_profile,
+        "entity_resolution_clusters": A4.entity_resolution_clusters,
     }
 
 
@@ -473,5 +482,10 @@ def oracle_sql() -> dict[str, str]:
         "training_shard_manifest": TP.ORACLE_SHARD_MANIFEST,
         "curation_pipeline": CU.ORACLE_CURATION_PIPELINE,
         "kmeans_exact_lloyd": SIM.ORACLE_KMEANS_EXACT,
+        "hll_distinct_users": A4.ORACLE_HLL,
+        "skew_join_salted": A4.ORACLE_SALTED_JOIN,
+        "equidepth_bins": A4.ORACLE_EQUIDEPTH,
+        "skew_profile": A4.ORACLE_SKEW_PROFILE,
+        "entity_resolution_clusters": A4.ORACLE_ER_CLUSTERS,
     }
     return out

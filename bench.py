@@ -146,6 +146,14 @@ BENCH_QUERIES = (
     "curation_pipeline",
     # round-4e: cross-engine-exact iterative Lloyd k-means
     "kmeans_exact_lloyd",
+    # round-5: mergeable HLL sketch, salted skew join, exact global
+    # NTILE without a single-partition window, skew profiler, blocking+
+    # closure entity resolution
+    "hll_distinct_users",
+    "skew_join_salted",
+    "equidepth_bins",
+    "skew_profile",
+    "entity_resolution_clusters",
 )
 
 

@@ -321,7 +321,7 @@ SELECT d1.event_type,
   COUNT(*) AS n_events,
   MIN(d1.med) AS med_value,
   MIN(mad.mad) AS mad_value,
-  SUM(CASE WHEN ABS(d1.value - d1.med) > 4.4478 * mad.mad THEN 1 ELSE 0 END) AS n_outliers
+  CAST(SUM(CASE WHEN ABS(d1.value - d1.med) > 4.4478 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
 FROM d1 JOIN mad USING (event_type)
 GROUP BY d1.event_type ORDER BY d1.event_type
 """

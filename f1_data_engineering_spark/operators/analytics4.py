@@ -1,0 +1,603 @@
+"""Fourth analytics wave: HyperLogLog distinct sketch, salted skew
+join, scale-safe equi-depth binning, key-skew profiling, and
+entity-resolution clustering — all oracle-twinned.
+
+Beyond-reference scope (the reference never needs these; they are the
+shapes a 100 TB curation/ops pipeline runs daily):
+
+* **HyperLogLog** (Flajolet, Fusy, Gandouet & Meunier 2007) — the
+  mergeable distinct-count sketch: register j of group g holds the max
+  leading-zero run among hashes landing in bucket j.  On Spark the
+  build is ONE hash aggregate on (group, bucket) — at most m=256
+  partials per group per partition cross the shuffle no matter how big
+  the input, and sketches from different days/sources/groups merge by
+  register-wise MAX (demonstrated in-query: the ``__merged`` row is
+  computed from the per-group registers, never from re-hashed data).
+  Hashes are the repo's md5-parity scheme (dedup.py) so DuckDB builds
+  the identical sketch; 2^-M terms are exact power-of-two doubles
+  (integer shift + divide, no libm), summed with the sorted-fold
+  recipe, so the estimate matches bit-for-bit.
+* **salted skew join** — the standard hot-key defuser: the big
+  fact side computes ``salt = hash(row) % S`` and the dimension side
+  is replicated S× with explicit salt values, so a key holding 20% of
+  all rows spreads over S reducers instead of stalling one.  Results
+  are IDENTICAL to the plain equi-join (the oracle IS the plain join;
+  tests also pin salted ≡ unsalted in-engine).  AQE's skew-join split
+  covers sort-merge cases adaptively; the explicit salt is the
+  portable form that also composes with aggregates and bucketed
+  layouts.
+* **equi-depth binning** — exact global NTILE(k) without the
+  single-partition ``Window.orderBy`` anti-pattern: range-repartition
+  on the sort key, pin partitioning (localCheckpoint), per-partition
+  row_number + broadcast per-partition offsets → exact global rank,
+  then ANSI NTILE arithmetic on (rank, n).  The only full-relation
+  ordering work is the range exchange itself — exactly what a
+  100 TB sort would pay anyway; no stage sees more than one
+  partition's rows.
+* **key-skew profiler** — per keyspace: key count, row count, max/avg
+  frequency and the hottest key — the diagnostic that decides WHEN the
+  salted join / AQE skew handling above is needed.  One hash aggregate
+  per keyspace; the hottest key via a lexicographic min-struct
+  aggregate (never a sort).
+* **entity resolution** — blocking + verification + transitive
+  closure as one composition: SymSpell deletion-neighborhood candidate
+  pairs (analytics2.fuzzy_name_pairs) are the ≤1-edit edge set, and
+  alternating star contraction (graphops, Kiveris et al. 2014) labels
+  every customer with its entity's min id — singletons included, so
+  the output is a PARTITION of the entity space with a canonical
+  record per cluster, not just the duplicate pairs.
+
+Reference parity note: the reference repo (SaiSurya3003/
+F1_Data_Engineering) has no sketch/skew/ER surface — these extend the
+engine along SURVEY.md §6's training-data-pipeline axis.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+from .graphops import _sorted_fold_sum, star_contract_labels
+
+QUERIES = [
+    "hll_distinct_users",
+    "skew_join_salted",
+    "equidepth_bins",
+    "skew_profile",
+    "entity_resolution_clusters",
+]
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch
+# ---------------------------------------------------------------------------
+
+HLL_P = 8
+HLL_M = 1 << HLL_P  # 256 registers
+#: alpha_256 — computed ONCE in Python and embedded as the same double
+#: literal in both engines (repr round-trips exactly)
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+#: hash is 60 bits (15 md5 hex chars): 8 bucket bits + 52 rho bits
+HLL_RHO_BITS = 60 - HLL_P
+
+
+def _hll_hash(key: Column) -> Column:
+    """60-bit md5-parity hash of a string key, seeded 'hll#' — the
+    repo's cross-engine hash scheme (dedup.py, analytics2._cms_slot)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("hll#"), key).cast("binary")), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event_type via a 256-register HyperLogLog,
+    plus a ``__merged`` row built by register-wise MAX of the per-type
+    sketches — the merge that makes HLL shippable across days/sources
+    at 100 TB (union of streams ≡ max of registers, shown in-query
+    against the exact distinct of the union).
+
+    Exactness across engines: bucket = h % 256, rho = leading-zero run
+    of the remaining 52 bits + 1 = 53 - bitlength(w) (bitlength via
+    the minimal binary string both engines produce), 2^-M terms are
+    integer-shift exact doubles summed in bucket order (sorted fold),
+    and alpha·m² is one shared Python-literal double — no libm anywhere.
+    Raw estimator only (no small/large-range correction): the bias is
+    part of the contract and the exact count sits alongside for the
+    error column.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("none")).alias("g"),
+            F.col("user_id").cast("string").alias("k"),
+        )
+    )
+    h = _hll_hash(F.col("k"))
+    w = F.floor(h / HLL_M).cast("long")
+    rho = F.when(w == 0, F.lit(HLL_RHO_BITS + 1)).otherwise(
+        F.lit(HLL_RHO_BITS + 1) - F.length(F.bin(w))
+    )
+    regs = (
+        ev.select("g", (h % HLL_M).alias("bucket"), rho.alias("rho"))
+        .groupBy("g", "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+    merged = (
+        regs.groupBy("bucket")
+        .agg(F.max("m").alias("m"))
+        .select(F.lit("__merged").alias("g"), "bucket", "m")
+    )
+    # 2^-m exact: integer shift then divide (no pow/libm)
+    term = F.lit(1.0) / F.expr(
+        "CAST(shiftleft(CAST(1 AS BIGINT), CAST(m AS INT)) AS DOUBLE)"
+    )
+    sketches = (
+        regs.unionByName(merged)
+        .select("g", "bucket", term.alias("term"))
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets_used"),
+            _sorted_fold_sum("bucket", "term").alias("fold"),
+        )
+        .select(
+            "g",
+            "n_buckets_used",
+            # empty registers contribute 2^0 = 1.0 each; one final add
+            # keeps the fold order identical to the oracle
+            (
+                (F.lit(HLL_M) - F.col("n_buckets_used")).cast("double")
+                + F.col("fold")
+            ).alias("s"),
+        )
+    )
+    exact = ev.groupBy("g").agg(F.countDistinct("k").alias("exact_distinct"))
+    exact_all = ev.agg(
+        F.countDistinct("k").alias("exact_distinct")
+    ).select(F.lit("__merged").alias("g"), "exact_distinct")
+    est = F.round(F.lit(HLL_ALPHA) * F.lit(float(HLL_M * HLL_M)) / F.col("s"), 6)
+    return (
+        sketches.join(exact.unionByName(exact_all), "g")
+        .select(
+            F.col("g").alias("group_key"),
+            "n_buckets_used",
+            est.alias("hll_estimate"),
+            "exact_distinct",
+            F.when(
+                F.col("exact_distinct") > 0,
+                F.round(
+                    F.abs(est - F.col("exact_distinct").cast("double"))
+                    / F.col("exact_distinct").cast("double"),
+                    6,
+                ),
+            ).alias("rel_err"),
+        )
+        .orderBy("group_key")
+    )
+
+
+#: explicit DOUBLE casts — DuckDB types a bare decimal literal as
+#: DECIMAL and the multiply overflows / diverges from Spark's doubles
+_SQL_HLL_EST = (
+    f"ROUND(CAST({HLL_ALPHA!r} AS DOUBLE) * CAST({float(HLL_M * HLL_M)!r} AS DOUBLE) / s, 6)"
+)
+
+ORACLE_HLL = f"""
+WITH ev AS (
+  SELECT coalesce(event_type, 'none') AS g, CAST(user_id AS VARCHAR) AS k
+  FROM events WHERE user_id IS NOT NULL
+),
+hashed AS (
+  SELECT g, k,
+    CAST(('0x' || substr(md5('hll#' || k), 1, 15)) AS BIGINT) AS h
+  FROM ev
+),
+br AS (
+  SELECT g, h % {HLL_M} AS bucket, h // {HLL_M} AS w FROM hashed
+),
+regs AS (
+  SELECT g, bucket,
+    MAX(CASE WHEN w = 0 THEN {HLL_RHO_BITS + 1}
+        ELSE {HLL_RHO_BITS + 1} - length(ltrim(bin(w), '0')) END) AS m
+  FROM br GROUP BY g, bucket
+),
+allregs AS (
+  SELECT g, bucket, m FROM regs
+  UNION ALL
+  SELECT '__merged' AS g, bucket, MAX(m) AS m FROM regs GROUP BY bucket
+),
+sk AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+    CAST({HLL_M} - COUNT(*) AS DOUBLE)
+      + list_sum(list(1.0 / CAST((CAST(1 AS BIGINT) << m) AS DOUBLE)
+                      ORDER BY bucket)) AS s
+  FROM allregs GROUP BY g
+),
+ex AS (
+  SELECT g, CAST(COUNT(DISTINCT k) AS BIGINT) AS exact_distinct
+  FROM ev GROUP BY g
+  UNION ALL
+  SELECT '__merged' AS g, CAST(COUNT(DISTINCT k) AS BIGINT) FROM ev
+)
+SELECT sk.g AS group_key, sk.n_buckets_used,
+  {_SQL_HLL_EST} AS hll_estimate,
+  ex.exact_distinct,
+  CASE WHEN ex.exact_distinct > 0 THEN
+    ROUND(ABS({_SQL_HLL_EST} - CAST(ex.exact_distinct AS DOUBLE))
+          / CAST(ex.exact_distinct AS DOUBLE), 6)
+  END AS rel_err
+FROM sk JOIN ex ON sk.g = ex.g
+ORDER BY group_key
+"""
+
+
+# ---------------------------------------------------------------------------
+# salted skew join
+# ---------------------------------------------------------------------------
+
+SALT_BUCKETS = 8
+
+
+def skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per market segment through an EXPLICITLY SALTED
+    orders⋈customer equi-join: orders carry ``salt = hash(o_orderkey)
+    % 8`` and the customer side is exploded 8× with literal salts, so
+    the join key becomes (custkey, salt) and a hot customer's rows
+    spread over 8 reducers.
+
+    Results are identical to the plain join — salting changes WHERE
+    rows meet, never WHICH rows meet (the oracle is the unsalted SQL
+    join; tests/test_analytics4.py also pins salted ≡ unsalted
+    in-engine).  Cost model: the dim side pays S× replication — the
+    right trade when the dim is small relative to the skewed fact
+    (here 8×customer ≪ orders); for dim tables that fit in memory
+    outright a broadcast join sidesteps skew entirely, so the salt
+    pattern's real 100 TB use is MEDIUM dims (too big to broadcast,
+    joined to a skewed fact).  Money math on the fixed-point cents
+    path (relational._cents).
+    """
+    from .relational import _cents
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        _cents("o_totalprice").alias("cents"),
+        F.pmod(F.xxhash64("o_orderkey"), F.lit(SALT_BUCKETS)).alias("salt"),
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .withColumn(
+            "salt",
+            F.explode(F.array(*[F.lit(s) for s in range(SALT_BUCKETS)])),
+        )
+    )
+    n = F.count(F.lit(1))
+    return (
+        o.join(
+            c,
+            (o.o_custkey == c.c_custkey) & (o.salt == c.salt),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            n.alias("n_orders"),
+            (F.sum("cents").cast("double") / 100).alias("total_revenue"),
+            F.round(F.sum("cents").cast("double") / 100 / n, 6).alias(
+                "avg_order_value"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+#: the ORACLE is the plain (unsalted) join — the whole point
+ORACLE_SALTED_JOIN = """
+SELECT c.c_mktsegment,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total_revenue,
+  ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+        / COUNT(*), 6) AS avg_order_value
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# equi-depth binning (exact global NTILE, scale-safe)
+# ---------------------------------------------------------------------------
+
+NTILE_K = 10
+NTILE_RANGE_PARTS = 32
+
+
+def global_rank_by_range(
+    df: DataFrame, order_cols: list[str], parts: int = NTILE_RANGE_PARTS
+) -> DataFrame:
+    """Exact global row_number over ``order_cols`` without a
+    single-partition window: range-repartition on the keys (partition
+    i's keys all sort before partition i+1's), pin the layout with an
+    eager localCheckpoint (range boundaries are SAMPLED — two separate
+    jobs over an unpinned plan could draw different boundaries), then
+    global rank = per-partition row_number + the broadcast cumulative
+    offset of the partitions before it.  The offset table is
+    #partitions rows — driver metadata, like ranking.py's schemes."""
+    cols = [F.col(c) for c in order_cols]
+    pinned = (
+        df.repartitionByRange(parts, *cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    sizes = {
+        r["__pid"]: r["n"]
+        for r in pinned.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offs, acc = {}, 0
+    for pid in sorted(sizes):
+        offs[pid] = acc
+        acc += sizes[pid]
+    off_col = F.coalesce(
+        *[
+            F.when(F.col("__pid") == pid, F.lit(off))
+            for pid, off in sorted(offs.items())
+        ]
+    ) if offs else F.lit(0)
+    from pyspark.sql import Window as W
+
+    wl = W.partitionBy("__pid").orderBy(*cols)
+    return (
+        pinned.withColumn("__lr", F.row_number().over(wl))
+        .withColumn("rank", (off_col + F.col("__lr")).cast("long"))
+        .drop("__pid", "__lr")
+    ), acc
+
+
+def equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-count) binning of order totals: exact global
+    NTILE(10) over (o_totalprice, o_orderkey) via
+    :func:`global_rank_by_range` — the feature-discretization shape
+    (decile features, calibration bins) that naive
+    ``ntile().over(Window.orderBy(...))`` would funnel through ONE
+    task at 100 TB.
+
+    NTILE's exact ANSI rule, reproduced arithmetically from (rank, n):
+    with q = n//k and r = n%k, the first r buckets take q+1 rows.  The
+    oracle runs DuckDB's native NTILE — two independent codepaths, one
+    semantics.  Per-bin money stats on the cents path.
+    """
+    from .relational import _cents
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    ranked, n = global_rank_by_range(o, ["o_totalprice", "o_orderkey"])
+    q, r = n // NTILE_K, n % NTILE_K
+    cut = (q + 1) * r
+    rk = F.col("rank")
+    bucket = F.when(
+        rk <= cut, F.floor((rk - 1) / F.lit(q + 1))
+    ).otherwise(F.lit(r) + F.floor((rk - F.lit(cut) - 1) / F.lit(max(q, 1))))
+    cnt = F.count(F.lit(1))
+    return (
+        ranked.withColumn("bin", (bucket + 1).cast("long"))
+        .select("bin", "o_totalprice", _cents("o_totalprice").alias("cents"))
+        .groupBy("bin")
+        .agg(
+            cnt.alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.round(F.sum("cents").cast("double") / 100 / cnt, 6).alias(
+                "avg_price"
+            ),
+        )
+        .orderBy("bin")
+    )
+
+
+ORACLE_EQUIDEPTH = f"""
+WITH b AS (
+  SELECT o_totalprice,
+    ntile({NTILE_K}) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+  FROM orders
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+  COUNT(*) AS n_orders,
+  MIN(o_totalprice) AS min_price,
+  MAX(o_totalprice) AS max_price,
+  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+        / COUNT(*), 6) AS avg_price
+FROM b GROUP BY bin ORDER BY bin
+"""
+
+
+# ---------------------------------------------------------------------------
+# key-skew profiler
+# ---------------------------------------------------------------------------
+
+SKEW_KEYSPACES = (
+    ("events", "user_id"),
+    ("lineitem", "l_orderkey"),
+    ("orders", "o_custkey"),
+)
+
+
+def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-keyspace skew diagnostic: key/row counts, max and average
+    per-key frequency, the skew ratio (max/avg) and the hottest key —
+    the report that decides whether a join on that key needs the
+    salted pattern / AQE skew split.  One hash aggregate per keyspace;
+    the hottest key falls out of a lexicographic min-struct over
+    (-count, key) — an aggregate, not a sort (ties break to the
+    smallest key, as the oracle's ORDER BY cnt DESC, k LIMIT 1)."""
+    from functools import reduce
+
+    outs = []
+    for table, key in SKEW_KEYSPACES:
+        cnts = (
+            load_table(spark, sf_dir, table)
+            .select(F.col(key).alias("k"))
+            .filter(F.col("k").isNotNull())
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        agg = cnts.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.max("cnt").alias("max_cnt"),
+            F.min(
+                F.struct((-F.col("cnt")).alias("nc"), F.col("k").alias("k"))
+            )["k"].alias("top_key"),
+        )
+        avg = F.round(F.col("n_rows").cast("double") / F.col("n_keys"), 6)
+        outs.append(
+            agg.select(
+                F.lit(f"{table}.{key}").alias("keyspace"),
+                "n_keys",
+                "n_rows",
+                "max_cnt",
+                F.col("top_key").cast("string").alias("top_key"),
+                avg.alias("avg_per_key"),
+                F.round(F.col("max_cnt") / avg, 6).alias("skew_ratio"),
+            )
+        )
+    return reduce(DataFrame.unionByName, outs).orderBy("keyspace")
+
+
+def _sql_skew(table: str, key: str) -> str:
+    return f"""
+SELECT '{table}.{key}' AS keyspace, n_keys, n_rows, max_cnt,
+  CAST(t.k AS VARCHAR) AS top_key,
+  ROUND(CAST(n_rows AS DOUBLE) / n_keys, 6) AS avg_per_key,
+  ROUND(max_cnt / ROUND(CAST(n_rows AS DOUBLE) / n_keys, 6), 6) AS skew_ratio
+FROM (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         CAST(MAX(cnt) AS BIGINT) AS max_cnt
+  FROM (SELECT {key} AS k, COUNT(*) AS cnt FROM {table}
+        WHERE {key} IS NOT NULL GROUP BY {key})
+) s, (
+  SELECT k FROM (SELECT {key} AS k, COUNT(*) AS cnt FROM {table}
+                 WHERE {key} IS NOT NULL GROUP BY {key})
+  ORDER BY cnt DESC, k LIMIT 1
+) t"""
+
+
+ORACLE_SKEW_PROFILE = (
+    "\nUNION ALL\n".join(_sql_skew(t, k) for t, k in SKEW_KEYSPACES)
+    + "\nORDER BY keyspace"
+)
+
+
+# ---------------------------------------------------------------------------
+# entity resolution: blocking → verify → transitive closure → canonical
+# ---------------------------------------------------------------------------
+
+
+def entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over customer names: SymSpell
+    deletion-neighborhood blocking + exact ≤1-edit verification
+    (analytics2.fuzzy_name_pairs) yields the match edge set; star
+    contraction (graphops.star_contract_labels) gives every customer
+    its entity label (= component min id) — singletons INCLUDED, so
+    the result is a full partition of the entity space with the label
+    record's name as the cluster canonical.
+
+    The match rule is name-edit-distance ≤ 1 AND market-segment
+    agreement.  The second conjunct is what keeps transitive closure
+    meaningful on templated key spaces: serial names chain
+    ("…001"→"…002" is one edit), so a name-only rule collapses the
+    whole table into one entity — the classic ER over-merge.  A second
+    independent attribute breaks chains at every segment boundary
+    while keeping genuine near-dup records (typo'd copies agree on
+    their attributes) together.
+
+    Scale shape: blocking is an equi-join on deletion keys (never
+    names²), the segment check is a broadcast-sized rejoin on the pair
+    ids, closure is O(log² n) aggregate+join rounds, and the canonical
+    pick is a per-cluster conditional MAX — no sorts, no collects
+    beyond the contraction fixpoint checksum.  Oracle: recursive-CTE
+    transitive closure over the identical pair SQL.
+    """
+    from .analytics2 import fuzzy_name_pairs
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("node"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    seg = cust.select("node", "seg")
+    pairs = (
+        fuzzy_name_pairs(spark, sf_dir)
+        .select(F.col("id1").alias("u"), F.col("id2").alias("v"))
+        .join(seg.select(F.col("node").alias("u"), F.col("seg").alias("su")), "u")
+        .join(seg.select(F.col("node").alias("v"), F.col("seg").alias("sv")), "v")
+        .filter(F.col("su").eqNullSafe(F.col("sv")))
+        .select("u", "v")
+    )
+    labels = star_contract_labels(cust.select("node"), pairs)
+    return (
+        labels.join(cust, "node")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.array_join(
+                F.sort_array(F.collect_list("node")).cast("array<string>"), ","
+            ).alias("member_ids"),
+            F.max(
+                F.when(F.col("node") == F.col("label"), F.col("name"))
+            ).alias("canonical_name"),
+        )
+        .select(
+            F.col("label").alias("entity_id"),
+            "n_records",
+            "member_ids",
+            "canonical_name",
+        )
+        .orderBy("entity_id")
+    )
+
+
+#: pair SQL re-derived from analytics2.ORACLE_FUZZY (same keyed CTE),
+#: closure via recursive min-label reachability seeded with EVERY
+#: customer so singletons label themselves
+ORACLE_ER_CLUSTERS = """
+WITH RECURSIVE keyed AS (
+  SELECT c_custkey AS id, c_name AS name, k.key
+  FROM customer, UNNEST(
+    list_distinct(
+      list_append(
+        list_transform(range(1, length(c_name) + 1),
+          i -> substr(c_name, 1, i - 1) || substr(c_name, i + 1)),
+        c_name
+      )
+    )
+  ) AS k(key)
+),
+pairs AS (
+  SELECT DISTINCT a.id AS u, b.id AS v
+  FROM keyed a JOIN keyed b ON a.key = b.key AND a.id < b.id
+  JOIN customer ca ON a.id = ca.c_custkey
+  JOIN customer cb ON b.id = cb.c_custkey
+  WHERE levenshtein(a.name, b.name) <= 1
+    AND ca.c_mktsegment IS NOT DISTINCT FROM cb.c_mktsegment
+),
+und AS (
+  SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs
+),
+reach(node, label) AS (
+  SELECT c_custkey AS node, c_custkey AS label FROM customer
+  UNION
+  SELECT u.u, r.label FROM und u JOIN reach r ON u.v = r.node
+),
+lab AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node)
+SELECT l.label AS entity_id,
+  CAST(COUNT(*) AS BIGINT) AS n_records,
+  array_to_string(list_sort(list(l.node)), ',') AS member_ids,
+  MAX(CASE WHEN l.node = l.label THEN c.c_name END) AS canonical_name
+FROM lab l JOIN customer c ON l.node = c.c_custkey
+GROUP BY l.label ORDER BY entity_id
+"""
+

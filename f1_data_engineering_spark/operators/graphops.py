@@ -141,7 +141,11 @@ def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     dangling = nation.join(edges.select("src"), nation.node == F.col("src"), "left_anti")
 
-    base = F.lit(0.15) / F.lit(float(n_nodes))
+    # teleport derived from the damping constant so the two can never
+    # desynchronize; NB in IEEE 1-0.85 is 0.15000000000000002 (not the
+    # literal-0.15 double) — the oracle f-string interpolates the same
+    # Python-computed value, keeping both engines in lockstep
+    base = F.lit(1.0 - PR_DAMPING) / F.lit(float(n_nodes))
     ranks = nation.select("node", (F.lit(1.0) / F.lit(float(n_nodes))).alias("r"))
 
     for _ in range(PR_ITERS):
@@ -218,7 +222,7 @@ infl{k} AS (
 ),
 r{k + 1} AS (
   SELECT n.node,
-    0.15 / nn.n + {PR_DAMPING} * (COALESCE(i.infl, 0.0) + d.dm / nn.n) AS r
+    {1.0 - PR_DAMPING} / nn.n + {PR_DAMPING} * (COALESCE(i.infl, 0.0) + d.dm / nn.n) AS r
   FROM nodes n
   LEFT JOIN infl{k} i ON n.node = i.node
   CROSS JOIN dm{k} d CROSS JOIN nn
@@ -539,6 +543,50 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+def star_contract_labels(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_rounds: int = CC_STAR_MAX_ROUNDS,
+) -> DataFrame:
+    """(node, label) for every row of ``nodes`` (one column ``node``),
+    where label = the component min id under the undirected edge set
+    ``edges`` (columns ``u``, ``v``) — nodes touching no edge label
+    themselves.  Alternating large-star/small-star rounds to a
+    checksum fixpoint; ``localCheckpoint`` per round truncates the
+    iterative lineage and the fixpoint test is a 1-row aggregate, not
+    an edge collect.  Shared by :func:`cc_star_contraction` and
+    analytics4.entity_resolution_clusters."""
+    edges = edges.filter(F.col("u") != F.col("v")).localCheckpoint(eager=True)
+
+    def checksum(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38,0) accumulator: a long sum of 64-bit hashes
+            # overflows under ANSI semantics
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = None
+    for _ in range(max_rounds):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        cur = checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+
+    # converged: edges are (node, component-min) stars; centers label
+    # themselves
+    return nodes.join(
+        edges.select(F.col("u").alias("node"), F.col("v").alias("star")),
+        "node",
+        "left",
+    ).select("node", F.coalesce(F.col("star"), F.col("node")).alias("label"))
+
+
 def cc_star_contraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the MinHash-LSH near-dup pair graph
     via alternating large-star/small-star contraction — the O(log² n)-
@@ -571,35 +619,7 @@ def cc_star_contraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    edges = pairs.filter(F.col("u") != F.col("v")).localCheckpoint(eager=True)
-
-    def checksum(e: DataFrame) -> tuple:
-        row = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            # decimal(38,0) accumulator: a long sum of 64-bit hashes
-            # overflows under ANSI semantics
-            F.coalesce(
-                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
-                F.lit(0).cast("decimal(38,0)"),
-            ).alias("h"),
-        ).collect()[0]
-        return (row["n"], row["h"])
-
-    prev = None
-    for _ in range(CC_STAR_MAX_ROUNDS):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        cur = checksum(edges)
-        if cur == prev:
-            break
-        prev = cur
-
-    # converged: edges are (node, component-min) stars; centers label
-    # themselves
-    labels = nodes.join(
-        edges.select(F.col("u").alias("node"), F.col("v").alias("star")),
-        "node",
-        "left",
-    ).select("node", F.coalesce(F.col("star"), F.col("node")).alias("label"))
+    labels = star_contract_labels(nodes, pairs)
     return (
         labels.groupBy("label")
         .agg(

@@ -47,7 +47,11 @@ def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         totals = c.agg(
             F.count(F.lit(1)).alias("n_child"),
-            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+            # COALESCE matches the oracle: SUM over an EMPTY child table
+            # is NULL (→ float64 in pandas, hash-visible), not 0
+            F.coalesce(
+                F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)), F.lit(0)
+            )
             .cast("bigint")
             .alias("n_null_keys"),
         )

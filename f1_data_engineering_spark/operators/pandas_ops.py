@@ -114,14 +114,15 @@ def _agg_udfs():
     if _AGG_UDFS is None:
         @F.pandas_udf("double")
         def _median(v: pd.Series) -> float:
-            return float(v.quantile(0.5, interpolation="linear"))
+            vals = sorted(v.dropna().tolist())
+            m = _lerp_quantile(vals, 0.5)
+            return None if m is None else _round6_half_up(m)
 
         @F.pandas_udf("double")
         def _iqr(v: pd.Series) -> float:
-            return float(
-                v.quantile(0.75, interpolation="linear")
-                - v.quantile(0.25, interpolation="linear")
-            )
+            vals = sorted(v.dropna().tolist())
+            hi, lo = _lerp_quantile(vals, 0.75), _lerp_quantile(vals, 0.25)
+            return None if hi is None else _round6_half_up(hi - lo)
 
         @F.pandas_udf("long")
         def _n(v: pd.Series) -> int:
@@ -131,35 +132,127 @@ def _agg_udfs():
     return _AGG_UDFS
 
 
+def _lerp_quantile(sorted_vals: list[float], q: float) -> float | None:
+    """PERCENTILE_CONT as one explicit IEEE-double expression tree:
+    ``v[lo] + frac * (v[hi] - v[lo])`` with ``h = (n-1)*q``.
+
+    pandas' ``quantile`` and DuckDB's ``quantile_cont`` disagree at the
+    last ulp on ~3% of random inputs (measured: numpy lerps from the
+    upper value when ``frac >= 0.5``; DuckDB from the lower), which
+    flips a 6-dp HALF_UP boundary — the differential fuzzer found
+    exactly that on an IQR of 14.9998825.  Evaluating this same
+    expression in plain Python floats AND spelling it out in the oracle
+    SQL (ORACLE_MEDIAN_IQR) makes both engines run the identical IEEE
+    ops on the identical doubles, so the rounded results match
+    bit-for-bit, boundaries included.
+    """
+    n = len(sorted_vals)
+    if n == 0:
+        return None
+    h = (n - 1) * q
+    lo = int(h)
+    frac = h - lo
+    # hi collapses to lo when h is integral, but the add/multiply still
+    # run (matching the SQL tree exactly): ``-0.0 + 0.0*0.0`` is +0.0 in
+    # both engines, where an early-return of v[lo] would keep -0.0 here
+    # and diverge in sign (hash-visible)
+    hi = lo if frac == 0.0 else lo + 1
+    return sorted_vals[lo] + frac * (sorted_vals[hi] - sorted_vals[lo])
+
+
+def _round6_half_up(z: float) -> float:
+    """Spark's ``round(double, 6)`` / the oracle's varchar→decimal cast
+    chain: HALF_UP at 6 dp on the SHORTEST decimal repr (Python ``repr``
+    == DuckDB's double→VARCHAR cast, both Ryū; verified bit-equal over
+    30k boundary cases incl. subnormals and sub-1e-6 magnitudes).
+    DuckDB's native ``ROUND(double, 6)`` rounds the scaled double
+    instead and disagrees on repr-boundary values, so the oracle must
+    NOT use it here.  The final ``+ 0.0`` folds ``-0.0`` to ``+0.0``
+    (decimals are unsigned, so the oracle always yields +0.0 there;
+    the raw sign bit would be hash-visible)."""
+    import decimal
+
+    return (
+        float(
+            decimal.Decimal(repr(z)).quantize(
+                decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+        + 0.0
+    )
+
+
 def user_value_median_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user median and IQR of event value via GROUPED_AGG pandas
     UDFs — the UDAF path: Spark shuffles on user_id, each group's
     value column crosses to Python as Arrow batches, pandas computes
     the quantiles, one scalar returns per group.
 
-    pandas' linear interpolation is the same formula as ANSI
-    PERCENTILE_CONT / DuckDB quantile_cont, so the oracle is exact
-    (outputs rounded to 6 dp to absorb ulp-level noise).  Production
-    note: Spark's built-in ``percentile`` covers this exact case
-    JVM-side; the query exists to pin the grouped-agg machinery on
-    semantics a SQL oracle can replicate.
+    Cross-engine exactness: the quantile is computed as ONE explicit
+    lerp expression (see ``_lerp_quantile``) and rounded HALF_UP on the
+    shortest decimal repr (``_round6_half_up``) INSIDE the UDF; the
+    oracle spells out the identical expression tree in SQL and emulates
+    the identical rounding via a double→VARCHAR→DECIMAL(38,6) cast
+    chain, so the two engines agree bit-for-bit even at rounding
+    boundaries (pandas.quantile / quantile_cont / ROUND each diverge at
+    the last ulp — fuzz-found).  Production note: Spark's built-in
+    ``percentile`` covers this case JVM-side; the query exists to pin
+    the grouped-agg machinery on semantics a SQL oracle can replicate.
     """
     med, iqr, n = _agg_udfs()
     ev = load_table(spark, sf_dir, "events").select("user_id", "value")
     return (
         ev.groupBy("user_id")
         .agg(
-            F.round(med(F.col("value")), 6).alias("med_value"),
-            F.round(iqr(F.col("value")), 6).alias("iqr_value"),
+            med(F.col("value")).alias("med_value"),
+            iqr(F.col("value")).alias("iqr_value"),
             n(F.col("value")).alias("n_events"),
         )
     )
 
 
-ORACLE_MEDIAN_IQR = """
-SELECT user_id,
-  ROUND(quantile_cont(value, 0.5), 6) AS med_value,
-  ROUND(quantile_cont(value, 0.75) - quantile_cont(value, 0.25), 6) AS iqr_value,
-  CAST(COUNT(*) AS BIGINT) AS n_events
-FROM events GROUP BY user_id ORDER BY user_id
+def _oracle_lerp(q: str) -> str:
+    """SQL for ``v[lo] + frac*(v[hi]-v[lo])`` at quantile ``q`` over the
+    per-user sorted non-NULL values — textually the same expression
+    tree ``_lerp_quantile`` evaluates in Python, so both engines run
+    the same IEEE double ops."""
+    return (
+        f"(MAX(CASE WHEN rn = CAST(FLOOR((m-1)*{q}) AS BIGINT) THEN value END)"
+        f" + ((m-1)*{q} - FLOOR((m-1)*{q}))"
+        f" * (MAX(CASE WHEN rn = CAST(CEIL((m-1)*{q}) AS BIGINT) THEN value END)"
+        f" - MAX(CASE WHEN rn = CAST(FLOOR((m-1)*{q}) AS BIGINT) THEN value END)))"
+    )
+
+
+def _oracle_round6(expr: str) -> str:
+    """Spark/Python HALF_UP-on-shortest-repr at 6 dp, in DuckDB: the
+    double→VARCHAR cast is Ryū shortest repr (== Python ``repr``); the
+    VARCHAR is parsed EXACTLY at scale 30 (every shortest-repr double
+    with \\|x\\| ≥ 1e-7 fits — and anything smaller rounds to ±0 at 6 dp
+    regardless), then decimal-space ROUND applies HALF_UP at 6 dp.
+    Verified bit-equal to ``_round6_half_up`` (sign included) over 30k
+    boundary cases.  A direct VARCHAR→DECIMAL(38,6) cast is NOT safe:
+    DuckDB misrounds many-digit scientific-notation strings at the
+    target scale (fuzz-found: '-5.96…e-08' → -1e-6), and DuckDB's
+    native ROUND(double, 6) rounds the scaled double rather than the
+    shortest repr."""
+    return f"CAST(ROUND(CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(38,30)), 6) AS DOUBLE)"
+
+
+ORACLE_MEDIAN_IQR = f"""
+WITH nn AS (
+  SELECT user_id, value,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value) - 1 AS rn,
+    COUNT(*) OVER (PARTITION BY user_id) AS m
+  FROM events WHERE value IS NOT NULL
+),
+q AS (
+  SELECT user_id, m,
+    {_oracle_round6(_oracle_lerp('0.5'))} AS med_value,
+    {_oracle_round6(f"{_oracle_lerp('0.75')} - {_oracle_lerp('0.25')}")} AS iqr_value
+  FROM nn GROUP BY user_id, m
+),
+g AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events FROM events GROUP BY user_id)
+SELECT g.user_id, q.med_value, q.iqr_value, g.n_events
+FROM g LEFT JOIN q USING (user_id) ORDER BY user_id
 """

@@ -704,29 +704,34 @@ def kmeans_embeddings(
             f"embeddings table in {sf_dir} has only {len(cents)}"
         )
 
-    def dist2(c: list[float]) -> Column:
-        terms = [
-            (F.col("embedding").getItem(d) - F.lit(float(c[d]))) ** 2
-            for d in range(DIM)
-        ]
-        out = terms[0]
-        for t in terms[1:]:
-            out = out + t
-        return out
-
     def best() -> Column:
-        # argmin as array_min over (distance, index) structs: each
-        # distance polynomial appears EXACTLY ONCE in the plan, and the
+        # argmin as array_min over (distance, index) structs built by a
+        # zip_with/aggregate fold over ONE array<array<double>> centroid
+        # literal.  The fold ``0.0 + t0 + t1 + …`` is bit-identical to
+        # the previous unrolled ``t0 + t1 + …`` chain (every pow(x,2)
+        # term is >= +0.0, so the 0.0 seed can't flip a sign), and the
         # lexicographic struct min breaks ties toward the lower index
-        # (numpy argmin's rule).  A when-chained argmin would nest every
-        # prior branch inside the next (expression size ~3^k·DIM — the
-        # codegen compiler OOMs around k=8, DIM=64).
+        # (numpy argmin's rule).  vs the k×DIM unrolled literal chains
+        # this shrinks the expression tree from O(k·DIM) arithmetic
+        # nodes to O(k) array literals + O(1) lambdas — the unrolled
+        # form spent ~20 s per bench run in analysis/codegen at EVERY
+        # scale factor (plan-compile-bound, not data-bound).
+        carr = F.array(*[F.lit([float(v) for v in c]) for c in cents])
+        dists = F.transform(
+            carr,
+            lambda c: F.aggregate(
+                F.zip_with(
+                    F.col("embedding"), c, lambda x, y: F.pow(x - y, F.lit(2))
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ),
+        )
         return F.array_min(
-            F.array(
-                *[
-                    F.struct(dist2(cents[j]).alias("d"), F.lit(j).alias("j"))
-                    for j in range(k)
-                ]
+            F.zip_with(
+                dists,
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda d, j: F.struct(d.alias("d"), j.alias("j")),
             )
         )
 
@@ -767,26 +772,64 @@ def kmeans_embeddings(
 # IVF ANN (inverted-file index: centroid cells + nprobe search)
 # ---------------------------------------------------------------------------
 
-IVF_NLIST = 16
 IVF_NPROBE = 4
 IVF_TOPK = 3
 
+#: coarse_nlist clamps: 4 cells minimum (tiny fuzz corpora), 65536 max
+#: (beyond that the centroid table itself wants hierarchical routing)
+NLIST_MIN = 4
+NLIST_MAX = 65536
 
-def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN top-k: the corpus is partitioned into ``IVF_NLIST``
-    cells by nearest centroid; each query brute-forces only its
-    ``IVF_NPROBE`` most-similar cells (25% of the corpus in
-    expectation).
+
+def coarse_nlist(n: int) -> int:
+    """√N-scaled coarse-quantizer size: the LARGEST power of two whose
+    square is ≤ the corpus count, clamped to [NLIST_MIN, NLIST_MAX].
+
+    This is the knob that keeps IVF/SemDeDup cell-local pair work
+    bounded at scale: cells average n/nlist ≈ √n vectors, so within-cell
+    scoring is O(n·√n) total rather than the O(n²/k) of a fixed k
+    (SCALING.md's annotated quadratic at the old fixed 16).  Derived
+    per-query from the corpus row count — 500-vector test tables give
+    16 (the value every committed golden/driver hash was recorded at);
+    1M vectors give 512; 1B give 16384.  Integer-exact by
+    construction (powers of two, integer squares), with a DuckDB twin
+    (``_SQL_NLIST``) evaluating the identical rule so the differential
+    gate derives the same value from the same table.
+    """
+    p = NLIST_MIN
+    while p < NLIST_MAX and (p * 2) * (p * 2) <= max(n, NLIST_MIN * NLIST_MIN):
+        p *= 2
+    return p
+
+
+#: DuckDB twin of :func:`coarse_nlist` over the ``embeddings`` view —
+#: POWER(2, i) is exact for integer i, and the squares stay ≤ 2^32, so
+#: the float comparison is integer-exact on both engines.
+_SQL_NLIST = """(
+  SELECT MAX(CAST(POWER(2, i) AS BIGINT)) FROM range(2, 17) t(i)
+  WHERE POWER(2, i) * POWER(2, i)
+        <= GREATEST((SELECT COUNT(*) FROM embeddings), 16)
+)"""
+
+
+def ivf_ann(
+    spark: SparkSession, sf_dir: str, nlist: int | None = None
+) -> DataFrame:
+    """IVF-style ANN top-k: the corpus is partitioned into ``nlist``
+    cells by nearest centroid (``nlist`` derived √N-style from the
+    corpus count via :func:`coarse_nlist` unless given); each query
+    brute-forces only its ``IVF_NPROBE`` most-similar cells.
 
     This is the data-dependent sibling of :func:`lsh_multiprobe_ann`:
     LSH cells come from fixed hyperplanes, IVF cells from a coarse
     quantizer that adapts to the data distribution.  For oracle
     determinism the quantizer here is seeded (centroids = the first
-    ``IVF_NLIST`` vectors) rather than k-means-trained — the list
+    ``nlist`` vectors) rather than k-means-trained — the list
     structure, probe mechanics and plan shape are identical to a
     trained index (train with :func:`kmeans_embeddings` in production;
-    at 100 TB NLIST grows ~√N and the centroid table stays broadcast-
-    sized for millions of cells).
+    nlist grows as the largest power of two ≤ √N, so cells average ~√N
+    vectors and the centroid table stays broadcast-sized — 16 MB at
+    NLIST_MAX=65536 × 64 dims × 4 B).
 
     Plan shape: ONE broadcast pass assigns every vector its cell
     (argmax encoded as a lexicographic max-struct hash aggregate —
@@ -797,7 +840,10 @@ def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", l2_norm("embedding").alias("enorm")
     )
-    cent = e.filter(F.col("vec_id") < IVF_NLIST).select(
+    if nlist is None:
+        # parquet metadata count — no column scan
+        nlist = coarse_nlist(load_table(spark, sf_dir, "embeddings").count())
+    cent = e.filter(F.col("vec_id") < nlist).select(
         F.col("vec_id").alias("cent_id"),
         F.col("embedding").alias("cvec"),
         F.col("enorm").alias("cnorm"),
@@ -891,7 +937,7 @@ WITH e AS (
 ),
 cent AS (
   SELECT vec_id AS cent_id, embedding AS cvec, enorm AS cnorm
-  FROM e WHERE vec_id < {IVF_NLIST}
+  FROM e WHERE vec_id < {_SQL_NLIST}
 ),
 scored AS (
   SELECT e.vec_id, e.embedding, e.enorm, c.cent_id,
@@ -951,9 +997,13 @@ SEMDEDUP_TAU = 0.4
 SEMDEDUP_PLANTED = 20
 
 
-def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+def semdedup_prune(
+    spark: SparkSession, sf_dir: str, nlist: int | None = None
+) -> DataFrame:
     """SemDeDup pruning decision per vector: cluster the corpus into
-    ``IVF_NLIST`` cells (seeded centroids, as :func:`ivf_ann`), score
+    ``nlist`` cells (seeded centroids, as :func:`ivf_ann`; √N-derived
+    from the base table count via :func:`coarse_nlist` unless given),
+    score
     within-cell pairs by cosine, and prune vector *i* iff some
     same-cell vector *j < i* has sim ≥ ``SEMDEDUP_TAU`` — exactly the
     upper-triangular-max rule of the reference SemDeDup
@@ -967,10 +1017,14 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ONE broadcast pass assigns cells (max-struct hash
     aggregate, map-side partials); candidate scoring is an EQUI-join
-    on the cell id, so pair work is bucket-local (at 100 TB, NLIST
-    grows ~√N — see DEPLOY.md — keeping cells bounded); the prune
-    decision is a per-vector MAX aggregate over candidate sims, never
-    a collected matrix.
+    on the cell id, and nlist ∝ √N keeps cells ~√N-sized so total
+    within-cell pair work is O(N^1.5), not corpus² (see DEPLOY.md);
+    the prune decision is a per-vector MAX aggregate over candidate
+    sims, never a collected matrix.  Recall contract: pruning only
+    consults SAME-CELL priors, so cell granularity changes which
+    near-threshold organic pairs are compared — but verbatim
+    duplicates always share a cell (identical vectors score every
+    centroid identically) and are always pruned, at any nlist.
     """
     e = spread(load_table(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id", "embedding"
@@ -981,7 +1035,9 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = e.unionByName(planted).select(
         "vec_id", "embedding", l2_norm("embedding").alias("enorm")
     )
-    cent = corpus.filter(F.col("vec_id") < IVF_NLIST).select(
+    if nlist is None:
+        nlist = coarse_nlist(load_table(spark, sf_dir, "embeddings").count())
+    cent = corpus.filter(F.col("vec_id") < nlist).select(
         F.col("vec_id").alias("cent_id"),
         F.col("embedding").alias("cvec"),
         F.col("enorm").alias("cnorm"),
@@ -1062,7 +1118,7 @@ WITH corpus AS MATERIALIZED (
 ),
 cent AS (
   SELECT vec_id AS cent_id, embedding AS cvec, enorm AS cnorm
-  FROM corpus WHERE vec_id < {IVF_NLIST}
+  FROM corpus WHERE vec_id < {_SQL_NLIST}
 ),
 scored AS (
   SELECT e.vec_id, e.embedding, e.enorm, c.cent_id,
@@ -1144,21 +1200,29 @@ def kmeans_exact_lloyd(
             f"{sf_dir} has only {len(cents)}"
         )
 
-    def dist2(c: list[float]) -> Column:
-        # left-assoc + chain == DuckDB list_sum's sequential fold
-        out = F.lit(0.0)
-        for d in range(DIM):
-            t = F.col("e").getItem(d) - F.lit(float(c[d]))
-            out = out + t * t
-        return out
-
     def best() -> Column:
+        # one array<array<double>> centroid literal; per-centroid
+        # distance is aggregate's left fold ``0.0 + t0*t0 + t1*t1 + …``
+        # — the exact sequential order DuckDB's list_sum applies in the
+        # oracle, and bit-identical to the previously-unrolled + chain
+        # (same IEEE ops, same order; CORRECTNESS hash unchanged).
+        # O(k) literals + O(1) lambdas replace O(k·DIM) codegen'd
+        # arithmetic nodes: the unrolled form was plan-compile-bound
+        # (~20 s flat at every SF).
+        carr = F.array(*[F.lit([float(v) for v in c]) for c in cents])
+        dists = F.transform(
+            carr,
+            lambda c: F.aggregate(
+                F.zip_with(F.col("e"), c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ),
+        )
         return F.array_min(
-            F.array(
-                *[
-                    F.struct(dist2(cents[j]).alias("d"), F.lit(j).alias("j"))
-                    for j in range(k)
-                ]
+            F.zip_with(
+                dists,
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda d, j: F.struct(d.alias("d"), j.alias("j")),
             )
         )
 

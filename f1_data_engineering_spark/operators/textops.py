@@ -46,8 +46,8 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TEXT_STATS = f"""
 SELECT doc_id,
   CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tokens,
-  CAST(len(regexp_extract_all(text,
-    '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+'))
+  CAST(coalesce(len(regexp_extract_all(text,
+    '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+')), 0)
     AS BIGINT) AS n_bpe_tokens,
   CAST(length(text) AS BIGINT) AS n_chars_measured,
   n_chars

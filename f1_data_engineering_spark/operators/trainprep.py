@@ -412,7 +412,7 @@ pairs AS (
       ELSE [] END) AS pair
   FROM words
 )
-SELECT pair, SUM(wc) AS merge_count
+SELECT pair, CAST(SUM(wc) AS BIGINT) AS merge_count
 FROM pairs GROUP BY pair
 ORDER BY merge_count DESC, pair LIMIT 20
 """
@@ -758,7 +758,7 @@ WITH d AS (
   SELECT doc_id, len({_SQL_TOKENS}) AS n_tokens, {_SQL_SHARD} AS shard
   FROM documents
 )
-SELECT shard, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
 FROM d GROUP BY shard ORDER BY shard
 """

@@ -41,12 +41,38 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def _dtype_class(s: pd.Series) -> str:
+    """Coarse dtype class the driver's hash is sensitive to."""
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return "object"
+
+
 def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     problems = []
     if sorted(sdf.columns) != sorted(odf.columns):
         return [f"columns differ: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"]
     if len(sdf) != len(odf):
         problems.append(f"row count: spark={len(sdf)} oracle={len(odf)}")
+        return problems
+    # Dtype-strict gate BEFORE normalization: the driver hashes the raw
+    # pandas frames, so int64 `123` vs float64 `123.0` hash-mismatches even
+    # when every value compares equal (r4: mad_outlier_events et al.).
+    for c in sorted(sdf.columns):
+        sc_cls, oc_cls = _dtype_class(sdf[c]), _dtype_class(odf[c])
+        if {sc_cls, oc_cls} == {"int", "float"}:
+            problems.append(
+                f"col {c}: dtype class mismatch spark={sdf[c].dtype} "
+                f"oracle={odf[c].dtype} — driver hash WILL differ even if "
+                f"values are equal (CAST the oracle aggregate)"
+            )
+    if problems:
         return problems
     s, o = normalize(sdf), normalize(odf)
     for c in s.columns:

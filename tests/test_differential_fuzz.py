@@ -18,7 +18,7 @@ import os
 
 import duckdb
 import pytest
-from hypothesis import HealthCheck, given, settings, strategies as st
+from hypothesis import HealthCheck, example, given, settings, strategies as st
 
 from f1_data_engineering_spark.operators import dedup as DD
 from f1_data_engineering_spark.operators import multimodal as MM
@@ -117,6 +117,10 @@ _run_counter = [0]
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(corpus=_corpus)
+# regression (r5): NULL-text doc — Spark's bpe_ish_token_count coalesces
+# NULL→0 while the oracle's bare len(regexp_extract_all(...)) gave NULL
+# (int64-vs-float64 under the dtype-strict gate)
+@example(corpus=[(None, "en", "A")])
 def test_text_operators_differential_fuzz(spark, fuzz_dir, corpus):
     _run_counter[0] += 1
     sf_dir = str(fuzz_dir / f"case{_run_counter[0]}")
@@ -232,6 +236,45 @@ EVENT_FUZZ_QUERIES = [
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(corpus=_events_corpus)
+# regression (r4-found, r5-fixed): user 1's IQR lands exactly on the
+# 14.9998825 six-dp HALF_UP boundary; pandas.quantile and DuckDB
+# quantile_cont disagree at the last ulp there, so the two engines
+# rounded to 14.999882 vs 14.999883 until both sides were rebuilt on
+# one explicit lerp + shortest-repr rounding (pandas_ops._lerp_quantile)
+@example(
+    corpus=[
+        (2, 600, None, 2.2250738585072014e-308, '{"k": 7}'),
+        (1, 600, None, 59.9995, "[]"),
+        (3, 1200, None, None, '{"k": 0}'),
+        (1, 1200, None, 2.2250738585072014e-308, "{bad"),
+        (0, 1200, None, None, '{"k": -3}'),
+        (1, 14, "view", -1.175494351e-38, ""),
+        (3, 600, None, -59.9995, '{"k": null}'),
+        (3, 1200, None, 99999.0, '{"k": null}'),
+        (3, 9, "purchase", 1e-05, '{"k": null}'),
+        (0, 1200, None, 3599.9999, "{bad"),
+        (1, 2, None, 1e-05, '{"j": 1}'),
+        (3, 1200, None, 0.3333333333333333, '{"k": -3}'),
+        (0, 62, "click", 3599.9999, None),
+    ]
+)
+# regression (r5): a single-value group median of -5.96e-08 — DuckDB's
+# VARCHAR→DECIMAL(38,6) cast misrounds many-digit scientific-notation
+# strings (gave -1e-6; correct is -0.000000), and the -0.0 the Python
+# side then produced is hash-visible vs +0.0 — both fixed by the
+# scale-30-parse + decimal ROUND oracle chain and the +0.0 fold
+@example(
+    corpus=[
+        (1, 43, "purchase", None, '{"k": null}'),
+        (2, 52, "click", None, ""),
+        (1, 65, None, -1.9, '{"k": null}'),
+        (3, 42, None, None, '{"k": "x"}'),
+        (0, 0, "click", None, '{"k": 7}'),
+        (1, 0, None, 0.0, '{"k": 7}'),
+        (0, 0, None, None, '{"k": 7}'),
+        (0, 0, "click", -5.960464477539063e-08, '{"k": 7}'),
+    ]
+)
 def test_event_operators_differential_fuzz(spark, fuzz_dir, corpus):
     """Window / sessionization / as-of / percentile operators under
     adversarial event streams: duplicated timestamps on every key (the

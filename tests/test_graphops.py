@@ -394,3 +394,86 @@ def test_star_contraction_matches_label_flood(spark, sf_dir):
         for r in DD.dedup_clusters(spark, sf_dir).collect()
     )
     assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------------------------------
+# √N-derived NLIST knob (coarse_nlist) — r5: the fixed test NLIST=16 is
+# now computed from the corpus count, bounding within-cell pair work at
+# any scale while keeping the 500-row test tables at the value every
+# committed golden/driver hash was recorded at.
+# ---------------------------------------------------------------------------
+
+
+def test_coarse_nlist_rule_and_sql_twin():
+    """Python rule: largest power of two whose square fits the corpus;
+    DuckDB twin (_SQL_NLIST) must derive the identical value from a
+    table of the same count."""
+    import duckdb
+
+    assert SIM.coarse_nlist(500) == 16      # the test tables' value
+    assert SIM.coarse_nlist(2000) == 32     # sf0.1
+    assert SIM.coarse_nlist(1) == 4         # low clamp
+    assert SIM.coarse_nlist(0) == 4
+    assert SIM.coarse_nlist(10**12) == SIM.NLIST_MAX  # high clamp
+    assert SIM.coarse_nlist(1_000_000) == 512  # 512² = 262144 ≤ 1e6 < 1024²
+
+    con = duckdb.connect()
+    for n in [1, 6, 15, 16, 17, 255, 256, 257, 500, 2000, 20000, 10**6]:
+        con.execute("CREATE OR REPLACE VIEW embeddings AS "
+                    f"SELECT unnest(range({n})) AS vec_id")
+        got = con.execute(f"SELECT {SIM._SQL_NLIST}").fetchone()[0]
+        assert got == SIM.coarse_nlist(n), (n, got)
+
+
+def test_semdedup_recall_contract_across_nlist(spark, sf_dir):
+    """The documented recall contract must hold at ANY cell
+    granularity: verbatim planted copies land in their original's cell
+    and are pruned, and a finer partition (larger nlist) never does
+    MORE within-cell pair work."""
+    work = {}
+    for nlist in (8, 32):
+        rows = SIM.semdedup_prune(spark, sf_dir, nlist=nlist).collect()
+        by_id = {r["vec_id"]: r for r in rows}
+        planted = [r for r in rows if r["vec_id"] >= 100000]
+        assert len(planted) == SIM.SEMDEDUP_PLANTED
+        for r in planted:
+            assert r["pruned"] == 1, (nlist, r)
+            assert r["cell"] == by_id[r["vec_id"] - 100000]["cell"]
+        sizes = {}
+        for r in rows:
+            sizes[r["cell"]] = sizes.get(r["cell"], 0) + 1
+        assert len(sizes) <= nlist
+        work[nlist] = sum(c * (c - 1) // 2 for c in sizes.values())
+    assert work[32] <= work[8], work
+
+
+def test_ivf_ann_reported_sims_exact_across_nlist(spark, sf_dir):
+    """At every nlist, ivf_ann's reported sims must equal the exact
+    cosine for those pairs (probing changes WHICH candidates are seen,
+    never the correctness of their scores), with <= topk rows/query."""
+    from f1_data_engineering_spark.functions.vectors import dot, l2_norm
+    from f1_data_engineering_spark.sources.registry import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", l2_norm("embedding").alias("enorm")
+    )
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("enorm").alias("qnorm"),
+    )
+    denom = F.col("qnorm") * F.col("enorm")
+    sim = F.when(denom > 0, dot("qvec", "embedding") / denom)
+    exact = {
+        (r["query_id"], r["vec_id"]): r["s"]
+        for r in e.join(F.broadcast(q))
+        .select("query_id", "vec_id", F.round(sim, 6).alias("s"))
+        .collect()
+    }
+    for nlist in (8, 32):
+        got = SIM.ivf_ann(spark, sf_dir, nlist=nlist).collect()
+        per_q = {}
+        for r in got:
+            per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
+            assert exact[(r["query_id"], r["neighbor_id"])] == r["sim"], (nlist, r)
+        assert per_q and max(per_q.values()) <= SIM.IVF_TOPK
