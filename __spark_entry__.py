@@ -325,6 +325,13 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equidepth_bins": A4.equidepth_bins,
         "skew_profile": A4.skew_profile,
         "entity_resolution_clusters": A4.entity_resolution_clusters,
+        # round-5b wave: HLL sketch algebra (intersection estimation),
+        # ANN recall audit, exact-distributed winsorized stats,
+        # deterministic negative sampling
+        "hll_intersection_estimate": A4.hll_intersection_estimate,
+        "ann_recall_eval": SIM.ann_recall_eval,
+        "winsorized_stats": A4.winsorized_stats,
+        "negative_sampling_pairs": A4.negative_sampling_pairs,
     }
 
 
@@ -487,5 +494,9 @@ def oracle_sql() -> dict[str, str]:
         "equidepth_bins": A4.ORACLE_EQUIDEPTH,
         "skew_profile": A4.ORACLE_SKEW_PROFILE,
         "entity_resolution_clusters": A4.ORACLE_ER_CLUSTERS,
+        "hll_intersection_estimate": A4.ORACLE_HLL_INTERSECTION,
+        "ann_recall_eval": SIM.ORACLE_ANN_RECALL,
+        "winsorized_stats": A4.ORACLE_WINSORIZED,
+        "negative_sampling_pairs": A4.ORACLE_NEGATIVE_SAMPLING,
     }
     return out

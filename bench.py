@@ -154,6 +154,12 @@ BENCH_QUERIES = (
     "equidepth_bins",
     "skew_profile",
     "entity_resolution_clusters",
+    # round-5b: sketch algebra, ANN recall audit, exact distributed
+    # winsorization, deterministic negative sampling
+    "hll_intersection_estimate",
+    "ann_recall_eval",
+    "winsorized_stats",
+    "negative_sampling_pairs",
 )
 
 

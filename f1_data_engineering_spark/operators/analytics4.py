@@ -601,3 +601,521 @@ FROM lab l JOIN customer c ON l.node = c.c_custkey
 GROUP BY l.label ORDER BY entity_id
 """
 
+
+# ---------------------------------------------------------------------------
+# HLL sketch algebra: pairwise intersection estimation
+# ---------------------------------------------------------------------------
+
+
+def hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise distinct-user OVERLAP between event types, estimated
+    purely from HLL registers by inclusion-exclusion:
+    ``est(A∩B) = est(A) + est(B) - est(A∪B)``, where the union sketch
+    is the register-wise MAX — the algebra a planner uses to size a
+    join (or a curation pipeline uses to size a source overlap)
+    WITHOUT touching raw data twice.  Exact intersections computed
+    alongside for the error audit.
+
+    Scale shape: sketches are built by the same one-pass (group,
+    bucket) hash aggregate as :func:`hll_distinct_users`; everything
+    after operates on O(groups × 256) register rows — pair work is
+    (chosen pairs) × 256, never data-sized.  Raw estimator by the same
+    documented contract (no range corrections); inclusion-exclusion on
+    raw estimates can go negative on tiny overlaps — that too is part
+    of the contract (clamp at read time in production).
+
+    Cross-engine exactness: same md5-parity hash / shift-exact 2^-m
+    terms / sorted-fold sums as hll_distinct_users; the three
+    estimates are computed UNROUNDED on both engines, combined, then
+    rounded once for display.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("none")).alias("g"),
+            F.col("user_id").cast("string").alias("k"),
+        )
+    )
+    h = _hll_hash(F.col("k"))
+    w = F.floor(h / HLL_M).cast("long")
+    rho = F.when(w == 0, F.lit(HLL_RHO_BITS + 1)).otherwise(
+        F.lit(HLL_RHO_BITS + 1) - F.length(F.bin(w))
+    )
+    regs = (
+        ev.select("g", (h % HLL_M).alias("bucket"), rho.alias("rho"))
+        .groupBy("g", "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+
+    types = regs.select("g").distinct()
+    pairs = (
+        types.select(F.col("g").alias("ga"))
+        .join(types.select(F.col("g").alias("gb")), F.col("ga") < F.col("gb"))
+    )
+
+    term = F.lit(1.0) / F.expr(
+        "CAST(shiftleft(CAST(1 AS BIGINT), CAST(m AS INT)) AS DOUBLE)"
+    )
+
+    def sketch_s(r: DataFrame, keys: list[str]) -> DataFrame:
+        """(keys…, s) with s = (256 - used) + sorted fold of 2^-m."""
+        return (
+            r.select(*keys, "bucket", term.alias("term"))
+            .groupBy(*keys)
+            .agg(
+                F.count(F.lit(1)).alias("used"),
+                _sorted_fold_sum("bucket", "term").alias("fold"),
+            )
+            .select(
+                *keys,
+                (
+                    (F.lit(HLL_M) - F.col("used")).cast("double") + F.col("fold")
+                ).alias("s"),
+            )
+        )
+
+    est = F.lit(HLL_ALPHA) * F.lit(float(HLL_M * HLL_M))
+    singles = sketch_s(regs, ["g"]).select("g", (est / F.col("s")).alias("e"))
+
+    ua = pairs.join(regs, pairs.ga == regs.g).select("ga", "gb", "bucket", "m")
+    ub = pairs.join(regs, pairs.gb == regs.g).select("ga", "gb", "bucket", "m")
+    union_regs = (
+        ua.unionByName(ub).groupBy("ga", "gb", "bucket").agg(F.max("m").alias("m"))
+    )
+    unions = sketch_s(union_regs, ["ga", "gb"]).select(
+        "ga", "gb", (est / F.col("s")).alias("eu")
+    )
+
+    dk = ev.distinct()
+    exact = (
+        dk.select(F.col("g").alias("ga"), "k")
+        .join(dk.select(F.col("g").alias("gb"), "k"), "k")
+        .filter(F.col("ga") < F.col("gb"))
+        .groupBy("ga", "gb")
+        .agg(F.countDistinct("k").alias("exact_intersection"))
+    )
+
+    return (
+        unions.join(singles.select(F.col("g").alias("ga"), F.col("e").alias("ea")), "ga")
+        .join(singles.select(F.col("g").alias("gb"), F.col("e").alias("eb")), "gb")
+        .join(exact, ["ga", "gb"], "left")
+        .select(
+            F.col("ga").alias("type_a"),
+            F.col("gb").alias("type_b"),
+            F.round("ea", 6).alias("est_a"),
+            F.round("eb", 6).alias("est_b"),
+            F.round("eu", 6).alias("est_union"),
+            F.round(F.col("ea") + F.col("eb") - F.col("eu"), 6).alias(
+                "est_intersection"
+            ),
+            F.coalesce("exact_intersection", F.lit(0)).alias("exact_intersection"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+_SQL_HLL_E = (
+    f"(CAST({HLL_ALPHA!r} AS DOUBLE) * CAST({float(HLL_M * HLL_M)!r} AS DOUBLE))"
+)
+
+ORACLE_HLL_INTERSECTION = f"""
+WITH ev AS (
+  SELECT coalesce(event_type, 'none') AS g, CAST(user_id AS VARCHAR) AS k
+  FROM events WHERE user_id IS NOT NULL
+),
+hashed AS (
+  SELECT g, k,
+    CAST(('0x' || substr(md5('hll#' || k), 1, 15)) AS BIGINT) AS h
+  FROM ev
+),
+regs AS (
+  SELECT g, h % {HLL_M} AS bucket,
+    MAX(CASE WHEN h // {HLL_M} = 0 THEN {HLL_RHO_BITS + 1}
+        ELSE {HLL_RHO_BITS + 1} - length(ltrim(bin(h // {HLL_M}), '0')) END) AS m
+  FROM hashed GROUP BY g, h % {HLL_M}
+),
+singles AS (
+  SELECT g, {_SQL_HLL_E} / (
+    CAST({HLL_M} - COUNT(*) AS DOUBLE)
+    + list_sum(list(1.0 / CAST((CAST(1 AS BIGINT) << m) AS DOUBLE)
+                    ORDER BY bucket))) AS e
+  FROM regs GROUP BY g
+),
+prs AS (
+  SELECT a.g AS ga, b.g AS gb
+  FROM (SELECT DISTINCT g FROM regs) a, (SELECT DISTINCT g FROM regs) b
+  WHERE a.g < b.g
+),
+union_regs AS (
+  SELECT ga, gb, bucket, MAX(m) AS m FROM (
+    SELECT p.ga, p.gb, r.bucket, r.m FROM prs p JOIN regs r ON r.g = p.ga
+    UNION ALL
+    SELECT p.ga, p.gb, r.bucket, r.m FROM prs p JOIN regs r ON r.g = p.gb
+  ) GROUP BY ga, gb, bucket
+),
+unions AS (
+  SELECT ga, gb, {_SQL_HLL_E} / (
+    CAST({HLL_M} - COUNT(*) AS DOUBLE)
+    + list_sum(list(1.0 / CAST((CAST(1 AS BIGINT) << m) AS DOUBLE)
+                    ORDER BY bucket))) AS eu
+  FROM union_regs GROUP BY ga, gb
+),
+dk AS (SELECT DISTINCT g, k FROM ev),
+exact AS (
+  SELECT a.g AS ga, b.g AS gb, CAST(COUNT(DISTINCT a.k) AS BIGINT) AS exact_intersection
+  FROM dk a JOIN dk b ON a.k = b.k AND a.g < b.g
+  GROUP BY a.g, b.g
+)
+SELECT u.ga AS type_a, u.gb AS type_b,
+  ROUND(sa.e, 6) AS est_a,
+  ROUND(sb.e, 6) AS est_b,
+  ROUND(u.eu, 6) AS est_union,
+  ROUND(sa.e + sb.e - u.eu, 6) AS est_intersection,
+  COALESCE(x.exact_intersection, 0) AS exact_intersection
+FROM unions u
+JOIN singles sa ON sa.g = u.ga
+JOIN singles sb ON sb.g = u.gb
+LEFT JOIN exact x ON x.ga = u.ga AND x.gb = u.gb
+ORDER BY type_a, type_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# winsorized robust stats (exact distributed per-group percentiles)
+# ---------------------------------------------------------------------------
+
+WINS_LO = 0.01
+WINS_HI = 0.99
+WINS_RANGE_PARTS = 32
+
+
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type winsorized (p01/p99-clamped) mean and std of
+    ``value`` — the robust feature-scaling pass a training pipeline
+    runs before normalizing model inputs, with the percentiles
+    computed EXACTLY and DISTRIBUTED: range-repartition on (group,
+    value), pinned per-partition row_number + broadcast cumulative
+    offsets give every row its exact per-group rank, and the p01/p99
+    values are picked at their interpolation ranks and lerped — no
+    per-group ``collect_list`` (a corpus-sized array for corpus-sized
+    groups) and no single-partition window.
+
+    Cross-engine exactness: the interpolation fraction is computed
+    once (driver-side, from the per-group count — a #groups-sized
+    scalar, the sanctioned pattern) and embedded as the same IEEE
+    double the oracle's ``(m-1)*q - FLOOR((m-1)*q)`` evaluates to;
+    the lerp, clamp compare, sorted-fold sums and final
+    ``round(·, 6)`` run the identical op order on both engines
+    (sqrt is IEEE-exact on both).
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("none")).alias("g"),
+            "value",
+            "event_id",
+        )
+    )
+    pinned = (
+        ev.repartitionByRange(
+            WINS_RANGE_PARTS, F.col("g"), F.col("value"), F.col("event_id")
+        )
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    sizes = (
+        pinned.groupBy("__pid", "g").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    per_g: dict[str, list[tuple[int, int]]] = {}
+    for r in sizes:
+        per_g.setdefault(r["g"], []).append((r["__pid"], r["n"]))
+    off_rows, tgt_rows = [], []
+    for g, lst in per_g.items():
+        acc = 0
+        for pid, n in sorted(lst):
+            off_rows.append((g, pid, acc))
+            acc += n
+        m = acc
+        row = [g, m]
+        for q in (WINS_LO, WINS_HI):
+            h = (m - 1) * q
+            lo = int(h)
+            frac = h - lo
+            hi = lo if frac == 0.0 else lo + 1
+            row += [lo + 1, hi + 1, frac]  # 1-based ranks
+        tgt_rows.append(tuple(row))
+    offs = spark.createDataFrame(off_rows, "g string, __pid int, off long")
+    tgts = spark.createDataFrame(
+        tgt_rows,
+        "g string, m long, lo01 long, hi01 long, f01 double, "
+        "lo99 long, hi99 long, f99 double",
+    )
+
+    from pyspark.sql import Window as W
+
+    wl = W.partitionBy("__pid", "g").orderBy("value", "event_id")
+    ranked = (
+        pinned.withColumn("__lr", F.row_number().over(wl))
+        .join(F.broadcast(offs), ["g", "__pid"])
+        .select("g", "value", (F.col("off") + F.col("__lr")).alias("rn"))
+    )
+
+    def pick(rank_col: str) -> Column:
+        return F.max(F.when(F.col("rn") == F.col(rank_col), F.col("value")))
+
+    pcts = (
+        ranked.join(F.broadcast(tgts), "g")
+        .filter(
+            (F.col("rn") == F.col("lo01"))
+            | (F.col("rn") == F.col("hi01"))
+            | (F.col("rn") == F.col("lo99"))
+            | (F.col("rn") == F.col("hi99"))
+        )
+        .groupBy("g", "m", "f01", "f99")
+        .agg(
+            pick("lo01").alias("v01l"),
+            pick("hi01").alias("v01h"),
+            pick("lo99").alias("v99l"),
+            pick("hi99").alias("v99h"),
+        )
+        .select(
+            "g",
+            "m",
+            (F.col("v01l") + F.col("f01") * (F.col("v01h") - F.col("v01l"))).alias(
+                "p01"
+            ),
+            (F.col("v99l") + F.col("f99") * (F.col("v99h") - F.col("v99l"))).alias(
+                "p99"
+            ),
+        )
+    )
+
+    wcol = (
+        F.when(F.col("value") < F.col("p01"), F.col("p01"))
+        .when(F.col("value") > F.col("p99"), F.col("p99"))
+        .otherwise(F.col("value"))
+    )
+    from .graphops import _sorted_fold_sum
+
+    n = F.count(F.lit(1))
+    s = _sorted_fold_sum("w", "wv")  # wv == w; distinct struct field names
+    ss = _sorted_fold_sum("w", "w2")
+    return (
+        ev.join(F.broadcast(pcts), "g")
+        .select(
+            "g",
+            "value",
+            "p01",
+            "p99",
+            wcol.alias("w"),
+            wcol.alias("wv"),
+            (wcol * wcol).alias("w2"),
+        )
+        .groupBy("g")
+        .agg(
+            n.cast("long").alias("n_values"),
+            F.round(F.min("p01"), 6).alias("p01"),
+            F.round(F.min("p99"), 6).alias("p99"),
+            F.coalesce(
+                F.sum(F.when(F.col("value") < F.col("p01"), 1)), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_clamped_low"),
+            F.coalesce(
+                F.sum(F.when(F.col("value") > F.col("p99"), 1)), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_clamped_high"),
+            F.round(s / n, 6).alias("wins_mean"),
+            F.round(
+                F.sqrt(F.greatest((ss - s * s / n) / n, F.lit(0.0))), 6
+            ).alias("wins_std"),
+        )
+        .select(
+            F.col("g").alias("event_type"),
+            "n_values",
+            "p01",
+            "p99",
+            "n_clamped_low",
+            "n_clamped_high",
+            "wins_mean",
+            "wins_std",
+        )
+        .orderBy("event_type")
+    )
+
+
+def _sql_wins_lerp(q: str) -> str:
+    """v[lo] + frac*(v[hi]-v[lo]) at quantile q over per-group rn/m
+    (rn 1-based) — the identical IEEE tree the Spark side evaluates
+    with its driver-computed fraction."""
+    return (
+        f"(MAX(CASE WHEN rn - 1 = CAST(FLOOR((m-1)*{q}) AS BIGINT) THEN value END)"
+        f" + ((m-1)*{q} - FLOOR((m-1)*{q}))"
+        f" * (MAX(CASE WHEN rn - 1 = CAST(CEIL((m-1)*{q}) AS BIGINT) THEN value END)"
+        f" - MAX(CASE WHEN rn - 1 = CAST(FLOOR((m-1)*{q}) AS BIGINT) THEN value END)))"
+    )
+
+
+ORACLE_WINSORIZED = f"""
+WITH nn AS (
+  SELECT coalesce(event_type, 'none') AS g, value,
+    ROW_NUMBER() OVER (PARTITION BY coalesce(event_type, 'none')
+                       ORDER BY value, event_id) AS rn,
+    COUNT(*) OVER (PARTITION BY coalesce(event_type, 'none')) AS m
+  FROM events WHERE value IS NOT NULL
+),
+p AS (
+  SELECT g, m,
+    {_sql_wins_lerp(str(WINS_LO))} AS p01,
+    {_sql_wins_lerp(str(WINS_HI))} AS p99
+  FROM nn GROUP BY g, m
+),
+wv AS (
+  SELECT nn.g, nn.value, p.p01, p.p99,
+    CASE WHEN nn.value < p.p01 THEN p.p01
+         WHEN nn.value > p.p99 THEN p.p99
+         ELSE nn.value END AS w
+  FROM nn JOIN p USING (g)
+)
+SELECT g AS event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_values,
+  ROUND(MIN(p01), 6) AS p01,
+  ROUND(MIN(p99), 6) AS p99,
+  CAST(COALESCE(SUM(CASE WHEN value < p01 THEN 1 END), 0) AS BIGINT) AS n_clamped_low,
+  CAST(COALESCE(SUM(CASE WHEN value > p99 THEN 1 END), 0) AS BIGINT) AS n_clamped_high,
+  ROUND(list_sum(list(w ORDER BY w)) / COUNT(*), 6) AS wins_mean,
+  ROUND(sqrt(GREATEST(
+    (list_sum(list(w * w ORDER BY w))
+     - list_sum(list(w ORDER BY w)) * list_sum(list(w ORDER BY w)) / COUNT(*))
+    / COUNT(*), 0.0)), 6) AS wins_std
+FROM wv GROUP BY g ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic negative sampling (contrastive training pairs)
+# ---------------------------------------------------------------------------
+
+NEG_K = 5
+NEG_ANCHOR_MOD = 20
+
+
+def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K deterministic NEGATIVE parts per anchor customer — parts the
+    customer never ordered, drawn in a fixed md5-hash order — the
+    contrastive-pair generation step of a retrieval/recsys training
+    build, reproducible run-to-run by construction (no RNG state).
+
+    Scale shape: the candidate pool is the global top
+    ``K + max_positives`` parts in hash order — a driver-bounded
+    BROADCAST list guaranteed to contain K non-positives for every
+    anchor (an anchor can exclude at most max_positives of it), so
+    per-anchor work is O(pool), total anchors × pool — never
+    anchors × parts.  The shared pool means anchors share negatives
+    (in-batch-negative style); for per-anchor diversity, salt the
+    hash with the anchor key at the cost of a per-anchor ranking
+    pass.  ``max_positives`` is a 1-row aggregate (sanctioned driver
+    scalar; the oracle computes it as a scalar subquery).
+    """
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pos = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("anchor_id"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    max_pos = (
+        pos.groupBy("anchor_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n"))
+        .collect()[0][0]
+        or 0
+    )
+    pool_size = NEG_K + int(max_pos)
+
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit("neg#"), F.col("p_partkey").cast("string")).cast(
+                    "binary"
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    from pyspark.sql import Window as W
+
+    # global top-(pool_size) via sort+limit = TakeOrderedAndProject —
+    # a distributed per-partition top-k + driver merge, NOT a
+    # single-partition row_number window over every part
+    pool = (
+        load_table(spark, sf_dir, "part")
+        .select("p_partkey", h.alias("h"))
+        .orderBy("h", "p_partkey")
+        .limit(pool_size)
+    )
+
+    anchors = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % NEG_ANCHOR_MOD == 0)
+        .select(F.col("c_custkey").alias("anchor_id"))
+    )
+    cand = (
+        anchors.join(F.broadcast(pool))
+        .join(
+            pos.withColumnRenamed("p", "p_partkey"),
+            ["anchor_id", "p_partkey"],
+            "left_anti",
+        )
+    )
+    wneg = W.partitionBy("anchor_id").orderBy("h", "p_partkey")
+    return (
+        cand.withColumn("neg_rank", F.row_number().over(wneg))
+        .filter(F.col("neg_rank") <= NEG_K)
+        .select(
+            "anchor_id", F.col("neg_rank").cast("long").alias("neg_rank"), "p_partkey"
+        )
+        .orderBy("anchor_id", "neg_rank")
+    )
+
+
+ORACLE_NEGATIVE_SAMPLING = f"""
+WITH pos AS (
+  SELECT DISTINCT o.o_custkey AS anchor_id, li.l_partkey AS p
+  FROM orders o JOIN lineitem li ON o.o_orderkey = li.l_orderkey
+),
+mp AS (
+  SELECT COALESCE(MAX(n), 0) AS max_pos FROM (
+    SELECT COUNT(*) AS n FROM pos GROUP BY anchor_id
+  )
+),
+pool AS (
+  SELECT p_partkey, h FROM (
+    SELECT p_partkey,
+      CAST(('0x' || substr(md5('neg#' || CAST(p_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+    FROM part
+  ) ORDER BY h, p_partkey
+  LIMIT (SELECT {NEG_K} + max_pos FROM mp)
+),
+anchors AS (
+  SELECT c_custkey AS anchor_id FROM customer WHERE c_custkey % {NEG_ANCHOR_MOD} = 0
+),
+cand AS (
+  SELECT a.anchor_id, pl.p_partkey, pl.h
+  FROM anchors a CROSS JOIN pool pl
+  LEFT JOIN pos ON pos.anchor_id = a.anchor_id AND pos.p = pl.p_partkey
+  WHERE pos.p IS NULL
+)
+SELECT anchor_id, CAST(neg_rank AS BIGINT) AS neg_rank, p_partkey FROM (
+  SELECT anchor_id, p_partkey,
+    row_number() OVER (PARTITION BY anchor_id ORDER BY h, p_partkey) AS neg_rank
+  FROM cand
+) WHERE neg_rank <= {NEG_K}
+ORDER BY anchor_id, neg_rank
+"""

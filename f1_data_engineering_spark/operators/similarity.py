@@ -1324,3 +1324,126 @@ FROM final
 GROUP BY cluster
 ORDER BY cluster
 """
+
+
+# ---------------------------------------------------------------------------
+# ANN recall evaluation: ivf_ann vs the exact top-k ground truth
+# ---------------------------------------------------------------------------
+
+
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline recall@k audit of :func:`ivf_ann` against the exact
+    brute-force top-k for the SAME query sample — the eval every ANN
+    deployment runs before trusting an index ("measure, don't guess"
+    applied to the index itself).  One row per query (n_exact, n_hits,
+    recall) plus an ``__overall`` row (query_id = -1) with the pooled
+    recall.
+
+    Both legs share the candidate-scoring keys bit-for-bit (9-dp
+    rounded cosine, id tie-break), so a hit/miss is purely the index's
+    probe choice, never float noise.  Scale shape: the IVF leg is
+    :func:`ivf_ann` unchanged (cell-local, √N-derived NLIST); the
+    exact leg is the quadratic-by-design ground-truth pass — run it on
+    a query SAMPLE (here 1-in-100), which is exactly how production
+    recall audits bound the cost; the comparison join is k·q rows.
+    """
+    e = spread(load_table(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id", "embedding", l2_norm("embedding").alias("enorm")
+    )
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("enorm").alias("qnorm"),
+    )
+    denom = F.col("qnorm") * F.col("enorm")
+    sim = F.when(denom > 0, dot("qvec", "embedding") / denom).otherwise(
+        F.lit(None).cast("double")
+    )
+    pairs = (
+        e.join(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.coalesce(F.round(sim, 9), F.lit(-2.0)).alias("sim_key"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim_key").desc(), "neighbor_id")
+    exact = (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= IVF_TOPK)
+        .select("query_id", "neighbor_id")
+    )
+
+    approx = ivf_ann(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = exact.join(approx, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("n_hits"))
+
+    per_q = (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        )
+    )
+    overall = per_q.agg(
+        F.sum("n_exact").cast("long").alias("n_exact"),
+        F.sum("n_hits").cast("long").alias("n_hits"),
+    ).select(F.lit(-1).cast("long").alias("query_id"), "n_exact", "n_hits")
+    return (
+        per_q.unionByName(overall)
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hits",
+            F.round(
+                F.col("n_hits").cast("double") / F.col("n_exact").cast("double"), 6
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
+ORACLE_ANN_RECALL = f"""
+WITH ivf AS ({ORACLE_IVF_ANN}),
+e2 AS (
+  SELECT vec_id, embedding, {_SQL_L2.format(v="embedding")} AS enorm
+  FROM embeddings
+),
+q2 AS (
+  SELECT vec_id AS query_id, embedding AS qvec, enorm AS qnorm
+  FROM e2 WHERE vec_id % 100 = 0
+),
+ex AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q2.query_id, e2.vec_id AS neighbor_id,
+      row_number() OVER (PARTITION BY q2.query_id ORDER BY
+        COALESCE(ROUND(CASE WHEN q2.qnorm * e2.enorm > 0
+          THEN {_SQL_COS_AB.format(a="q2.qvec", b="e2.embedding")} / (q2.qnorm * e2.enorm)
+          END, 9), -2.0) DESC, e2.vec_id) AS rank
+    FROM q2 CROSS JOIN e2
+    WHERE e2.vec_id <> q2.query_id
+  ) WHERE rank <= {IVF_TOPK}
+),
+per_q AS (
+  SELECT ex.query_id,
+    CAST(COUNT(*) AS BIGINT) AS n_exact,
+    CAST(COALESCE(SUM(CASE WHEN ivf.neighbor_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_hits
+  FROM ex LEFT JOIN ivf
+    ON ivf.query_id = ex.query_id AND ivf.neighbor_id = ex.neighbor_id
+  GROUP BY ex.query_id
+),
+allrows AS (
+  SELECT query_id, n_exact, n_hits FROM per_q
+  UNION ALL
+  SELECT CAST(-1 AS BIGINT), CAST(SUM(n_exact) AS BIGINT),
+         CAST(SUM(n_hits) AS BIGINT) FROM per_q
+)
+SELECT query_id, n_exact, n_hits,
+  ROUND(CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE), 6) AS recall
+FROM allrows ORDER BY query_id
+"""

@@ -237,3 +237,169 @@ def test_entity_resolution_matches_union_find(spark):
         assert row.n_records == len(members)
         assert row.member_ids == ",".join(str(m) for m in members)
         assert row.canonical_name == names[row.entity_id]
+
+
+# ---------------------------------------------------------------------------
+# round-5b wave
+# ---------------------------------------------------------------------------
+
+
+def test_hll_intersection_matches_python_inclusion_exclusion(spark):
+    got = A4.hll_intersection_estimate(spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")[["event_type", "user_id"]]
+    ev = ev[ev.user_id.notna()]
+    ev["g"] = ev.event_type.fillna("none")
+    keys = {
+        g: {str(int(u)) for u in grp.user_id} for g, grp in ev.groupby("g")
+    }
+
+    def est_of(ks):
+        regs, est = _py_hll(ks)
+        return est
+
+    assert len(got) == len(keys) * (len(keys) - 1) // 2
+    for row in got.itertuples():
+        a, b = keys[row.type_a], keys[row.type_b]
+        ea, eb, eu = est_of(a), est_of(b), est_of(a | b)
+        assert abs(row.est_a - round(ea, 6)) < 1e-9
+        assert abs(row.est_b - round(eb, 6)) < 1e-9
+        assert abs(row.est_union - round(eu, 6)) < 1e-9
+        assert abs(row.est_intersection - round(ea + eb - eu, 6)) < 1e-9
+        assert row.exact_intersection == len(a & b)
+
+
+def test_ann_recall_eval_consistent_with_components(spark):
+    from f1_data_engineering_spark.operators import similarity as SIM
+    import numpy as np
+
+    got = A4_spark = None
+    got = SIM.ann_recall_eval(spark, SF).toPandas()
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    V = np.stack(emb.embedding.to_numpy())
+    ids = emb.vec_id.to_numpy()
+    norms = np.sqrt((V * V).sum(axis=1))
+
+    ivf = SIM.ivf_ann(spark, SF).toPandas()
+    per_q = got[got.query_id >= 0].set_index("query_id")
+    for qid in ids[ids % 100 == 0]:
+        qi = np.where(ids == qid)[0][0]
+        denom = norms[qi] * norms
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sims = np.where(denom > 0, V @ V[qi] / denom, -2.0)
+        sims = np.round(sims, 9)
+        order = sorted(
+            (i for i in range(len(ids)) if ids[i] != qid),
+            key=lambda i: (-sims[i], ids[i]),
+        )
+        exact = {int(ids[i]) for i in order[: SIM.IVF_TOPK]}
+        approx = set(ivf[ivf.query_id == qid].neighbor_id.astype(int))
+        row = per_q.loc[qid]
+        assert row["n_exact"] == len(exact)
+        assert row["n_hits"] == len(exact & approx), qid
+    ov = got[got.query_id == -1].iloc[0]
+    assert ov["n_exact"] == per_q["n_exact"].sum()
+    assert ov["n_hits"] == per_q["n_hits"].sum()
+
+
+def test_winsorized_stats_match_numpy(spark):
+    import numpy as np
+
+    got = A4.winsorized_stats(spark, SF).toPandas().set_index("event_type")
+    ev = pd.read_parquet(f"{SF}/events.parquet")[["event_type", "value"]]
+    ev = ev[ev.value.notna()]
+    ev["g"] = ev.event_type.fillna("none")
+    for g, grp in ev.groupby("g"):
+        vals = np.sort(grp.value.to_numpy())
+        p01 = np.quantile(vals, A4.WINS_LO, method="linear")
+        p99 = np.quantile(vals, A4.WINS_HI, method="linear")
+        w = np.clip(vals, p01, p99)
+        row = got.loc[g]
+        assert row["n_values"] == len(vals)
+        assert abs(row["p01"] - round(float(p01), 6)) < 1e-6
+        assert abs(row["p99"] - round(float(p99), 6)) < 1e-6
+        assert row["n_clamped_low"] == int((vals < p01).sum())
+        assert row["n_clamped_high"] == int((vals > p99).sum())
+        assert abs(row["wins_mean"] - w.mean()) < 1e-6
+        assert abs(row["wins_std"] - w.std()) < 1e-6
+
+
+def test_negative_sampling_matches_bruteforce(spark):
+    got = A4.negative_sampling_pairs(spark, SF).toPandas()
+    o = pd.read_parquet(f"{SF}/orders.parquet")[["o_orderkey", "o_custkey"]]
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[["l_orderkey", "l_partkey"]]
+    parts = pd.read_parquet(f"{SF}/part.parquet")["p_partkey"]
+    cust = pd.read_parquet(f"{SF}/customer.parquet")["c_custkey"]
+
+    pos = (
+        o.merge(li, left_on="o_orderkey", right_on="l_orderkey")[
+            ["o_custkey", "l_partkey"]
+        ]
+        .drop_duplicates()
+        .groupby("o_custkey")["l_partkey"]
+        .apply(set)
+        .to_dict()
+    )
+    max_pos = max((len(s) for s in pos.values()), default=0)
+    hashed = sorted(
+        (
+            (int(hashlib.md5(f"neg#{p}".encode()).hexdigest()[:15], 16), int(p))
+            for p in parts
+        )
+    )
+    pool = hashed[: A4.NEG_K + max_pos]
+    anchors = sorted(int(c) for c in cust if c % A4.NEG_ANCHOR_MOD == 0)
+
+    exp = []
+    for a in anchors:
+        taken = 0
+        for h, p in pool:
+            if p in pos.get(a, ()):  # positives excluded
+                continue
+            taken += 1
+            exp.append((a, taken, p))
+            if taken == A4.NEG_K:
+                break
+    assert [tuple(r) for r in got.itertuples(index=False)] == exp
+    # every anchor got its full K — the pool-size guarantee
+    assert len(exp) == len(anchors) * A4.NEG_K
+
+
+def test_hll_registers_merge_incrementally(spark):
+    """Mergeability at the maintenance level: registers built on a
+    NEW batch merge into standing registers by groupBy-MAX, and the
+    merged sketch is IDENTICAL to a from-scratch build over the union
+    — the property that makes per-day sketch tables answer range
+    queries without rescanning raw data."""
+    from pyspark.sql import functions as F
+    from f1_data_engineering_spark.sources.registry import load_table
+
+    ev = (
+        load_table(spark, SF, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("none")).alias("g"),
+            F.col("user_id").cast("string").alias("k"),
+            "event_id",
+        )
+    )
+
+    def regs_of(df):
+        h = A4._hll_hash(F.col("k"))
+        w = F.floor(h / A4.HLL_M).cast("long")
+        rho = F.when(w == 0, F.lit(A4.HLL_RHO_BITS + 1)).otherwise(
+            F.lit(A4.HLL_RHO_BITS + 1) - F.length(F.bin(w))
+        )
+        return (
+            df.select("g", (h % A4.HLL_M).alias("bucket"), rho.alias("rho"))
+            .groupBy("g", "bucket")
+            .agg(F.max("rho").alias("m"))
+        )
+
+    old = regs_of(ev.filter(F.col("event_id") % 2 == 0))
+    new = regs_of(ev.filter(F.col("event_id") % 2 == 1))
+    merged = (
+        old.unionByName(new).groupBy("g", "bucket").agg(F.max("m").alias("m"))
+    )
+    full = regs_of(ev)
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0

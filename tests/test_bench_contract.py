@@ -62,9 +62,13 @@ def test_bench_stdout_line_fits_tail_capture():
 def test_bench_detail_has_full_query_map():
     """The committed per-round detail record must carry every bench
     query (the stdout line intentionally truncates to the slowest 8 —
-    the full map lives in BENCH_DETAIL_r*.json)."""
+    the full map lives in BENCH_DETAIL_r*.json).  Checks the LATEST
+    round file, so growing BENCH_QUERIES forces a fresh bench run
+    before the round snapshot."""
+    import glob
+
     bench = _load_bench()
-    path = os.path.join(_REPO, "BENCH_DETAIL_r04.json")
+    path = sorted(glob.glob(os.path.join(_REPO, "BENCH_DETAIL_r*.json")))[-1]
     with open(path) as fh:
         detail = json.load(fh)
     missing = [
