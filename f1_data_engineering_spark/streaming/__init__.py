@@ -7,11 +7,19 @@ from .events import (
     tumbling_rollup,
     write_stream_to_memory,
 )
+from .hll_stream import (
+    hll_register_stream,
+    hll_registers,
+    write_stream_hll_ingest,
+)
 
 __all__ = [
     "events_file_stream",
+    "hll_register_stream",
+    "hll_registers",
     "session_windows",
     "sliding_avg",
     "tumbling_rollup",
+    "write_stream_hll_ingest",
     "write_stream_to_memory",
 ]

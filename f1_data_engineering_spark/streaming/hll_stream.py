@@ -1,0 +1,100 @@
+"""Streaming HyperLogLog: distinct-count sketch maintenance over an
+unbounded event stream.
+
+The batch side is ``operators/analytics4.hll_distinct_users``; this is
+its streaming twin, in the two canonical shapes:
+
+* **In-flight state** (:func:`hll_register_stream`): the register
+  table AS a streaming aggregation — ``groupBy(group, bucket).max(rho)``.
+  The state-boundedness argument is the whole point: unlike a windowed
+  count (state ∝ active windows) or a streaming distinct (state ∝
+  distinct keys ever seen), HLL state is **groups × 256 registers, a
+  CONSTANT in stream length** — no watermark needed, no expiry, the
+  one streaming aggregate that can run forever in complete mode.  MAX
+  is also insensitive to at-least-once replays (re-applying a row is
+  a no-op), so recovery cannot corrupt the sketch.
+* **Landed sketch table** (:func:`write_stream_hll_ingest`): per
+  micro-batch, build the BATCH registers and merge them into a stored
+  register table by register-wise MAX via ``foreachBatch`` — the
+  pattern for serving sketches to other jobs (the batch algebra in
+  ``hll_intersection_estimate`` reads exactly this table shape).
+  Idempotent under batch replay for the same reason as above, so
+  checkpoint recovery is exactly-once in effect.
+
+Batch/stream parity — registers from either leg are IDENTICAL to the
+batch operator's (same md5 hash, same rho) — is pinned in
+tests/test_hll_stream.py.
+
+Scale: per micro-batch work is one hash aggregate on (group, bucket)
+with at most 256 partials per group per task crossing the shuffle; the
+stored table is O(groups × 256) rows regardless of stream volume.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.analytics4 import HLL_M, HLL_RHO_BITS, _hll_hash
+
+__all__ = ["hll_registers", "hll_register_stream", "write_stream_hll_ingest"]
+
+
+def hll_registers(events: DataFrame) -> DataFrame:
+    """(g, bucket, m) HLL registers of ``user_id`` per event type —
+    works identically on a batch or streaming frame (the expression is
+    pure scan-side + one aggregate)."""
+    ev = events.filter(F.col("user_id").isNotNull()).select(
+        F.coalesce(F.col("event_type"), F.lit("none")).alias("g"),
+        F.col("user_id").cast("string").alias("k"),
+    )
+    h = _hll_hash(F.col("k"))
+    w = F.floor(h / HLL_M).cast("long")
+    rho = F.when(w == 0, F.lit(HLL_RHO_BITS + 1)).otherwise(
+        F.lit(HLL_RHO_BITS + 1) - F.length(F.bin(w))
+    )
+    return (
+        ev.select("g", (h % HLL_M).alias("bucket"), rho.alias("rho"))
+        .groupBy("g", "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+
+
+def hll_register_stream(stream: DataFrame) -> DataFrame:
+    """The register table as a streaming aggregation.  State is
+    groups × 256 rows — constant in stream length — so this aggregate
+    needs no watermark and never expires state."""
+    return hll_registers(stream)
+
+
+def write_stream_hll_ingest(
+    stream: DataFrame, table_path: str, checkpoint_path: str
+):
+    """Maintain a LANDED register table from the stream: per
+    micro-batch, compute the batch's registers and merge them into
+    ``table_path`` by register-wise MAX (read-merge-overwrite of an
+    O(groups × 256) table — driver-trivial at any stream volume).
+    Register-wise MAX is idempotent and commutative, so replayed or
+    reordered batches cannot change the final table."""
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        new = hll_registers(batch)
+        if os.path.isdir(table_path):
+            old = spark.read.parquet(table_path)
+            new = (
+                old.unionByName(new)
+                .groupBy("g", "bucket")
+                .agg(F.max("m").alias("m"))
+            )
+        # tiny table: single file keeps the read-merge loop cheap
+        new.coalesce(1).write.mode("overwrite").parquet(table_path)
+
+    return (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -362,6 +362,55 @@ AUDIT = [
     ),
 ]
 
+from f1_data_engineering_spark.operators import analytics4 as A4  # noqa: E402
+
+AUDIT += [
+    (
+        "hll_distinct_users",
+        A4.hll_distinct_users,
+        "Sketch build = ONE hash aggregate on (group, bucket) with "
+        "map-side partials — ≤256 rows per group per task cross the "
+        "shuffle regardless of input size; everything downstream "
+        "(merge row, fold, estimate) runs on the O(groups × 256) "
+        "register relation.",
+    ),
+    (
+        "skew_join_salted",
+        A4.skew_join_salted,
+        "The join keys are (custkey, salt): the fact side hashes to 8 "
+        "salts, the dim side is exploded 8× with literal salts — a hot "
+        "customer's rows spread over 8 reducers.  Same result as the "
+        "plain join (the oracle IS the plain join).",
+    ),
+    (
+        "equidepth_bins",
+        A4.equidepth_bins,
+        "Exact global NTILE without the single-partition-window "
+        "anti-pattern: RangePartitioning exchange on the sort key, "
+        "per-partition row_number (every Window partitioned by __pid), "
+        "broadcast offset arithmetic, then one hash aggregate per bin. "
+        "No stage materializes more than one range partition's rows.",
+    ),
+    (
+        "winsorized_stats",
+        A4.winsorized_stats,
+        "Exact distributed percentiles: range exchange + pinned "
+        "per-partition ranks + a 4-rank filter per group feed the lerp; "
+        "the stats pass is one broadcast join (group → p01/p99) + one "
+        "hash aggregate with sorted-fold sums.  No per-group "
+        "collect_list of the raw values.",
+    ),
+    (
+        "negative_sampling_pairs",
+        A4.negative_sampling_pairs,
+        "Candidate pool = global top-(K+max_pos) by hash via "
+        "TakeOrderedAndProject (distributed per-partition top-k, no "
+        "single-partition window); anchors × pool is a broadcast "
+        "cross-join bounded by the pool size; positives excluded with a "
+        "LEFT ANTI join; per-anchor ranking windows on anchor_id.",
+    ),
+]
+
 
 def main() -> None:
     spark = get_spark(app_name="plan-audit", master="local[8]", shuffle_partitions=8)

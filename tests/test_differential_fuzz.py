@@ -185,6 +185,7 @@ _events_corpus = st.lists(_event, min_size=1, max_size=40)
 from f1_data_engineering_spark.operators import analytics as ANA
 from f1_data_engineering_spark.operators import analytics2 as A2
 from f1_data_engineering_spark.operators import analytics3 as A3
+from f1_data_engineering_spark.operators import analytics4 as A4
 from f1_data_engineering_spark.operators import pandas_ops as PDO
 from f1_data_engineering_spark.operators import relational as RL
 
@@ -227,6 +228,12 @@ EVENT_FUZZ_QUERIES = [
     ("first_touch_attribution", A3.first_touch_attribution, A3.ORACLE_FIRST_TOUCH),
     ("sliding_zscore_anomaly", A3.sliding_zscore_anomaly, A3.ORACLE_SLIDING_ZSCORE),
     ("mad_outlier_events", A3.mad_outlier_events, A3.ORACLE_MAD_OUTLIERS),
+    # round-5 wave: HLL sketches (NULL users, NULL event types, tiny /
+    # single-bucket register tables), exact-lerp winsorization (1-value
+    # groups, all-NULL groups, tie-heavy values at interpolation ranks)
+    ("hll_distinct_users", A4.hll_distinct_users, A4.ORACLE_HLL),
+    ("hll_intersection_estimate", A4.hll_intersection_estimate, A4.ORACLE_HLL_INTERSECTION),
+    ("winsorized_stats", A4.winsorized_stats, A4.ORACLE_WINSORIZED),
 ]
 
 

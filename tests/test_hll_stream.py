@@ -1,0 +1,72 @@
+"""Batch/stream parity for the streaming HyperLogLog legs.
+
+The invariants under test:
+* streaming registers (complete-mode aggregation) == batch registers,
+* the foreachBatch-landed register table == batch registers, and
+* replaying the stream into an existing table changes nothing
+  (register-wise MAX idempotence — the recovery guarantee).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from f1_data_engineering_spark.sources.registry import load_table
+from f1_data_engineering_spark.streaming.events import (
+    events_file_stream,
+    write_stream_to_memory,
+)
+from f1_data_engineering_spark.streaming.hll_stream import (
+    hll_register_stream,
+    hll_registers,
+    write_stream_hll_ingest,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("hll_events_stream"))
+    ev = load_table(spark, SF, "events")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(out)
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(out)
+    return out
+
+
+def _reg_map(df) -> dict:
+    return {(r["g"], r["bucket"]): r["m"] for r in df.collect()}
+
+
+def test_streaming_registers_match_batch(spark, events_dir):
+    stream = events_file_stream(spark, events_dir)
+    assert stream.isStreaming
+    write_stream_to_memory(hll_register_stream(stream), "t_hll_regs")
+    got = _reg_map(spark.table("t_hll_regs"))
+    exp = _reg_map(hll_registers(load_table(spark, SF, "events")))
+    assert got == exp
+
+
+def test_landed_register_table_matches_batch_and_is_replay_safe(
+    spark, events_dir, tmp_path
+):
+    table = str(tmp_path / "hll_table")
+    q = write_stream_hll_ingest(
+        events_file_stream(spark, events_dir),
+        table,
+        str(tmp_path / "ckpt1"),
+    )
+    q.awaitTermination()
+    exp = _reg_map(hll_registers(load_table(spark, SF, "events")))
+    assert _reg_map(spark.read.parquet(table)) == exp
+
+    # full replay from a FRESH checkpoint (worst-case at-least-once):
+    # register-wise MAX makes it a no-op
+    q2 = write_stream_hll_ingest(
+        events_file_stream(spark, events_dir),
+        table,
+        str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination()
+    assert _reg_map(spark.read.parquet(table)) == exp

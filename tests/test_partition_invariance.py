@@ -40,6 +40,16 @@ CASES = [
     ("bfs_hops_trade", "graphops"),
     ("cc_star_contraction", "graphops"),
     ("training_shard_manifest", "trainprep"),
+    # round-5 wave: HLL estimates hinge on a bucket-sorted 2^-m fold;
+    # winsorization on driver-collected rank offsets + a value-sorted
+    # fold; the recall audit on 9-dp-rounded scoring keys; entity
+    # labels on the contraction fixpoint — all must survive any
+    # physical partitioning
+    ("hll_distinct_users", "analytics4"),
+    ("hll_intersection_estimate", "analytics4"),
+    ("winsorized_stats", "analytics4"),
+    ("ann_recall_eval", "similarity"),
+    ("entity_resolution_clusters", "analytics4"),
 ]
 
 
