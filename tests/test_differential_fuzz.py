@@ -363,6 +363,10 @@ EMBED_FUZZ_QUERIES = [
     # duplicates) through hyperplane cells and the IVF coarse quantizer
     ("lsh_multiprobe_ann", SIM.lsh_multiprobe_ann, SIM.ORACLE_MULTIPROBE_ANN),
     ("ivf_ann", SIM.ivf_ann, SIM.ORACLE_IVF_ANN),
+    # recall audit composes the IVF leg with the exact leg — exercises
+    # the derived coarse_nlist (tiny corpora clamp to 4 cells) and the
+    # hit-join under duplicate/zero-vector tie geometry
+    ("ann_recall_eval", SIM.ann_recall_eval, SIM.ORACLE_ANN_RECALL),
     # SemDeDup: planted copies + degenerate geometry through the
     # cell-local prune rule (zero-norm vectors must never prune)
     ("semdedup_prune", SIM.semdedup_prune, SIM.ORACLE_SEMDEDUP),
