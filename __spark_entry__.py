@@ -332,6 +332,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_eval": SIM.ann_recall_eval,
         "winsorized_stats": A4.winsorized_stats,
         "negative_sampling_pairs": A4.negative_sampling_pairs,
+        # round-5c: the composed pipeline with the SemDeDup stage
+        "curation_pipeline_semantic": CU.curation_pipeline_semantic,
+        "column_ndv_sketches": A4.column_ndv_sketches,
     }
 
 
@@ -498,5 +501,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall_eval": SIM.ORACLE_ANN_RECALL,
         "winsorized_stats": A4.ORACLE_WINSORIZED,
         "negative_sampling_pairs": A4.ORACLE_NEGATIVE_SAMPLING,
+        "curation_pipeline_semantic": CU.ORACLE_CURATION_SEMANTIC,
+        "column_ndv_sketches": A4.ORACLE_COLUMN_NDV,
     }
     return out

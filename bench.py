@@ -160,6 +160,10 @@ BENCH_QUERIES = (
     "ann_recall_eval",
     "winsorized_stats",
     "negative_sampling_pairs",
+    # round-5c: the composed pipeline with the SemDeDup stage, and
+    # per-column NDV planner statistics
+    "curation_pipeline_semantic",
+    "column_ndv_sketches",
 )
 
 

@@ -1119,3 +1119,126 @@ SELECT anchor_id, CAST(neg_rank AS BIGINT) AS neg_rank, p_partkey FROM (
 ) WHERE neg_rank <= {NEG_K}
 ORDER BY anchor_id, neg_rank
 """
+
+
+# ---------------------------------------------------------------------------
+# per-column NDV profile (planner statistics from HLL sketches)
+# ---------------------------------------------------------------------------
+
+#: int64/string columns cast to string identically on both engines;
+#: doubles and timestamps need per-type canonicalizers before hashing
+#: (Spark's and DuckDB's default double→string reprs differ), so a
+#: deployment profiling ALL columns adds those per type — the sketch
+#: machinery is type-agnostic once the key is a canonical string.
+NDV_COLUMNS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+
+def column_ndv_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column distinct-value (NDV) estimates for the orders table
+    from 256-register HLL sketches built in ONE scan — the statistics
+    a cost-based planner keeps per column (join-size and
+    aggregate-cardinality estimation), and the mergeable form a lake
+    keeps per partition (file-level NDV sketches roll up to any scan
+    subset by register-wise MAX).
+
+    One scan: each row explodes to (column, value) entries, then the
+    usual (column, bucket) hash aggregate — ≤ 256 partials per column
+    per task.  Exact NDV alongside for the audit; raw estimator (the
+    documented contract; production planners apply the standard
+    small/large-range corrections at read time).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    un = (
+        o.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("col"),
+                            F.col(c).cast("string").alias("k"),
+                        )
+                        for c in NDV_COLUMNS
+                    ]
+                )
+            ).alias("s")
+        )
+        .select("s.col", "s.k")
+        .filter(F.col("k").isNotNull())
+    )
+    h = _hll_hash(F.col("k"))
+    w = F.floor(h / HLL_M).cast("long")
+    rho = F.when(w == 0, F.lit(HLL_RHO_BITS + 1)).otherwise(
+        F.lit(HLL_RHO_BITS + 1) - F.length(F.bin(w))
+    )
+    regs = (
+        un.select("col", (h % HLL_M).alias("bucket"), rho.alias("rho"))
+        .groupBy("col", "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+    term = F.lit(1.0) / F.expr(
+        "CAST(shiftleft(CAST(1 AS BIGINT), CAST(m AS INT)) AS DOUBLE)"
+    )
+    sk = (
+        regs.select("col", "bucket", term.alias("term"))
+        .groupBy("col")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets_used"),
+            _sorted_fold_sum("bucket", "term").alias("fold"),
+        )
+        .select(
+            "col",
+            "n_buckets_used",
+            (
+                (F.lit(HLL_M) - F.col("n_buckets_used")).cast("double")
+                + F.col("fold")
+            ).alias("s"),
+        )
+    )
+    exact = un.groupBy("col").agg(F.countDistinct("k").alias("exact_ndv"))
+    est = F.round(F.lit(HLL_ALPHA) * F.lit(float(HLL_M * HLL_M)) / F.col("s"), 6)
+    return (
+        sk.join(exact, "col")
+        .select(
+            F.col("col").alias("column_name"),
+            "n_buckets_used",
+            est.alias("ndv_estimate"),
+            "exact_ndv",
+        )
+        .orderBy("column_name")
+    )
+
+
+ORACLE_COLUMN_NDV = f"""
+WITH un AS (
+  {" UNION ALL ".join(
+      f"SELECT '{c}' AS col, CAST({c} AS VARCHAR) AS k FROM orders WHERE {c} IS NOT NULL"
+      for c in NDV_COLUMNS
+  )}
+),
+hashed AS (
+  SELECT col, k,
+    CAST(('0x' || substr(md5('hll#' || k), 1, 15)) AS BIGINT) AS h
+  FROM un
+),
+regs AS (
+  SELECT col, h % {HLL_M} AS bucket,
+    MAX(CASE WHEN h // {HLL_M} = 0 THEN {HLL_RHO_BITS + 1}
+        ELSE {HLL_RHO_BITS + 1} - length(ltrim(bin(h // {HLL_M}), '0')) END) AS m
+  FROM hashed GROUP BY col, h % {HLL_M}
+),
+sk AS (
+  SELECT col, CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+    CAST({HLL_M} - COUNT(*) AS DOUBLE)
+      + list_sum(list(1.0 / CAST((CAST(1 AS BIGINT) << m) AS DOUBLE)
+                      ORDER BY bucket)) AS s
+  FROM regs GROUP BY col
+),
+ex AS (
+  SELECT col, CAST(COUNT(DISTINCT k) AS BIGINT) AS exact_ndv FROM un GROUP BY col
+)
+SELECT sk.col AS column_name, sk.n_buckets_used,
+  ROUND({_SQL_HLL_E} / sk.s, 6) AS ndv_estimate,
+  ex.exact_ndv
+FROM sk JOIN ex ON sk.col = ex.col
+ORDER BY column_name
+"""

@@ -86,12 +86,15 @@ def _curation_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _curation_stages(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, semantic: bool = False
 ) -> dict[str, DataFrame]:
     """The per-stage survivor frames, shared by the count rollup
     (``curation_pipeline``) and the clean-corpus sink
     (``write_clean_corpus``): scored → passed → exact → neardup →
-    clean, each carrying (doc_id, source, text, n_tok)."""
+    [semantic →] clean, each carrying (doc_id, source, text, n_tok).
+    With ``semantic=True`` a SemDeDup embedding-space prune runs
+    between the near-dup and decontamination stages (and decontam is
+    rooted on its survivors)."""
     corpus = _curation_corpus(spark, sf_dir)
     # scored feeds four consumers (raw rollup + every downstream
     # stage); score/fingerprint once.  Fixed-width columns + text —
@@ -138,6 +141,86 @@ def _curation_stages(
     )
     neardup = exact.join(drop, "doc_id", "left_anti").cache()
 
+    # Optional SemDeDup stage (similarity.semdedup_prune's rule, rooted
+    # on the near-dup SURVIVORS): assign each survivor's embedding to
+    # its nearest seeded-quantizer cell (√N-derived cell count, one
+    # broadcast pass), score same-cell pairs, drop doc i when some
+    # same-cell j < i has cos ≥ τ.  The augmented planted copies
+    # (doc_id + 1e6) have no embedding row and pass through — text-space
+    # and embedding-space dedup are complementary gates, not the same
+    # gate twice.  Candidate work is cell-local (O(N^1.5) total at the
+    # derived cell count); bodies never join — only (id, vector) rows.
+    semantic_stage = None
+    if semantic:
+        from ..functions.vectors import dot, l2_norm
+        from .similarity import SEMDEDUP_TAU, coarse_nlist
+
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding", l2_norm("embedding").alias("enorm")
+        )
+        nlist = coarse_nlist(load_table(spark, sf_dir, "embeddings").count())
+        cent = emb.filter(F.col("vec_id") < nlist).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cvec"),
+            F.col("enorm").alias("cnorm"),
+        )
+        sv = neardup.select(F.col("doc_id").alias("vec_id")).join(emb, "vec_id")
+        cdenom = F.col("enorm") * F.col("cnorm")
+        ckey = F.coalesce(
+            F.round(
+                F.when(cdenom > 0, dot("embedding", "cvec") / cdenom).otherwise(
+                    F.lit(None).cast("double")
+                ),
+                9,
+            ),
+            F.lit(-2.0),
+        )
+        assigned = (
+            sv.join(F.broadcast(cent))
+            .select("vec_id", "embedding", "enorm", "cent_id", ckey.alias("ckey"))
+            .groupBy("vec_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("ckey"),
+                        (-F.col("cent_id")).alias("neg"),
+                        F.col("cent_id"),
+                    )
+                ).alias("b"),
+                F.first("embedding").alias("embedding"),
+                F.first("enorm").alias("enorm"),
+            )
+            .select(
+                "vec_id", "embedding", "enorm", F.col("b.cent_id").alias("cell")
+            )
+            # the pair self-join consumes assigned TWICE (and the
+            # anti-join a third time): cache or the broadcast
+            # assignment pass re-runs per consumer
+            .cache()
+        )
+        pa = assigned.select(
+            F.col("vec_id").alias("jd"),
+            F.col("embedding").alias("v1"),
+            F.col("enorm").alias("n1"),
+            "cell",
+        )
+        pb = assigned.select("vec_id", F.col("embedding").alias("v2"),
+                             F.col("enorm").alias("n2"), "cell")
+        pdenom = F.col("n1") * F.col("n2")
+        psim = F.when(pdenom > 0, dot("v1", "v2") / pdenom).otherwise(
+            F.lit(None).cast("double")
+        )
+        sem_drop = (
+            pa.join(pb, "cell")
+            .filter(F.col("jd") < F.col("vec_id"))
+            .filter(F.round(psim, 9) >= SEMDEDUP_TAU)
+            .select(F.col("vec_id").alias("doc_id"))
+            .distinct()
+        )
+        semantic_stage = neardup.join(sem_drop, "doc_id", "left_anti").cache()
+
+    decontam_base = semantic_stage if semantic else neardup
+
     # Decontamination: the eval split (doc_id % 50 = 0, the synthetic
     # convention from operators/decontam.py) is carved from the FULL
     # corpus — an eval suite exists independently of what curation
@@ -152,7 +235,7 @@ def _curation_stages(
         .select(F.explode("grams").alias("gram"))
         .distinct()
     )
-    train = neardup.filter(F.col("doc_id") % 50 != 0)
+    train = decontam_base.filter(F.col("doc_id") % 50 != 0)
     surv_grams = train.select("doc_id").join(grams, "doc_id").select(
         "doc_id",
         F.size("grams").cast("bigint").alias("n_grams"),
@@ -168,13 +251,16 @@ def _curation_stages(
         .select("doc_id")
     )
     clean = train.join(contaminated, "doc_id", "left_anti")
-    return {
+    out = {
         "scored": scored,
         "passed": passed,
         "exact": exact,
         "neardup": neardup,
         "clean": clean,
     }
+    if semantic:
+        out["semantic"] = semantic_stage
+    return out
 
 
 def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -389,3 +475,147 @@ def write_clean_corpus(
         )
         .orderBy("source")
     )
+
+
+def curation_pipeline_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The five-stage curation pipeline: quality gate → exact dedup →
+    MinHash/LSH near-dup prune → SemDeDup embedding-space prune →
+    decontamination, with per-source survival counts at every stage —
+    the text-space pipeline (`curation_pipeline`) plus the semantic
+    gate modern curation stacks run after lexical dedup (paraphrases
+    and re-renders share embeddings but not shingles).
+
+    Columns: source, n_raw, n_quality, n_exact, n_neardup, n_semantic,
+    n_clean, clean_tokens.  Still ONE DataFrame plan: the semantic
+    stage adds a broadcast cell-assignment pass and one cell-local
+    equi-join over (id, vector) rows — document bodies never enter it.
+    """
+    s = _curation_stages(spark, sf_dir, semantic=True)
+    scored, passed, exact = s["scored"], s["passed"], s["exact"]
+    neardup, semantic, clean = s["neardup"], s["semantic"], s["clean"]
+
+    def cnt(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy("source").agg(F.count(F.lit(1)).alias(name))
+
+    cl_c = clean.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_clean"), F.sum("n_tok").alias("clean_tokens")
+    )
+    return (
+        cnt(scored, "n_raw")
+        .join(cnt(passed, "n_quality"), "source", "left")
+        .join(cnt(exact, "n_exact"), "source", "left")
+        .join(cnt(neardup, "n_neardup"), "source", "left")
+        .join(cnt(semantic, "n_semantic"), "source", "left")
+        .join(cl_c, "source", "left")
+        .select(
+            "source",
+            "n_raw",
+            F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
+            F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
+            F.coalesce("n_neardup", F.lit(0)).alias("n_neardup"),
+            F.coalesce("n_semantic", F.lit(0)).alias("n_semantic"),
+            F.coalesce("n_clean", F.lit(0)).alias("n_clean"),
+            F.coalesce("clean_tokens", F.lit(0)).alias("clean_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+# DuckDB twin: the quality/exact/near-dup prefix is textually the
+# SAME proven CTE chain as ORACLE_CURATION_PIPELINE (sliced at the
+# decontam root); the semantic CTEs re-root similarity.ORACLE_SEMDEDUP's
+# cell/score/prune fragments on the near-dup survivors.
+from .similarity import SEMDEDUP_TAU as _SEM_TAU  # noqa: E402
+from .similarity import _SQL_COS_AB as _COS  # noqa: E402
+from .similarity import _SQL_L2 as _L2  # noqa: E402
+from .similarity import _SQL_NLIST as _NLIST  # noqa: E402
+
+_SQL_STAGES_PREFIX = ORACLE_CURATION_PIPELINE.split("\ngt AS")[0]
+
+ORACLE_CURATION_SEMANTIC = (
+    _SQL_STAGES_PREFIX
+    + f"""
+emb AS (
+  SELECT vec_id, embedding, {_L2.format(v="embedding")} AS enorm
+  FROM embeddings
+),
+centv AS (
+  SELECT vec_id AS cent_id, embedding AS cvec, enorm AS cnorm
+  FROM emb WHERE vec_id < {_NLIST}
+),
+sv AS (
+  SELECT nd.doc_id AS vec_id, e.embedding, e.enorm
+  FROM neardup nd JOIN emb e ON nd.doc_id = e.vec_id
+),
+scoredv AS (
+  SELECT s.vec_id, s.embedding, s.enorm, c.cent_id,
+    COALESCE(ROUND(CASE WHEN s.enorm * c.cnorm > 0
+      THEN {_COS.format(a="s.embedding", b="c.cvec")} / (s.enorm * c.cnorm)
+      END, 9), -2.0) AS ckey
+  FROM sv s CROSS JOIN centv c
+),
+assignedv AS (
+  SELECT vec_id, embedding, enorm, cent_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY ckey DESC, cent_id) AS rn
+    FROM scoredv
+  ) WHERE rn = 1
+),
+sem_drop AS (
+  SELECT DISTINCT b.vec_id AS doc_id
+  FROM assignedv a JOIN assignedv b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE ROUND(CASE WHEN a.enorm * b.enorm > 0
+    THEN {_COS.format(a="a.embedding", b="b.embedding")} / (a.enorm * b.enorm)
+    END, 9) >= {_SEM_TAU}
+),
+semantic AS (
+  SELECT * FROM neardup WHERE doc_id NOT IN (SELECT doc_id FROM sem_drop)
+),
+gt AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM corpus),
+gth AS (SELECT doc_id, toks, {_SQL_TH} AS th FROM gt),
+g AS (SELECT doc_id, {_sql_gram5()} AS grams FROM gth),
+eval_grams AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 50 = 0
+),
+train AS (SELECT * FROM semantic WHERE doc_id % 50 <> 0),
+sg AS (
+  SELECT tr.doc_id, CAST(len(g.grams) AS BIGINT) AS n_grams,
+         unnest(g.grams) AS gram
+  FROM train tr JOIN g ON tr.doc_id = g.doc_id
+),
+contaminated AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, n_grams, COUNT(*) AS n_hit
+    FROM sg JOIN eval_grams USING (gram)
+    GROUP BY doc_id, n_grams
+  ) WHERE CAST(n_hit AS DOUBLE) / n_grams >= {CONTAM_THRESHOLD}
+),
+clean AS (
+  SELECT * FROM train WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+raw_counts AS (SELECT source, COUNT(*) AS n_raw FROM scored GROUP BY source),
+qual_counts AS (SELECT source, COUNT(*) AS n_quality FROM passed GROUP BY source),
+exact_counts AS (SELECT source, COUNT(*) AS n_exact FROM exact GROUP BY source),
+nd_counts AS (SELECT source, COUNT(*) AS n_neardup FROM neardup GROUP BY source),
+sem_counts AS (SELECT source, COUNT(*) AS n_semantic FROM semantic GROUP BY source),
+clean_counts AS (
+  SELECT source, COUNT(*) AS n_clean, CAST(SUM(n_tok) AS BIGINT) AS clean_tokens
+  FROM clean GROUP BY source
+)
+SELECT r.source, r.n_raw,
+  COALESCE(q.n_quality, 0) AS n_quality,
+  COALESCE(e.n_exact, 0) AS n_exact,
+  COALESCE(n.n_neardup, 0) AS n_neardup,
+  COALESCE(sm.n_semantic, 0) AS n_semantic,
+  COALESCE(c.n_clean, 0) AS n_clean,
+  COALESCE(c.clean_tokens, 0) AS clean_tokens
+FROM raw_counts r
+LEFT JOIN qual_counts q ON r.source = q.source
+LEFT JOIN exact_counts e ON r.source = e.source
+LEFT JOIN nd_counts n ON r.source = n.source
+LEFT JOIN sem_counts sm ON r.source = sm.source
+LEFT JOIN clean_counts c ON r.source = c.source
+ORDER BY r.source
+"""
+)

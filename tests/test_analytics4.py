@@ -403,3 +403,16 @@ def test_hll_registers_merge_incrementally(spark):
     full = regs_of(ev)
     assert merged.exceptAll(full).count() == 0
     assert full.exceptAll(merged).count() == 0
+
+
+def test_column_ndv_matches_python_sketch(spark):
+    got = A4.column_ndv_sketches(spark, SF).toPandas().set_index("column_name")
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    assert set(got.index) == set(A4.NDV_COLUMNS)
+    for c in A4.NDV_COLUMNS:
+        keys = {str(v) for v in o[c].dropna()}
+        regs, est = _py_hll(keys)
+        row = got.loc[c]
+        assert row["n_buckets_used"] == len(regs), c
+        assert abs(row["ndv_estimate"] - round(est, 6)) < 1e-9, c
+        assert row["exact_ndv"] == len(keys), c

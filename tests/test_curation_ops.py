@@ -224,3 +224,65 @@ def test_write_clean_corpus_matches_pipeline(spark, sf_dir, tmp_path):
     for f in files:
         ids = pq.read_table(f, columns=["doc_id"]).column("doc_id").to_pylist()
         assert ids == sorted(ids), f
+
+
+def test_semantic_pipeline_stage_matches_numpy_semdedup(spark):
+    """The 5-stage pipeline's semantic stage vs an independent numpy
+    SemDeDup over the near-dup survivors: same seeded quantizer
+    (vec_id < coarse_nlist(N), argmax 9-dp cosine, ties to the lower
+    centroid), same prune rule (exists same-cell j < i with 9-dp
+    cos ≥ τ).  Also pins stage monotonicity and that the first five
+    columns equal curation_pipeline's (identical shared prefix)."""
+    import numpy as np
+    import pandas as pd
+
+    from f1_data_engineering_spark.operators import curation as CU
+    from f1_data_engineering_spark.operators.similarity import (
+        SEMDEDUP_TAU,
+        coarse_nlist,
+    )
+
+    sfd = "/root/testdata/sf0.001"
+    got = CU.curation_pipeline_semantic(spark, sfd).toPandas()
+    base = CU.curation_pipeline(spark, sfd).toPandas()
+    shared = ["source", "n_raw", "n_quality", "n_exact", "n_neardup"]
+    pd.testing.assert_frame_equal(got[shared], base[shared])
+    assert (got.n_semantic <= got.n_neardup).all()
+    assert (got.n_clean <= got.n_semantic).all()
+
+    stages = CU._curation_stages(spark, sfd, semantic=True)
+    nd_ids = sorted(r["doc_id"] for r in stages["neardup"].select("doc_id").collect())
+    sem_ids = {r["doc_id"] for r in stages["semantic"].select("doc_id").collect()}
+
+    emb = pd.read_parquet(f"{sfd}/embeddings.parquet")
+    V = {int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+         for r in emb.itertuples()}
+    nlist = coarse_nlist(len(emb))
+    cents = [(cid, V[cid]) for cid in sorted(V) if cid < nlist]
+
+    def cos9(a, b):
+        na, nb = float(np.sqrt(a @ a)), float(np.sqrt(b @ b))
+        if na * nb <= 0:
+            return None
+        return round(float(a @ b) / (na * nb), 9)
+
+    cells: dict[int, list[int]] = {}
+    for i in nd_ids:
+        if i not in V:  # augmented planted copies: no embedding row
+            continue
+        best = max(
+            ((-2.0 if (s := cos9(V[i], cv)) is None else s, -cid, cid)
+             for cid, cv in cents),
+        )
+        cells.setdefault(best[2], []).append(i)
+    pruned = set()
+    for members in cells.values():
+        for xi, i in enumerate(members):
+            for j in members[:xi]:
+                s = cos9(V[j], V[i])
+                if s is not None and s >= SEMDEDUP_TAU:
+                    pruned.add(i)
+                    break
+    exp_sem = set(nd_ids) - pruned
+    assert sem_ids == exp_sem
+    assert pruned, "the semantic stage should prune something at sf0.001"

@@ -50,6 +50,7 @@ CASES = [
     ("winsorized_stats", "analytics4"),
     ("ann_recall_eval", "similarity"),
     ("entity_resolution_clusters", "analytics4"),
+    ("curation_pipeline_semantic", "curation"),
 ]
 
 
