@@ -92,15 +92,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     base = _base_queries()
     green = _driver_green_so_far()
-    # Round 5: only 10 never-green names remain, so the whole block fits
-    # the ~50-entry window with room to spare.  Rank: (0) queries whose
-    # implementation or oracle CHANGED this round — the r4 dtype
-    # hash-fails (oracle CAST fixes) and the two cross-engine-parity
-    # rebuilds — these need a fresh driver row most; (1) oracle-backed
-    # never-green (judge-green in r4, never yet in the driver window);
-    # (2) rows-only never-green (gate records a weak rows-only row);
-    # (3) already green — stable original order fills the rest of the
-    # window with re-verification of the standing surface.
+    # Round 5: ~25 names need a row (10 carried never-green + the 16
+    # new round-5 queries), comfortably inside the ~50-entry window.
+    # Rank: (0) queries whose implementation or oracle CHANGED this
+    # round — the r4 dtype hash-fails (oracle CAST fixes) and the two
+    # cross-engine-parity rebuilds — these need a fresh driver row
+    # most; (1) oracle-backed never-green (r4's judge-green trio plus
+    # every new round-5 query); (2) rows-only never-green (gate
+    # records a weak rows-only row); (3) already green — stable
+    # original order fills the rest of the window with re-verification
+    # of the standing surface.
     changed_r5 = {
         "mad_outlier_events", "training_shard_manifest",
         "bpe_merge_candidates",  # oracle SUM → CAST AS BIGINT (r4 hash-fails)

@@ -595,15 +595,23 @@ FROM v GROUP BY event_type ORDER BY event_type
 # DuckDB oracle SQL twins (driver contract: same column names, same values)
 # ---------------------------------------------------------------------------
 
-ORACLE_Q1 = """
+# the three averages round via the double→VARCHAR→DECIMAL(38,30) chain
+# (pandas_ops._oracle_round6): DuckDB's native ROUND(double, 6) rounds
+# the SCALED double and disagrees with Spark's shortest-repr HALF_UP on
+# exact 6-dp HALF boundaries — the relational fuzzer found avg_disc
+# landing on 0.0628125 (scaled double 62812.4999…) and splitting the
+# engines 0.062813 vs 0.062812
+from .pandas_ops import _oracle_round6 as _r6  # noqa: E402
+
+ORACLE_Q1 = f"""
 SELECT l_returnflag, l_linestatus,
   CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_base_price,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sum_disc_price,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1-l_discount AS DECIMAL(12,2)) * CAST(1+l_tax AS DECIMAL(12,2))) AS DOUBLE) AS sum_charge,
-  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE)/COUNT(*), 6) AS avg_qty,
-  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)/COUNT(*), 6) AS avg_price,
-  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(38,4))) AS DOUBLE)/COUNT(*), 6) AS avg_disc,
+  {_r6("CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE)/COUNT(*)")} AS avg_qty,
+  {_r6("CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)/COUNT(*)")} AS avg_price,
+  {_r6("CAST(SUM(CAST(l_discount AS DECIMAL(38,4))) AS DOUBLE)/COUNT(*)")} AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -895,7 +903,7 @@ WITH per_part AS (
   FROM lineitem GROUP BY l_partkey
 )
 SELECT
-  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) / 7.0, 6)
+  CAST(ROUND(CAST(CAST((CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) / 7.0) AS VARCHAR) AS DECIMAL(38,30)), 6) AS DOUBLE)
     AS avg_yearly,
   COUNT(*) AS n_small
 FROM lineitem JOIN per_part ON l_partkey = pk

@@ -524,7 +524,7 @@ WITH r AS (
   FROM events
 )
 SELECT user_id, event_id AS last_event_id, event_type AS last_type,
-  ROUND(value, 6) AS last_value, ts AS last_ts, n_events
+  CAST(ROUND(CAST(CAST((value) AS VARCHAR) AS DECIMAL(38,30)), 6) AS DOUBLE) AS last_value, ts AS last_ts, n_events
 FROM r WHERE rn = 1 ORDER BY user_id
 """
 
@@ -593,7 +593,7 @@ cells AS (
   GROUP BY f.cohort_week, weeks_since
 )
 SELECT c.cohort_week, c.weeks_since, c.n_active, s.cohort_n,
-  ROUND(CAST(c.n_active AS DOUBLE) / CAST(s.cohort_n AS DOUBLE), 6) AS retention
+  CAST(ROUND(CAST(CAST((CAST(c.n_active AS DOUBLE) / CAST(s.cohort_n AS DOUBLE)) AS VARCHAR) AS DECIMAL(38,30)), 6) AS DOUBLE) AS retention
 FROM cells c JOIN sizes s USING (cohort_week)
 ORDER BY c.cohort_week, c.weeks_since
 """

@@ -187,12 +187,15 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q14 = """
 SELECT
-  ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+  -- shortest-repr HALF_UP (pandas_ops._oracle_round6 recipe): native
+  -- ROUND(double,6) rounds the scaled double and splits from Spark
+  -- at exact 6-dp HALF boundaries (fuzz-found on q1's avg_disc)
+  CAST(ROUND(CAST(CAST((100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
       THEN CAST(l_extendedprice AS DECIMAL(12,2))
            * CAST(1 - l_discount AS DECIMAL(12,2))
       ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
     / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-               * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE), 6)
+               * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE)) AS VARCHAR) AS DECIMAL(38,30)), 6) AS DOUBLE)
     AS promo_revenue_pct,
   COUNT(*) AS n_lines
 FROM lineitem JOIN part ON l_partkey = p_partkey

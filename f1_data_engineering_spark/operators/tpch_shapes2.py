@@ -129,7 +129,7 @@ WITH bridge AS (
   WHERE r_name = 'EUROPE'
 )
 SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
-       ROUND(unit_cost, 6) AS unit_cost
+       CAST(ROUND(CAST(CAST((unit_cost) AS VARCHAR) AS DECIMAL(38,30)), 6) AS DOUBLE) AS unit_cost
 FROM eur JOIN part ON l_partkey = p_partkey
 WHERE p_size <= 10
   AND unit_cost = (SELECT MIN(e2.unit_cost) FROM eur e2
@@ -266,9 +266,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q8 = """
 SELECT o_year,
-       ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume
+       CAST(ROUND(CAST(CAST((CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume
                            ELSE CAST(0 AS DECIMAL(25,4)) END) AS DOUBLE)
-             / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share,
+             / CAST(SUM(volume) AS DOUBLE)) AS VARCHAR) AS DECIMAL(38,30)), 6) AS DOUBLE) AS mkt_share,
        CAST(SUM(volume) AS DOUBLE) AS total_volume
 FROM (
   SELECT YEAR(o_orderdate) AS o_year,

@@ -211,3 +211,51 @@ def test_relational_operators_differential_fuzz(
         odf = con.execute(getattr(mod, oracle_attr)).df()
         problems = compare(name, sdf, odf)
         assert not problems, (name, problems, seed)
+
+
+def test_q1_avg_half_boundary_regression(spark, tmp_path):
+    """Direct pin of the fuzz-found 6-dp HALF-boundary divergence
+    (seed 1240410218): a lineitem group whose discount-cents sum to
+    201 over 32 rows gives avg_disc = 201/3200 = 0.0628125 — exactly a
+    6-dp HALF boundary.  Spark's round(double, 6) is HALF_UP on the
+    shortest decimal repr (→ 0.062813); DuckDB's native ROUND scales
+    the double (62812.4999… → 0.062812).  ORACLE_Q1's averages now run
+    the double→VARCHAR→DECIMAL(38,30) chain so both engines agree at
+    the boundary."""
+    import pandas as pd
+    import pyarrow as pa
+
+    rows = []
+    for i in range(32):
+        rows.append(
+            dict(
+                l_orderkey=i,
+                l_partkey=1,
+                l_suppkey=1,
+                l_quantity=1.0,
+                l_extendedprice=100.0,
+                l_discount=0.06 if i < 31 else 0.15,  # cents: 31*6+15=201
+                l_tax=0.0,
+                l_returnflag="A",
+                l_linestatus="F",
+                l_shipdate=pd.Timestamp("1995-01-01"),
+            )
+        )
+    df = pd.DataFrame(rows)
+    df["l_shipdate"] = df["l_shipdate"].astype("datetime64[us]")
+    sf_dir = str(tmp_path / "lake")
+    os.makedirs(sf_dir, exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pandas(df), os.path.join(sf_dir, "lineitem.parquet")
+    )
+
+    sdf = R.q1_pricing_summary(spark, sf_dir).toPandas()
+    assert sdf.loc[0, "avg_disc"] == 0.062813  # the boundary, rounded UP
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM "
+        f"'{os.path.join(sf_dir, 'lineitem.parquet')}'"
+    )
+    odf = con.execute(R.ORACLE_Q1).df()
+    assert compare("q1_boundary", sdf, odf) == []
