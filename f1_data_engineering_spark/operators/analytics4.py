@@ -59,6 +59,7 @@ from pyspark.sql import functions as F
 
 from ..sources.registry import load_table
 from .graphops import _sorted_fold_sum, star_contract_labels
+from .pandas_ops import _oracle_round6
 
 QUERIES = [
     "hll_distinct_users",
@@ -119,7 +120,10 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     h = _hll_hash(F.col("k"))
-    w = F.floor(h / HLL_M).cast("long")
+    # integer shift, not double division: floor(h / 2^P) via / promotes
+    # the 60-bit hash to double (53-bit mantissa) and is off-by-one for
+    # ~17% of hashes; shiftright is exact and matches the oracle's h // m
+    w = F.shiftright(h, HLL_P)
     rho = F.when(w == 0, F.lit(HLL_RHO_BITS + 1)).otherwise(
         F.lit(HLL_RHO_BITS + 1) - F.length(F.bin(w))
     )
@@ -183,8 +187,8 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: explicit DOUBLE casts — DuckDB types a bare decimal literal as
 #: DECIMAL and the multiply overflows / diverges from Spark's doubles
-_SQL_HLL_EST = (
-    f"ROUND(CAST({HLL_ALPHA!r} AS DOUBLE) * CAST({float(HLL_M * HLL_M)!r} AS DOUBLE) / s, 6)"
+_SQL_HLL_EST = _oracle_round6(
+    f"CAST({HLL_ALPHA!r} AS DOUBLE) * CAST({float(HLL_M * HLL_M)!r} AS DOUBLE) / s"
 )
 
 ORACLE_HLL = f"""
@@ -228,8 +232,7 @@ SELECT sk.g AS group_key, sk.n_buckets_used,
   {_SQL_HLL_EST} AS hll_estimate,
   ex.exact_distinct,
   CASE WHEN ex.exact_distinct > 0 THEN
-    ROUND(ABS({_SQL_HLL_EST} - CAST(ex.exact_distinct AS DOUBLE))
-          / CAST(ex.exact_distinct AS DOUBLE), 6)
+    {_oracle_round6(f"ABS({_SQL_HLL_EST} - CAST(ex.exact_distinct AS DOUBLE)) / CAST(ex.exact_distinct AS DOUBLE)")}
   END AS rel_err
 FROM sk JOIN ex ON sk.g = ex.g
 ORDER BY group_key
@@ -295,12 +298,15 @@ def skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: the ORACLE is the plain (unsalted) join — the whole point
-ORACLE_SALTED_JOIN = """
+AVG_ORDER_VALUE_6DP = _oracle_round6(
+    "CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*)"
+)
+
+ORACLE_SALTED_JOIN = f"""
 SELECT c.c_mktsegment,
   COUNT(*) AS n_orders,
   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total_revenue,
-  ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
-        / COUNT(*), 6) AS avg_order_value
+  {AVG_ORDER_VALUE_6DP} AS avg_order_value
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment
 ORDER BY c.c_mktsegment
@@ -317,7 +323,7 @@ NTILE_RANGE_PARTS = 32
 
 def global_rank_by_range(
     df: DataFrame, order_cols: list[str], parts: int = NTILE_RANGE_PARTS
-) -> DataFrame:
+) -> tuple[DataFrame, int]:
     """Exact global row_number over ``order_cols`` without a
     single-partition window: range-repartition on the keys (partition
     i's keys all sort before partition i+1's), pin the layout with an
@@ -408,8 +414,7 @@ SELECT CAST(bin AS BIGINT) AS bin,
   COUNT(*) AS n_orders,
   MIN(o_totalprice) AS min_price,
   MAX(o_totalprice) AS max_price,
-  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
-        / COUNT(*), 6) AS avg_price
+  {_oracle_round6("CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*)")} AS avg_price
 FROM b GROUP BY bin ORDER BY bin
 """
 
@@ -471,8 +476,8 @@ def _sql_skew(table: str, key: str) -> str:
     return f"""
 SELECT '{table}.{key}' AS keyspace, n_keys, n_rows, max_cnt,
   CAST(t.k AS VARCHAR) AS top_key,
-  ROUND(CAST(n_rows AS DOUBLE) / n_keys, 6) AS avg_per_key,
-  ROUND(max_cnt / ROUND(CAST(n_rows AS DOUBLE) / n_keys, 6), 6) AS skew_ratio
+  {_oracle_round6("CAST(n_rows AS DOUBLE) / n_keys")} AS avg_per_key,
+  {_oracle_round6(f'max_cnt / {_oracle_round6("CAST(n_rows AS DOUBLE) / n_keys")}')} AS skew_ratio
 FROM (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows,
          CAST(MAX(cnt) AS BIGINT) AS max_cnt
@@ -638,7 +643,10 @@ def hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     h = _hll_hash(F.col("k"))
-    w = F.floor(h / HLL_M).cast("long")
+    # integer shift, not double division: floor(h / 2^P) via / promotes
+    # the 60-bit hash to double (53-bit mantissa) and is off-by-one for
+    # ~17% of hashes; shiftright is exact and matches the oracle's h // m
+    w = F.shiftright(h, HLL_P)
     rho = F.when(w == 0, F.lit(HLL_RHO_BITS + 1)).otherwise(
         F.lit(HLL_RHO_BITS + 1) - F.length(F.bin(w))
     )
@@ -768,10 +776,10 @@ exact AS (
   GROUP BY a.g, b.g
 )
 SELECT u.ga AS type_a, u.gb AS type_b,
-  ROUND(sa.e, 6) AS est_a,
-  ROUND(sb.e, 6) AS est_b,
-  ROUND(u.eu, 6) AS est_union,
-  ROUND(sa.e + sb.e - u.eu, 6) AS est_intersection,
+  {_oracle_round6("sa.e")} AS est_a,
+  {_oracle_round6("sb.e")} AS est_b,
+  {_oracle_round6("u.eu")} AS est_union,
+  {_oracle_round6("sa.e + sb.e - u.eu")} AS est_intersection,
   COALESCE(x.exact_intersection, 0) AS exact_intersection
 FROM unions u
 JOIN singles sa ON sa.g = u.ga
@@ -982,15 +990,15 @@ wv AS (
 )
 SELECT g AS event_type,
   CAST(COUNT(*) AS BIGINT) AS n_values,
-  ROUND(MIN(p01), 6) AS p01,
-  ROUND(MIN(p99), 6) AS p99,
+  {_oracle_round6("MIN(p01)")} AS p01,
+  {_oracle_round6("MIN(p99)")} AS p99,
   CAST(COALESCE(SUM(CASE WHEN value < p01 THEN 1 END), 0) AS BIGINT) AS n_clamped_low,
   CAST(COALESCE(SUM(CASE WHEN value > p99 THEN 1 END), 0) AS BIGINT) AS n_clamped_high,
-  ROUND(list_sum(list(w ORDER BY w)) / COUNT(*), 6) AS wins_mean,
-  ROUND(sqrt(GREATEST(
+  {_oracle_round6("list_sum(list(w ORDER BY w)) / COUNT(*)")} AS wins_mean,
+  {_oracle_round6('''sqrt(GREATEST(
     (list_sum(list(w * w ORDER BY w))
      - list_sum(list(w ORDER BY w)) * list_sum(list(w ORDER BY w)) / COUNT(*))
-    / COUNT(*), 0.0)), 6) AS wins_std
+    / COUNT(*), 0.0))''')} AS wins_std
 FROM wv GROUP BY g ORDER BY event_type
 """
 
@@ -1166,7 +1174,10 @@ def column_ndv_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("k").isNotNull())
     )
     h = _hll_hash(F.col("k"))
-    w = F.floor(h / HLL_M).cast("long")
+    # integer shift, not double division: floor(h / 2^P) via / promotes
+    # the 60-bit hash to double (53-bit mantissa) and is off-by-one for
+    # ~17% of hashes; shiftright is exact and matches the oracle's h // m
+    w = F.shiftright(h, HLL_P)
     rho = F.when(w == 0, F.lit(HLL_RHO_BITS + 1)).otherwise(
         F.lit(HLL_RHO_BITS + 1) - F.length(F.bin(w))
     )
@@ -1237,7 +1248,7 @@ ex AS (
   SELECT col, CAST(COUNT(DISTINCT k) AS BIGINT) AS exact_ndv FROM un GROUP BY col
 )
 SELECT sk.col AS column_name, sk.n_buckets_used,
-  ROUND({_SQL_HLL_E} / sk.s, 6) AS ndv_estimate,
+  {_oracle_round6(f"{_SQL_HLL_E} / sk.s")} AS ndv_estimate,
   ex.exact_ndv
 FROM sk JOIN ex ON sk.col = ex.col
 ORDER BY column_name

@@ -254,5 +254,6 @@ q AS (
 ),
 g AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events FROM events GROUP BY user_id)
 SELECT g.user_id, q.med_value, q.iqr_value, g.n_events
-FROM g LEFT JOIN q USING (user_id) ORDER BY user_id
+FROM g LEFT JOIN q ON g.user_id IS NOT DISTINCT FROM q.user_id
+ORDER BY g.user_id
 """

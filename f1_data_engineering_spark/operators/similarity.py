@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_similarity, dot, l2_norm
+from .pandas_ops import _oracle_round6
 from ..sources.registry import load_table, spread
 
 N_PLANES = 8
@@ -1444,6 +1445,6 @@ allrows AS (
          CAST(SUM(n_hits) AS BIGINT) FROM per_q
 )
 SELECT query_id, n_exact, n_hits,
-  ROUND(CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE), 6) AS recall
+  {_oracle_round6("CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE)")} AS recall
 FROM allrows ORDER BY query_id
 """

@@ -33,11 +33,12 @@ stored table is O(groups × 256) rows regardless of stream volume.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.analytics4 import HLL_M, HLL_RHO_BITS, _hll_hash
+from ..operators.analytics4 import HLL_M, HLL_P, HLL_RHO_BITS, _hll_hash
 
 __all__ = ["hll_registers", "hll_register_stream", "write_stream_hll_ingest"]
 
@@ -51,7 +52,10 @@ def hll_registers(events: DataFrame) -> DataFrame:
         F.col("user_id").cast("string").alias("k"),
     )
     h = _hll_hash(F.col("k"))
-    w = F.floor(h / HLL_M).cast("long")
+    # integer shift, not double division: floor(h / 2^P) via / promotes
+    # the 60-bit hash to double (53-bit mantissa) and is off-by-one for
+    # ~17% of hashes; shiftright is exact and matches the oracle's h // m
+    w = F.shiftright(h, HLL_P)
     rho = F.when(w == 0, F.lit(HLL_RHO_BITS + 1)).otherwise(
         F.lit(HLL_RHO_BITS + 1) - F.length(F.bin(w))
     )
@@ -89,8 +93,24 @@ def write_stream_hll_ingest(
                 .groupBy("g", "bucket")
                 .agg(F.max("m").alias("m"))
             )
-        # tiny table: single file keeps the read-merge loop cheap
-        new.coalesce(1).write.mode("overwrite").parquet(table_path)
+        # Pin the merged rows in driver memory BEFORE touching
+        # table_path: mode("overwrite") is delete-before-write on some
+        # FS/version combinations, so a lazy plan still reading
+        # table_path could race its own delete, and a mid-write failure
+        # would lose the landed table.  The table is O(groups × 256)
+        # rows by construction, so the collect is bounded.
+        pinned = spark.createDataFrame(new.collect(), schema=new.schema)
+        # write to a temp path, then swap via rename: a crash between
+        # the renames leaves either the old table or the new one intact,
+        # never a half-written directory at table_path
+        base = table_path.rstrip("/")
+        tmp, swap = f"{base}.tmp-{batch_id}", f"{base}.old-{batch_id}"
+        pinned.coalesce(1).write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(table_path):
+            os.rename(table_path, swap)
+        os.rename(tmp, table_path)
+        if os.path.isdir(swap):
+            shutil.rmtree(swap)
 
     return (
         stream.writeStream.foreachBatch(merge)

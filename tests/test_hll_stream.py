@@ -70,3 +70,37 @@ def test_landed_register_table_matches_batch_and_is_replay_safe(
     )
     q2.awaitTermination()
     assert _reg_map(spark.read.parquet(table)) == exp
+
+
+def test_landed_merge_preserves_disjoint_seeded_groups(spark, tmp_path):
+    """Merging a batch DISJOINT from the seeded table must keep every
+    seeded register (the replay test above can't detect old-table loss:
+    its replayed batch regenerates identical registers).  This is the
+    regression guard for the read-merge-overwrite swap in
+    write_stream_hll_ingest: the merged frame is pinned driver-side
+    before table_path is touched, then swapped in by rename."""
+    table = str(tmp_path / "hll_table_seeded")
+    seeded = spark.createDataFrame(
+        [("seed_only_group", b, 3) for b in range(5)], "g string, bucket int, m int"
+    )
+    seeded.coalesce(1).write.parquet(table)
+
+    events_dir = str(tmp_path / "ev")
+    ev = load_table(spark, SF, "events").limit(200)
+    ev.coalesce(1).write.parquet(events_dir)
+
+    q = write_stream_hll_ingest(
+        events_file_stream(spark, events_dir), table, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+
+    got = _reg_map(spark.read.parquet(table))
+    # every seeded register survives the merge unchanged...
+    for b in range(5):
+        assert got[("seed_only_group", b)] == 3
+    # ...and the batch's own registers landed alongside
+    exp_new = _reg_map(hll_registers(ev))
+    for k, v in exp_new.items():
+        assert got[k] == v
+    # nothing else: union of the two keyspaces exactly
+    assert set(got) == set(exp_new) | {("seed_only_group", b) for b in range(5)}
