@@ -958,12 +958,20 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_wins_lerp(q: str) -> str:
     """v[lo] + frac*(v[hi]-v[lo]) at quantile q over per-group rn/m
     (rn 1-based) — the identical IEEE tree the Spark side evaluates
-    with its driver-computed fraction."""
+    with its driver-computed fraction.
+
+    The quantile literal MUST be cast to DOUBLE: DuckDB types a bare
+    ``0.99`` as DECIMAL, making ``(m-1)*0.99 - FLOOR(...)`` an EXACT
+    0.95 while the Spark driver's Python ``(m-1)*q`` carries the IEEE
+    representation error (0.9500000000000002 at m=6) — a fuzz-found
+    1e-6 divergence in the lerped percentile and everything downstream
+    of it (the clamped mean crossed a 6-dp HALF boundary)."""
+    qd = f"CAST({q} AS DOUBLE)"
     return (
-        f"(MAX(CASE WHEN rn - 1 = CAST(FLOOR((m-1)*{q}) AS BIGINT) THEN value END)"
-        f" + ((m-1)*{q} - FLOOR((m-1)*{q}))"
-        f" * (MAX(CASE WHEN rn - 1 = CAST(CEIL((m-1)*{q}) AS BIGINT) THEN value END)"
-        f" - MAX(CASE WHEN rn - 1 = CAST(FLOOR((m-1)*{q}) AS BIGINT) THEN value END)))"
+        f"(MAX(CASE WHEN rn - 1 = CAST(FLOOR((m-1)*{qd}) AS BIGINT) THEN value END)"
+        f" + ((m-1)*{qd} - FLOOR((m-1)*{qd}))"
+        f" * (MAX(CASE WHEN rn - 1 = CAST(CEIL((m-1)*{qd}) AS BIGINT) THEN value END)"
+        f" - MAX(CASE WHEN rn - 1 = CAST(FLOOR((m-1)*{qd}) AS BIGINT) THEN value END)))"
     )
 
 

@@ -215,12 +215,19 @@ def _oracle_lerp(q: str) -> str:
     """SQL for ``v[lo] + frac*(v[hi]-v[lo])`` at quantile ``q`` over the
     per-user sorted non-NULL values — textually the same expression
     tree ``_lerp_quantile`` evaluates in Python, so both engines run
-    the same IEEE double ops."""
+    the same IEEE double ops.
+
+    ``q`` is cast to DOUBLE: a bare decimal literal makes DuckDB
+    evaluate the fraction in exact DECIMAL arithmetic, diverging from
+    the Python driver's IEEE ``(m-1)*q`` whenever q is not a dyadic
+    rational (harmless for this oracle's 0.25/0.5/0.75, fuzz-found at
+    the winsorize oracle's 0.99 — see analytics4._sql_wins_lerp)."""
+    qd = f"CAST({q} AS DOUBLE)"
     return (
-        f"(MAX(CASE WHEN rn = CAST(FLOOR((m-1)*{q}) AS BIGINT) THEN value END)"
-        f" + ((m-1)*{q} - FLOOR((m-1)*{q}))"
-        f" * (MAX(CASE WHEN rn = CAST(CEIL((m-1)*{q}) AS BIGINT) THEN value END)"
-        f" - MAX(CASE WHEN rn = CAST(FLOOR((m-1)*{q}) AS BIGINT) THEN value END)))"
+        f"(MAX(CASE WHEN rn = CAST(FLOOR((m-1)*{qd}) AS BIGINT) THEN value END)"
+        f" + ((m-1)*{qd} - FLOOR((m-1)*{qd}))"
+        f" * (MAX(CASE WHEN rn = CAST(CEIL((m-1)*{qd}) AS BIGINT) THEN value END)"
+        f" - MAX(CASE WHEN rn = CAST(FLOOR((m-1)*{qd}) AS BIGINT) THEN value END)))"
     )
 
 

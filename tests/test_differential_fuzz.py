@@ -282,6 +282,31 @@ EVENT_FUZZ_QUERIES = [
         (0, 0, "click", -5.960464477539063e-08, '{"k": 7}'),
     ]
 )
+# regression (r6): the 'none' group's p99 lerp at m=6, q=0.99 — DuckDB
+# typed the bare 0.99 literal as DECIMAL, so (m-1)*0.99 - FLOOR(...) was
+# an EXACT 0.95 while the Spark driver's IEEE (m-1)*q carries the
+# representation error (0.9500000000000002); the lerped p99 differed in
+# the last ulp and the clamped mean crossed the 590.8165675 six-dp HALF
+# boundary (568 vs 567).  Fixed by CAST(q AS DOUBLE) in _sql_wins_lerp.
+@example(
+    corpus=[
+        (1, 600, None, 1.9, "[]"),
+        (4, 3, None, 0.0005, None),
+        (3, 600, None, -2.220446049250313e-16, '{"k": -3}'),
+        (3, 600, "click", -2.220446049250313e-16, "{bad"),
+        (4, 600, "view", None, '{"k": 7}'),
+        (2, 27, "click", None, '{"j": 1}'),
+        (2, 71, None, 3599.9999, '{"k": "x"}'),
+        (4, 3, "purchase", -59.9995, '{"k": 7}'),
+        (2, 1200, None, None, "{bad"),
+        (3, 75, None, None, "{bad"),
+        (2, 14, "purchase", None, ""),
+        (4, 67, None, 59.9995, '{"k": "x"}'),
+        (2, 1200, None, 59.9995, '{"k": 0}'),
+        (0, 42, "view", None, '{"j": 1}'),
+        (4, 0, "click", 59.9995, '{"k": 7}'),
+    ]
+)
 def test_event_operators_differential_fuzz(spark, fuzz_dir, corpus):
     """Window / sessionization / as-of / percentile operators under
     adversarial event streams: duplicated timestamps on every key (the
