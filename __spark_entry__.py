@@ -51,6 +51,8 @@ from f1_data_engineering_spark.operators import analytics4 as A4
 from f1_data_engineering_spark.operators import f1_fixture_queries as FX
 from f1_data_engineering_spark.operators import graphops as GR
 from f1_data_engineering_spark.operators import curation as CU
+from f1_data_engineering_spark.operators import analytics5 as A5
+from f1_data_engineering_spark.streaming import join_stream as JS
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -92,32 +94,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     base = _base_queries()
     green = _driver_green_so_far()
-    # Round 5: ~25 names need a row (10 carried never-green + the 16
-    # new round-5 queries), comfortably inside the ~50-entry window.
-    # Rank: (0) queries whose implementation or oracle CHANGED this
-    # round — the r4 dtype hash-fails (oracle CAST fixes) and the two
-    # cross-engine-parity rebuilds — these need a fresh driver row
-    # most; (1) oracle-backed never-green (r4's judge-green trio plus
-    # every new round-5 query); (2) rows-only never-green (gate
-    # records a weak rows-only row); (3) already green — stable
-    # original order fills the rest of the window with re-verification
-    # of the standing surface.
-    changed_r5 = {
-        "mad_outlier_events", "training_shard_manifest",
-        "bpe_merge_candidates",  # oracle SUM → CAST AS BIGINT (r4 hash-fails)
-        "user_value_median_iqr",  # explicit-lerp + shortest-repr rounding rebuild
-        "text_stats",  # oracle NULL-text coalesce
+    # Round 6: 10 new queries need their first row; every oracle that
+    # changed this round (HLL shiftright words, shortest-repr 6-dp
+    # rounding, the winsorize/median lerp DOUBLE-cast) needs a FRESH
+    # green row under the new text.  10 + 4 rows-only + 10 changed ≈ 24
+    # names — comfortably inside the ~50-entry window; the remainder
+    # re-verifies the standing surface in stable order.
+    changed_r6 = {
+        # HLL register word now shiftright; estimate/rel_err via
+        # _oracle_round6
+        "hll_distinct_users", "hll_intersection_estimate",
+        "column_ndv_sketches",
+        # 6-dp double rounds rebuilt on the shortest-repr recipe
+        "skew_join_salted", "equidepth_bins", "skew_profile",
+        "ann_recall_eval",
+        # lerp fraction DOUBLE-cast (fuzz-found DECIMAL-literal bug)
+        "winsorized_stats", "user_value_median_iqr",
     }
     rows_only = set(base) - set(oracle_sql())
 
     def rank(name: str) -> int:
         if name not in green:
-            if name in changed_r5:
-                return 0  # r4 hash-fails with this round's oracle fixes
-            return 2 if name in rows_only else 1
-        # green block: re-verify changed-this-round implementations
-        # first (still inside the ~50-entry window at position ~11-12)
-        return 3 if name in changed_r5 else 4
+            return 1 if name in rows_only else 0  # new queries first
+        # green block: re-verify changed-this-round oracles first
+        # (positions ~15-24, still inside the window)
+        return 2 if name in changed_r6 else 3
 
     return {k: base[k] for k in sorted(base, key=lambda n: (rank(n),))}
 
@@ -336,6 +337,21 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5c: the composed pipeline with the SemDeDup stage
         "curation_pipeline_semantic": CU.curation_pipeline_semantic,
         "column_ndv_sketches": A4.column_ndv_sketches,
+        # round-6: KMV theta-sketch set algebra, Bloom join pruning,
+        # exact weighted systematic sampling, higher moments, bounded
+        # Bellman-Ford SSSP, the declarative DQ expectation suite,
+        # snapshot CDC diff, LSH recall audit, G² keyness, and the
+        # batch twin of the stream-stream attribution join
+        "kmv_set_ops": A5.kmv_set_ops,
+        "bloom_prune_stats": A5.bloom_prune_stats,
+        "weighted_systematic_sample": A5.weighted_systematic_sample,
+        "moment_stats": A5.moment_stats,
+        "sssp_trade_costs": GR.sssp_trade_costs,
+        "dq_expectations": IG.dq_expectations,
+        "snapshot_diff": MG.snapshot_diff,
+        "lsh_recall_audit": DD.lsh_recall_audit,
+        "keyness_g2": TX.keyness_g2,
+        "view_purchase_join": JS.view_purchase_join,
     }
 
 
@@ -504,5 +520,15 @@ def oracle_sql() -> dict[str, str]:
         "negative_sampling_pairs": A4.ORACLE_NEGATIVE_SAMPLING,
         "curation_pipeline_semantic": CU.ORACLE_CURATION_SEMANTIC,
         "column_ndv_sketches": A4.ORACLE_COLUMN_NDV,
+        "kmv_set_ops": A5.ORACLE_KMV,
+        "bloom_prune_stats": A5.ORACLE_BLOOM,
+        "weighted_systematic_sample": A5.ORACLE_WEIGHTED_SAMPLE,
+        "moment_stats": A5.ORACLE_MOMENTS,
+        "sssp_trade_costs": GR.ORACLE_SSSP,
+        "dq_expectations": IG.ORACLE_DQ,
+        "snapshot_diff": MG.ORACLE_SNAPSHOT_DIFF,
+        "lsh_recall_audit": DD.ORACLE_LSH_RECALL,
+        "keyness_g2": TX.ORACLE_KEYNESS,
+        "view_purchase_join": JS.ORACLE_VIEW_PURCHASE,
     }
     return out

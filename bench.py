@@ -164,6 +164,19 @@ BENCH_QUERIES = (
     # per-column NDV planner statistics
     "curation_pipeline_semantic",
     "column_ndv_sketches",
+    # round-6: KMV set algebra, Bloom join pruning, weighted systematic
+    # sampling, higher moments, bounded SSSP, DQ suite, snapshot CDC
+    # diff, LSH recall audit, G² keyness, stream-join batch twin
+    "kmv_set_ops",
+    "bloom_prune_stats",
+    "weighted_systematic_sample",
+    "moment_stats",
+    "sssp_trade_costs",
+    "dq_expectations",
+    "snapshot_diff",
+    "lsh_recall_audit",
+    "keyness_g2",
+    "view_purchase_join",
 )
 
 

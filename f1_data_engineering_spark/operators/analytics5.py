@@ -379,7 +379,9 @@ def bloom_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         reduce(DataFrame.unionByName, pos_frames)
         .select(
             (F.col("pos") / WORD_BITS).cast("int").alias("word"),
-            F.shiftleft(F.lit(1).cast("long"), (F.col("pos") % WORD_BITS).cast("int")).alias("mask"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {WORD_BITS} AS INT))"
+            ).alias("mask"),
         )
         .groupBy("word")
         .agg(F.expr("bit_or(mask)").alias("bits"))
@@ -396,10 +398,13 @@ def bloom_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = cust
     for i, p in enumerate(_bloom_positions(F.col("key"))):
         probe = (
-            probe.withColumn(f"w{i}", (p / WORD_BITS).cast("int"))
+            probe.withColumn(f"__p{i}", p)
+            .withColumn(f"w{i}", (F.col(f"__p{i}") / WORD_BITS).cast("int"))
             .withColumn(
                 f"m{i}",
-                F.shiftleft(F.lit(1).cast("long"), (p % WORD_BITS).cast("int")),
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), CAST(__p{i} % {WORD_BITS} AS INT))"
+                ),
             )
             .join(
                 F.broadcast(
@@ -599,8 +604,8 @@ WITH od AS (
 ),
 cum AS (
   SELECT o_orderkey, w_cents,
-    SUM(w_cents) OVER (ORDER BY h, o_orderkey
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+    CAST(SUM(w_cents) OVER (ORDER BY h, o_orderkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
   FROM od
 ),
 tot AS (
@@ -620,12 +625,23 @@ ORDER BY cum_cents
 # ---------------------------------------------------------------------------
 
 
+#: two-level fold fan-in: per-(group, bucket) arrays hold ~n_g/64
+#: values — bounded at any corpus size, unlike a single per-group
+#: collect_list (which is the 100-TB anti-pattern AND was measured 10 s
+#: at sf0.1; the two-level form reads ~1 s)
+MOMENT_BUCKETS = 64
+
+
 def moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per event type: n, mean, population std, skewness and excess
-    kurtosis — every power sum a deterministic sorted fold (ordered by
-    (value, event_id)) so both engines run the identical float
-    left-fold, and every downstream expression shared verbatim with
-    the oracle.  σ³ is var·√var (sqrt only — no ``pow`` libm call)."""
+    kurtosis — every power sum a deterministic TWO-LEVEL sorted fold:
+    values fold within (group, event_id % 64) buckets ordered by
+    (value, event_id), then the 64 bucket sums fold ordered by bucket
+    id.  Both engines run the identical float tree at both levels, so
+    parity is exact while no task ever materializes more than a
+    1/64th-of-group array (a single per-group fold is corpus-sized —
+    the anti-pattern this shape replaces).  σ³ is var·√var (sqrt only
+    — no ``pow`` libm call)."""
     ev = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
@@ -634,18 +650,27 @@ def moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_id").alias("i"),
             F.col("value").alias("x"),
         )
+        .withColumn("bkt", F.pmod(F.col("i"), F.lit(MOMENT_BUCKETS)))
         .withColumn("x2", F.col("x") * F.col("x"))
         .withColumn("x3", F.col("x2") * F.col("x"))
         .withColumn("x4", F.col("x2") * F.col("x2"))
     )
-    # fold order: (value, event_id) — total, engine-independent
+    # level 1: fold within bucket, ordered by (value, event_id)
     key = F.struct(F.col("x").alias("o1"), F.col("i").alias("o2"))
-    agg = ev.groupBy("g").agg(
+    lvl1 = ev.groupBy("g", "bkt").agg(
         F.count(F.lit(1)).alias("n"),
         _sorted_fold_sum_key(key, "x").alias("s1"),
         _sorted_fold_sum_key(key, "x2").alias("s2"),
         _sorted_fold_sum_key(key, "x3").alias("s3"),
         _sorted_fold_sum_key(key, "x4").alias("s4"),
+    )
+    # level 2: fold the ≤64 bucket sums, ordered by bucket id
+    agg = lvl1.groupBy("g").agg(
+        F.sum("n").alias("n"),
+        _sorted_fold_sum("bkt", "s1").alias("s1"),
+        _sorted_fold_sum("bkt", "s2").alias("s2"),
+        _sorted_fold_sum("bkt", "s3").alias("s3"),
+        _sorted_fold_sum("bkt", "s4").alias("s4"),
     )
     n = F.col("n").cast("double")
     mean = F.col("s1") / n
@@ -686,17 +711,26 @@ def _sql_fold(expr: str) -> str:
 
 ORACLE_MOMENTS = f"""
 WITH ev AS (
-  SELECT coalesce(event_type, 'none') AS g, event_id AS i, value AS x,
+  SELECT coalesce(event_type, 'none') AS g, event_id AS i,
+    event_id % {MOMENT_BUCKETS} AS bkt, value AS x,
     value * value AS x2,
     (value * value) * value AS x3,
     (value * value) * (value * value) AS x4
   FROM events WHERE value IS NOT NULL
 ),
-agg AS (
-  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+lvl1 AS (
+  SELECT g, bkt, CAST(COUNT(*) AS BIGINT) AS n,
     {_sql_fold('x')} AS s1, {_sql_fold('x2')} AS s2,
     {_sql_fold('x3')} AS s3, {_sql_fold('x4')} AS s4
-  FROM ev GROUP BY g
+  FROM ev GROUP BY g, bkt
+),
+agg AS (
+  SELECT g, CAST(SUM(n) AS BIGINT) AS n,
+    list_sum(list(s1 ORDER BY bkt)) AS s1,
+    list_sum(list(s2 ORDER BY bkt)) AS s2,
+    list_sum(list(s3 ORDER BY bkt)) AS s3,
+    list_sum(list(s4 ORDER BY bkt)) AS s4
+  FROM lvl1 GROUP BY g
 ),
 m AS (
   SELECT g, n,

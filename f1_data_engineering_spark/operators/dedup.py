@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import shingles, tokens
 from ..sources.registry import load_table, spread
+from .pandas_ops import _oracle_round6
 
 #: DuckDB token/shingle twins (keep in lock-step with functions/text.py).
 _SQL_TOKS = "COALESCE(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> ''), [])"
@@ -1418,4 +1419,169 @@ SELECT d.doc_id, CAST(d.n_windows AS BIGINT) AS n_windows,
     ELSE 0.0 END AS dup_ratio
 FROM d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# LSH recall audit: measured vs analytic S-curve recall
+# ---------------------------------------------------------------------------
+
+
+def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the LSH banding scheme against exact shingle
+    Jaccard, per similarity bucket, next to the analytic S-curve
+    expectation 1-(1-s^r)^b — the audit that justifies (b, r) choices
+    before a 100 TB dedup run.
+
+    Ground truth: all pairs with exact Jaccard ≥ 0.5 over the SAME
+    augmented corpus and the SAME hashed-shingle universe the MinHash
+    signatures sketch (inverted-index candidate join — pair-density
+    bound, the expensive audit twin, same status as ann_recall_eval).
+    Candidates: the banding equi-join of minhash_lsh_pairs.  Per
+    jaccard decile: true pairs, LSH hits, measured recall, and the
+    analytic curve at the bucket midpoint (integer-exponent powers as
+    literal multiplication chains — no libm pow on either engine).
+    """
+    corpus = _near_dup_corpus(spark, sf_dir)
+    hb = _shingle_hash_df(corpus).select(
+        "doc_id", F.array_distinct("hb").alias("hb")
+    )
+    hb = hb.filter(F.size("hb") > 0).cache()
+    ex = hb.select("doc_id", F.explode("hb").alias("sh"))
+    sizes = hb.select("doc_id", F.size("hb").alias("sz"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.round(
+        F.col("n_common").cast("double")
+        / (F.col("sz1") + F.col("sz2") - F.col("n_common")).cast("double"),
+        6,
+    )
+    true_pairs = (
+        inter.join(sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1")), "d1")
+        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2")), "d2")
+        .select("d1", "d2", jac.alias("jac"))
+        .filter(F.col("jac") >= 0.5)
+    )
+
+    # signatures from the CACHED hash sets (min over the distinct set
+    # equals min over the multiset) — signatures_df(corpus) would re-run
+    # the md5-per-token pass, measured ~5 s of the audit at sf0.1
+    sig = hb.select("doc_id", _sig_array(F.col("hb")).alias("sig"))
+    bands = band_keys_df(sig)
+    ba, bb = bands.alias("a"), bands.alias("b")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+
+    joined = true_pairs.join(cand, ["d1", "d2"], "left").select(
+        F.floor(F.col("jac") * 10).cast("long").alias("jaccard_decile"),
+        F.coalesce(F.col("hit"), F.lit(0)).alias("hit"),
+    )
+    s_mid = (F.col("jaccard_decile").cast("double") + 0.5) / 10.0
+    s_r = s_mid * s_mid * s_mid * s_mid  # r = LSH_ROWS = 4
+    t = F.lit(1.0) - s_r
+    expected = F.lit(1.0) - t * t * t * t  # b = LSH_BANDS = 4
+    return (
+        joined.groupBy("jaccard_decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_true_pairs"),
+            F.sum("hit").cast("long").alias("n_lsh_hits"),
+        )
+        .select(
+            "jaccard_decile",
+            "n_true_pairs",
+            "n_lsh_hits",
+            F.round(
+                F.col("n_lsh_hits").cast("double")
+                / F.col("n_true_pairs").cast("double"),
+                6,
+            ).alias("recall"),
+            F.round(expected, 6).alias("expected_recall"),
+        )
+        .orderBy("jaccard_decile")
+    )
+
+
+ORACLE_LSH_RECALL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         substr(text, 1, (length(text) * 4) // 5) AS text
+  FROM documents WHERE doc_id < 10
+),
+t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM corpus),
+tht AS (SELECT doc_id, toks, {_SQL_TOKEN_HASHES} AS th FROM t),
+hbt AS (SELECT doc_id, {_SQL_SHINGLE_HASHES} AS hb FROM tht),
+dh AS (
+  SELECT doc_id, list_distinct(hb) AS hb FROM hbt WHERE len(hb) > 0
+),
+ex AS (SELECT doc_id, unnest(hb) AS sh FROM dh),
+sizes AS (SELECT doc_id, len(hb) AS sz FROM dh),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+tp AS (
+  SELECT d1, d2,
+    {_oracle_round6("CAST(n_common AS DOUBLE) / CAST(s1.sz + s2.sz - n_common AS DOUBLE)")} AS jac
+  FROM inter
+  JOIN sizes s1 ON s1.doc_id = d1
+  JOIN sizes s2 ON s2.doc_id = d2
+),
+tpf AS (SELECT d1, d2, jac FROM tp WHERE jac >= 0.5),
+s AS (SELECT doc_id, {_SQL_SIG} AS sig FROM hbt),
+bands AS (
+  SELECT doc_id, unnest(range({LSH_BANDS})) AS band, sig FROM s
+),
+keyed AS (
+  SELECT doc_id, band,
+    array_to_string(sig[band*{LSH_ROWS}+1 : band*{LSH_ROWS}+{LSH_ROWS}], '_') AS key
+  FROM bands
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM keyed a JOIN keyed b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+j AS (
+  SELECT CAST(FLOOR(tpf.jac * 10) AS BIGINT) AS jaccard_decile,
+    CASE WHEN c.d1 IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM tpf LEFT JOIN cand c ON tpf.d1 = c.d1 AND tpf.d2 = c.d2
+),
+g AS (
+  SELECT jaccard_decile, COUNT(*) AS n_true_pairs,
+    CAST(SUM(hit) AS BIGINT) AS n_lsh_hits
+  FROM j GROUP BY jaccard_decile
+),
+m AS (
+  SELECT *, (CAST(jaccard_decile AS DOUBLE) + 0.5) / 10.0 AS s_mid FROM g
+),
+m2 AS (
+  SELECT *, s_mid * s_mid * s_mid * s_mid AS s_r FROM m
+),
+m3 AS (
+  SELECT *, 1.0 - s_r AS tt FROM m2
+)
+SELECT jaccard_decile, n_true_pairs, n_lsh_hits,
+  {_oracle_round6("CAST(n_lsh_hits AS DOUBLE) / CAST(n_true_pairs AS DOUBLE)")} AS recall,
+  {_oracle_round6("1.0 - tt * tt * tt * tt")} AS expected_recall
+FROM m3 ORDER BY jaccard_decile
 """

@@ -53,6 +53,7 @@ __all__ = [
     "triangle_count_trade",
     "bfs_hops_trade",
     "cc_star_contraction",
+    "sssp_trade_costs",
 ]
 
 PR_ITERS = 10
@@ -637,3 +638,127 @@ from . import dedup as _DD  # noqa: E402  (oracle reuse, no cycle)
 #: Same transitive-closure oracle as dedup_clusters — one oracle, two
 #: independent distributed algorithms.
 ORACLE_CC_STAR = _DD.ORACLE_CLUSTERS
+
+
+# ---------------------------------------------------------------------------
+# Bounded Bellman-Ford single-source shortest paths
+# ---------------------------------------------------------------------------
+
+SSSP_SOURCE = 0
+SSSP_ITERS = 8
+
+
+def sssp_trade_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest trade route from nation ``SSSP_SOURCE`` over the
+    sparsified undirected trade graph, where an edge's cost is its
+    strength RANK at the keeping endpoint (1 = strongest partner) —
+    "prefer strong partners" as an additive path metric.  Bounded
+    Bellman-Ford: ``SSSP_ITERS`` relaxation rounds give the exact
+    minimum cost over paths of at most that many edges; nations not
+    reachable within the bound report -1.
+
+    Each round is ONE equi-join of the settled-distance spine against
+    the edge list plus a min-aggregate — per-round shuffle is
+    |dist ⋈ edges|, never |V|².  The spine is ``localCheckpoint``ed
+    per round (it feeds both the relax join and the merge — the
+    PageRank/BFS branch shape; without it the plan doubles per round).
+    Costs are integers end-to-end: no FP-parity surface at all.  The
+    DuckDB twin is a depth-bounded recursive walk over the identical
+    edge set (min cost over ≤ITERS-edge paths ≡ ITERS-round
+    Bellman-Ford).
+    """
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node"), "n_name"
+    )
+    nation_keys = nation.select(F.col("node").alias("nk"))
+    e = _trade_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    rk = F.row_number().over(
+        W.partitionBy("src").orderBy(F.col("w").desc(), F.col("dst"))
+    )
+    sp = (
+        e.withColumn("cost", rk)
+        .filter(F.col("cost") <= BFS_TOP_PARTNERS)
+        .select("src", "dst", F.col("cost").cast("long").alias("cost"))
+    )
+    und = (
+        sp.unionAll(
+            sp.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "cost"
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("cost").alias("cost"))
+    )
+    und = (
+        und.join(F.broadcast(nation_keys), und.src == F.col("nk"), "left_semi")
+        .join(F.broadcast(nation_keys), F.col("dst") == F.col("nk"), "left_semi")
+        .localCheckpoint(eager=True)
+    )
+    dist = nation.select(
+        "node",
+        F.when(F.col("node") == SSSP_SOURCE, F.lit(0).cast("long")).alias("d"),
+    ).localCheckpoint(eager=True)
+    for _ in range(SSSP_ITERS):
+        relax = (
+            dist.filter(F.col("d").isNotNull())
+            .join(und, dist.node == und.src)
+            .select(F.col("dst").alias("rnode"), (F.col("d") + F.col("cost")).alias("nd"))
+            .groupBy("rnode")
+            .agg(F.min("nd").alias("nd"))
+        )
+        dist = (
+            dist.join(relax, dist.node == relax.rnode, "left")
+            .select(
+                "node",
+                F.when(F.col("d").isNull(), F.col("nd"))
+                .when(F.col("nd").isNull(), F.col("d"))
+                .otherwise(F.least(F.col("d"), F.col("nd")))
+                .alias("d"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        dist.join(F.broadcast(nation), "node")
+        .select(
+            "node",
+            "n_name",
+            F.coalesce(F.col("d"), F.lit(-1)).cast("long").alias("min_cost"),
+        )
+        .orderBy("node")
+    )
+
+
+ORACLE_SSSP = f"""
+WITH RECURSIVE edges_raw AS ({_SQL_EDGES}),
+ranked AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS cost
+  FROM edges_raw WHERE src <> dst
+),
+sp AS (SELECT src, dst, cost FROM ranked WHERE cost <= {BFS_TOP_PARTNERS}),
+und AS (
+  SELECT src, dst, MIN(cost) AS cost FROM (
+    SELECT src, dst, cost FROM sp
+    UNION ALL
+    SELECT dst AS src, src AS dst, cost FROM sp
+  ) GROUP BY src, dst
+),
+und_n AS (
+  SELECT u.src, u.dst, u.cost FROM und u
+  WHERE u.src IN (SELECT n_nationkey FROM nation)
+    AND u.dst IN (SELECT n_nationkey FROM nation)
+),
+walk(node, c, depth) AS (
+  SELECT CAST({SSSP_SOURCE} AS BIGINT) AS node, CAST(0 AS BIGINT) AS c, 0 AS depth
+  WHERE {SSSP_SOURCE} IN (SELECT n_nationkey FROM nation)
+  UNION
+  SELECT u.dst, w.c + u.cost, w.depth + 1
+  FROM walk w JOIN und_n u ON u.src = w.node
+  WHERE w.depth < {SSSP_ITERS}
+),
+d AS (SELECT node, MIN(c) AS c FROM walk GROUP BY node)
+SELECT n.n_nationkey AS node, n.n_name,
+       CAST(COALESCE(d.c, -1) AS BIGINT) AS min_cost
+FROM nation n LEFT JOIN d ON n.n_nationkey = d.node
+ORDER BY node
+"""

@@ -76,3 +76,131 @@ FROM {child} c LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p
 
 
 ORACLE_FK_AUDIT = "\nUNION ALL\n".join(_sql_edge(*e) for e in FK_EDGES)
+
+
+# ---------------------------------------------------------------------------
+# Declarative data-quality expectation suite
+# ---------------------------------------------------------------------------
+
+#: (table, expectation id, violation predicate SQL, description kind)
+#: predicate is SQL shared VERBATIM by both engines — the Spark side
+#: wraps it in F.expr, the oracle pastes it into CASE WHEN.
+#: ``unique:<col>`` rows are computed from count/countDistinct instead.
+DQ_EXPECTATIONS: tuple[tuple[str, str, str], ...] = (
+    ("orders", "o_orderkey_not_null", "o_orderkey IS NULL"),
+    ("orders", "o_orderkey_unique", "unique:o_orderkey"),
+    ("orders", "o_totalprice_range_0_1e6",
+     "o_totalprice IS NOT NULL AND (o_totalprice < 0 OR o_totalprice > 1000000)"),
+    ("orders", "o_orderdate_not_null", "o_orderdate IS NULL"),
+    ("customer", "c_custkey_unique", "unique:c_custkey"),
+    ("customer", "c_acctbal_range",
+     "c_acctbal IS NOT NULL AND (c_acctbal < -1000 OR c_acctbal > 100000)"),
+    ("events", "event_id_unique", "unique:event_id"),
+    ("events", "user_id_not_null", "user_id IS NULL"),
+    ("events", "value_not_null", "value IS NULL"),
+    ("events", "event_type_known",
+     "event_type IS NOT NULL AND event_type NOT IN ('click', 'view', 'purchase', 'signup', 'error')"),
+    ("documents", "doc_id_unique", "unique:doc_id"),
+    ("documents", "text_not_null", "text IS NULL"),
+    ("documents", "n_chars_consistent",
+     "n_chars IS DISTINCT FROM length(coalesce(text, ''))"),
+)
+
+
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standing expectation suite a lake runs after every load:
+    one row per declared expectation with its violation count and
+    pass/fail status — the composed form of the per-check audits
+    (fk_orphan_audit above is the referential leg; this is the
+    column-contract leg).
+
+    Scale shape: ALL of a table's expectations evaluate in ONE
+    aggregate pass over that table (conditional sums + countDistinct
+    share the scan), then the single agg row fans out to per-
+    expectation rows — a driver-trivial unpivot of a 1-row frame.
+    Tables evaluate independently (parallel jobs under one action);
+    nothing shuffles more than the partial-agg rows.  The violation
+    predicates are SQL strings shared verbatim with the oracle.
+    """
+    by_table: dict[str, list[tuple[str, str]]] = {}
+    for table, exp_id, pred in DQ_EXPECTATIONS:
+        by_table.setdefault(table, []).append((exp_id, pred))
+
+    outs = []
+    for table, exps in by_table.items():
+        t = load_table(spark, sf_dir, table)
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for exp_id, pred in exps:
+            if pred.startswith("unique:"):
+                col = pred.split(":", 1)[1]
+                aggs.append(
+                    (F.count(col) - F.countDistinct(col))
+                    .cast("bigint")
+                    .alias(exp_id)
+                )
+            else:
+                aggs.append(
+                    F.coalesce(
+                        F.sum(F.when(F.expr(pred), 1).otherwise(0)), F.lit(0)
+                    )
+                    .cast("bigint")
+                    .alias(exp_id)
+                )
+        one = t.agg(*aggs)
+        for exp_id, _ in exps:
+            outs.append(
+                one.select(
+                    F.lit(table).alias("table_name"),
+                    F.lit(exp_id).alias("expectation"),
+                    F.col("n_rows"),
+                    F.col(exp_id).alias("n_violations"),
+                    F.when(F.col(exp_id) == 0, F.lit("pass"))
+                    .otherwise(F.lit("fail"))
+                    .alias("status"),
+                )
+            )
+    return reduce(DataFrame.unionByName, outs).orderBy(
+        "table_name", "expectation"
+    )
+
+
+def _sql_dq_table(table: str, exps: list[tuple[str, str]]) -> str:
+    cols = ["CAST(COUNT(*) AS BIGINT) AS n_rows"]
+    for exp_id, pred in exps:
+        if pred.startswith("unique:"):
+            col = pred.split(":", 1)[1]
+            cols.append(
+                f"CAST(COUNT({col}) - COUNT(DISTINCT {col}) AS BIGINT) AS {exp_id}"
+            )
+        else:
+            cols.append(
+                f"CAST(COALESCE(SUM(CASE WHEN {pred} THEN 1 ELSE 0 END), 0) AS BIGINT) AS {exp_id}"
+            )
+    agg = f"SELECT {', '.join(cols)} FROM {table}"
+    rows = [
+        f"SELECT '{table}' AS table_name, '{exp_id}' AS expectation, n_rows, "
+        f"{exp_id} AS n_violations, "
+        f"CASE WHEN {exp_id} = 0 THEN 'pass' ELSE 'fail' END AS status "
+        f"FROM agg_{table}"
+        for exp_id, _ in exps
+    ]
+    return agg, rows
+
+
+def _oracle_dq() -> str:
+    by_table: dict[str, list[tuple[str, str]]] = {}
+    for table, exp_id, pred in DQ_EXPECTATIONS:
+        by_table.setdefault(table, []).append((exp_id, pred))
+    ctes, selects = [], []
+    for table, exps in by_table.items():
+        agg, rows = _sql_dq_table(table, exps)
+        ctes.append(f"agg_{table} AS ({agg})")
+        selects.extend(rows)
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY table_name, expectation"
+    )
+
+
+ORACLE_DQ = _oracle_dq()

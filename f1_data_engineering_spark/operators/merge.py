@@ -168,3 +168,113 @@ SELECT c_mktsegment, is_current,
 FROM pit GROUP BY c_mktsegment, is_current
 ORDER BY c_mktsegment, is_current
 """
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (CDC between two table versions)
+# ---------------------------------------------------------------------------
+
+
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two snapshots of the customer
+    dimension: per (market segment, change type) counts plus balance
+    deltas — the audit a versioned lake runs between any two commits
+    (the per-row form is the same join minus the final aggregate).
+
+    Snapshot v2 is derived deterministically in-query so both engines
+    diff the identical pair: key % 17 == 0 rows are DELETED, key % 10
+    == 3 rows get acctbal + 100 (UPDATED), and key % 23 == 5 rows are
+    re-INSERTED under key + 10^9 (simulating new arrivals); everything
+    else is UNCHANGED.
+
+    Scale shape: ONE full-outer join on the key (both sides hash-
+    partition once) feeding one map-side-combinable aggregate — no
+    row-level CDC log required; this is the fallback diff when the
+    writer didn't record one.  Money deltas ride the fixed-point cents
+    path (exact integers) and convert to double once at the edge.
+    """
+    from .relational import _cents
+
+    v1 = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", _cents("c_acctbal").alias("bal1")
+    )
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", _cents("c_acctbal").alias("bal2")
+    )
+    v2 = (
+        base.filter(F.col("c_custkey") % 17 != 0)
+        .withColumn(
+            "bal2",
+            F.when(
+                F.col("c_custkey") % 10 == 3, F.col("bal2") + 10000
+            ).otherwise(F.col("bal2")),
+        )
+        .unionByName(
+            base.filter(F.col("c_custkey") % 23 == 5).select(
+                (F.col("c_custkey") + 1000000000).alias("c_custkey"),
+                "c_mktsegment",
+                "bal2",
+            )
+        )
+    )
+    j = v1.alias("a").join(
+        v2.alias("b"), F.col("a.c_custkey") == F.col("b.c_custkey"), "full_outer"
+    )
+    change = (
+        F.when(F.col("a.c_custkey").isNull(), F.lit("inserted"))
+        .when(F.col("b.c_custkey").isNull(), F.lit("deleted"))
+        .when(F.col("bal1") != F.col("bal2"), F.lit("updated"))
+        .otherwise(F.lit("unchanged"))
+    )
+    delta = F.coalesce(F.col("bal2"), F.lit(0)) - F.coalesce(F.col("bal1"), F.lit(0))
+    return (
+        j.select(
+            F.coalesce(F.col("a.c_mktsegment"), F.col("b.c_mktsegment")).alias(
+                "c_mktsegment"
+            ),
+            change.alias("change_type"),
+            delta.alias("delta_cents"),
+        )
+        .groupBy("c_mktsegment", "change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum("delta_cents").cast("double") / 100).alias("balance_delta"),
+        )
+        .orderBy("c_mktsegment", "change_type")
+    )
+
+
+ORACLE_SNAPSHOT_DIFF = """
+WITH v1 AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bal1
+  FROM customer
+),
+base AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bal2
+  FROM customer
+),
+v2 AS (
+  SELECT c_custkey, c_mktsegment,
+         CASE WHEN c_custkey % 10 = 3 THEN bal2 + 10000 ELSE bal2 END AS bal2
+  FROM base WHERE c_custkey % 17 <> 0
+  UNION ALL
+  SELECT c_custkey + 1000000000, c_mktsegment, bal2
+  FROM base WHERE c_custkey % 23 = 5
+),
+j AS (
+  SELECT coalesce(a.c_mktsegment, b.c_mktsegment) AS c_mktsegment,
+    CASE WHEN a.c_custkey IS NULL THEN 'inserted'
+         WHEN b.c_custkey IS NULL THEN 'deleted'
+         WHEN a.bal1 <> b.bal2 THEN 'updated'
+         ELSE 'unchanged' END AS change_type,
+    COALESCE(b.bal2, 0) - COALESCE(a.bal1, 0) AS delta_cents
+  FROM v1 a FULL OUTER JOIN v2 b ON a.c_custkey = b.c_custkey
+)
+SELECT c_mktsegment, change_type,
+  COUNT(*) AS n_rows,
+  CAST(CAST(SUM(delta_cents) AS BIGINT) AS DOUBLE) / 100 AS balance_delta
+FROM j GROUP BY c_mktsegment, change_type
+ORDER BY c_mktsegment, change_type
+"""

@@ -22,6 +22,7 @@ from ..functions.text import (
     tokens,
 )
 from ..sources.registry import load_table, spread
+from .pandas_ops import _oracle_round6
 from .ranking import bucketed_topk_rank, offset_global_rank
 
 #: DuckDB expression for the engine's whitespace tokens (lower/trim/split).
@@ -1594,4 +1595,108 @@ SELECT term_a, term_b, n_a, n_b, n_ab,
 FROM co, n
 WHERE n_ab >= {PMI_MIN_AB}
 ORDER BY pmi DESC, term_a, term_b LIMIT 30
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dunning log-likelihood (G²) keyness
+# ---------------------------------------------------------------------------
+
+KEYNESS_VOCAB = 50
+
+
+def keyness_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning (1993) log-likelihood keyness of terms between a focus
+    subcorpus (doc_id % 3 == 0 — a deterministic stand-in for "this
+    source/day/shard") and the background: which words are
+    over/under-represented, the standard drift detector run when a new
+    crawl lands next to the standing corpus.
+
+    G² = 2·(a·ln(a/E_a) + b·ln(b/E_b)) with expected counts
+    E_a = (a+b)·N_a/(N_a+N_b), E_b = (a+b)·N_b/(N_a+N_b); zero cells
+    contribute 0.  Scale shape: one token-count aggregate per side,
+    vocabulary top-k broadcast (same bound as term_cooccurrence_pmi),
+    the G² arithmetic on |vocab| rows.  ln() on integer-derived ratios
+    — the same cross-engine contract as pmi/zipf_fit (identical IEEE
+    expression trees, 6-dp shortest-repr rounding at the edge).
+    """
+    d = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    )
+    toks = d.select(
+        (F.col("doc_id") % 3 == 0).alias("is_focus"),
+        F.explode(tokens("text")).alias("term"),
+    )
+    counts = toks.groupBy("term").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("is_focus"), 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("a"),
+        F.coalesce(
+            F.sum(F.when(~F.col("is_focus"), 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("b"),
+    )
+    vocab = counts.orderBy((F.col("a") + F.col("b")).desc(), "term").limit(
+        KEYNESS_VOCAB
+    )
+    tot = counts.agg(
+        F.sum("a").cast("long").alias("na"), F.sum("b").cast("long").alias("nb")
+    )
+    af, bf = F.col("a").cast("double"), F.col("b").cast("double")
+    naf, nbf = F.col("na").cast("double"), F.col("nb").cast("double")
+    ea = (af + bf) * naf / (naf + nbf)
+    eb = (af + bf) * nbf / (naf + nbf)
+    term_a = F.when(F.col("a") > 0, af * F.log(af / ea)).otherwise(F.lit(0.0))
+    term_b = F.when(F.col("b") > 0, bf * F.log(bf / eb)).otherwise(F.lit(0.0))
+    g2 = F.round(F.lit(2.0) * (term_a + term_b), 6)
+    direction = F.when(af * nbf > bf * naf, F.lit("focus")).otherwise(
+        F.lit("background")
+    )
+    return (
+        vocab.crossJoin(F.broadcast(tot))
+        .select(
+            "term",
+            F.col("a").alias("n_focus"),
+            F.col("b").alias("n_background"),
+            g2.alias("g2"),
+            direction.alias("leans"),
+        )
+        .orderBy(F.col("g2").desc(), "term")
+        .limit(30)
+    )
+
+
+ORACLE_KEYNESS = f"""
+WITH t AS (
+  SELECT doc_id % 3 = 0 AS is_focus, unnest({_SQL_TOKENS}) AS term
+  FROM documents
+),
+counts AS (
+  SELECT term,
+    CAST(COALESCE(SUM(CASE WHEN is_focus THEN 1 ELSE 0 END), 0) AS BIGINT) AS a,
+    CAST(COALESCE(SUM(CASE WHEN NOT is_focus THEN 1 ELSE 0 END), 0) AS BIGINT) AS b
+  FROM t GROUP BY term
+),
+vocab AS (SELECT * FROM counts ORDER BY a + b DESC, term LIMIT {KEYNESS_VOCAB}),
+tot AS (
+  SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb FROM counts
+),
+m AS (
+  SELECT term, a, b,
+    CAST(a AS DOUBLE) AS af, CAST(b AS DOUBLE) AS bf,
+    CAST(na AS DOUBLE) AS naf, CAST(nb AS DOUBLE) AS nbf
+  FROM vocab CROSS JOIN tot
+),
+g AS (
+  SELECT term, a, b, af, bf, naf, nbf,
+    (af + bf) * naf / (naf + nbf) AS ea,
+    (af + bf) * nbf / (naf + nbf) AS eb
+  FROM m
+)
+SELECT term, a AS n_focus, b AS n_background,
+  {_oracle_round6("2.0 * ((CASE WHEN a > 0 THEN af * ln(af / ea) ELSE 0.0 END) + (CASE WHEN b > 0 THEN bf * ln(bf / eb) ELSE 0.0 END))")} AS g2,
+  CASE WHEN af * nbf > bf * naf THEN 'focus' ELSE 'background' END AS leans
+FROM g
+ORDER BY g2 DESC, term
+LIMIT 30
 """
