@@ -52,6 +52,7 @@ from f1_data_engineering_spark.operators import f1_fixture_queries as FX
 from f1_data_engineering_spark.operators import graphops as GR
 from f1_data_engineering_spark.operators import curation as CU
 from f1_data_engineering_spark.operators import analytics5 as A5
+from f1_data_engineering_spark.operators import analytics6 as A6
 from f1_data_engineering_spark.streaming import join_stream as JS
 
 
@@ -352,6 +353,12 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_recall_audit": DD.lsh_recall_audit,
         "keyness_g2": TX.keyness_g2,
         "view_purchase_join": JS.view_purchase_join,
+        # round-6b: incremental-merge parity, planner join-cardinality
+        # calibration, session path mining, vocab coverage eval
+        "incremental_rollup_merge": A6.incremental_rollup_merge,
+        "join_cardinality_estimate": A6.join_cardinality_estimate,
+        "top_session_paths": A6.top_session_paths,
+        "vocab_coverage_eval": A6.vocab_coverage_eval,
     }
 
 
@@ -530,5 +537,9 @@ def oracle_sql() -> dict[str, str]:
         "lsh_recall_audit": DD.ORACLE_LSH_RECALL,
         "keyness_g2": TX.ORACLE_KEYNESS,
         "view_purchase_join": JS.ORACLE_VIEW_PURCHASE,
+        "incremental_rollup_merge": A6.ORACLE_INCR_ROLLUP,
+        "join_cardinality_estimate": A6.ORACLE_JOIN_CARD,
+        "top_session_paths": A6.ORACLE_SESSION_PATHS,
+        "vocab_coverage_eval": A6.ORACLE_VOCAB_COVERAGE,
     }
     return out

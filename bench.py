@@ -177,6 +177,11 @@ BENCH_QUERIES = (
     "lsh_recall_audit",
     "keyness_g2",
     "view_purchase_join",
+    # round-6b
+    "incremental_rollup_merge",
+    "join_cardinality_estimate",
+    "top_session_paths",
+    "vocab_coverage_eval",
 )
 
 
