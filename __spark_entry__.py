@@ -359,6 +359,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_cardinality_estimate": A6.join_cardinality_estimate,
         "top_session_paths": A6.top_session_paths,
         "vocab_coverage_eval": A6.vocab_coverage_eval,
+        # round-6c: replication checksums, containment near-dup,
+        # filtered (label-partitioned) vector search
+        "table_checksum": IG.table_checksum,
+        "ngram_containment_pairs": DD.ngram_containment_pairs,
+        "filtered_ann_topk": SIM.filtered_ann_topk,
     }
 
 
@@ -541,5 +546,8 @@ def oracle_sql() -> dict[str, str]:
         "join_cardinality_estimate": A6.ORACLE_JOIN_CARD,
         "top_session_paths": A6.ORACLE_SESSION_PATHS,
         "vocab_coverage_eval": A6.ORACLE_VOCAB_COVERAGE,
+        "table_checksum": IG.ORACLE_TABLE_CHECKSUM,
+        "ngram_containment_pairs": DD.ORACLE_CONTAINMENT_PAIRS,
+        "filtered_ann_topk": SIM.ORACLE_FILTERED_ANN,
     }
     return out

@@ -182,6 +182,10 @@ BENCH_QUERIES = (
     "join_cardinality_estimate",
     "top_session_paths",
     "vocab_coverage_eval",
+    # round-6c
+    "table_checksum",
+    "ngram_containment_pairs",
+    "filtered_ann_topk",
 )
 
 

@@ -675,19 +675,31 @@ def moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("n").cast("double")
     mean = F.col("s1") / n
     var = F.col("s2") / n - mean * mean
+    # degenerate groups: var can be 0 (all values equal) or epsilon-
+    # negative (float cancellation on the raw-moment form) — std clamps
+    # to 0 and the standardized moments are NULL (division by σ=0 has
+    # no defined value; ANSI mode would raise).  The oracle mirrors the
+    # identical CASE tree.
+    var_pos = F.greatest(var, F.lit(0.0))
     sigma3 = var * F.sqrt(var)
-    skew = (F.col("s3") / n - 3.0 * mean * (F.col("s2") / n) + 2.0 * mean * mean * mean) / sigma3
-    kurt = (
-        F.col("s4") / n
-        - 4.0 * mean * (F.col("s3") / n)
-        + 6.0 * mean * mean * (F.col("s2") / n)
-        - 3.0 * mean * mean * mean * mean
-    ) / (var * var) - 3.0
+    skew = F.when(
+        var > 0,
+        (F.col("s3") / n - 3.0 * mean * (F.col("s2") / n) + 2.0 * mean * mean * mean) / sigma3,
+    )
+    kurt = F.when(
+        var > 0,
+        (
+            F.col("s4") / n
+            - 4.0 * mean * (F.col("s3") / n)
+            + 6.0 * mean * mean * (F.col("s2") / n)
+            - 3.0 * mean * mean * mean * mean
+        ) / (var * var) - 3.0,
+    )
     return agg.select(
         F.col("g").alias("event_type"),
         F.col("n"),
         F.round(mean, 6).alias("mean_value"),
-        F.round(F.sqrt(var), 6).alias("std_value"),
+        F.round(F.sqrt(var_pos), 6).alias("std_value"),
         F.round(skew, 6).alias("skewness"),
         F.round(kurt, 6).alias("excess_kurtosis"),
     ).orderBy("event_type")
@@ -741,8 +753,12 @@ m AS (
 )
 SELECT g AS event_type, n,
   {_oracle_round6("mean")} AS mean_value,
-  {_oracle_round6("sqrt(var)")} AS std_value,
-  {_oracle_round6("(s3 / nd - 3.0 * mean * (s2 / nd) + 2.0 * mean * mean * mean) / (var * sqrt(var))")} AS skewness,
-  {_oracle_round6("(s4 / nd - 4.0 * mean * (s3 / nd) + 6.0 * mean * mean * (s2 / nd) - 3.0 * mean * mean * mean * mean) / (var * var) - 3.0")} AS excess_kurtosis
+  {_oracle_round6("sqrt(GREATEST(var, 0.0))")} AS std_value,
+  CASE WHEN var > 0 THEN
+    {_oracle_round6("(s3 / nd - 3.0 * mean * (s2 / nd) + 2.0 * mean * mean * mean) / (var * sqrt(var))")}
+  END AS skewness,
+  CASE WHEN var > 0 THEN
+    {_oracle_round6("(s4 / nd - 4.0 * mean * (s3 / nd) + 6.0 * mean * mean * (s2 / nd) - 3.0 * mean * mean * mean * mean) / (var * var) - 3.0")}
+  END AS excess_kurtosis
 FROM m ORDER BY event_type
 """

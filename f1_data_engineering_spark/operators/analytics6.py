@@ -87,7 +87,12 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = partial(ev.filter(F.col("event_id") % 5 != 0))
     inc = partial(ev.filter(F.col("event_id") % 5 == 0))
-    zero = F.lit(0).cast("decimal(38,10)")
+    # the merge add must stay at scale 10: (38,10)+(38,10) needs
+    # precision 39, so Spark (allowPrecisionLoss) would silently drop
+    # to scale 9 — a fuzz-found 1-digit loss (-5.96e-8 became -6.0e-8).
+    # (37,10)+(37,10) → (38,10): lossless; the partials fit 27 integer
+    # digits with the universe to spare.
+    zero = F.lit(0).cast("decimal(37,10)")
     merged = (
         base.select("bucket", F.col("n").alias("n1"), F.col("s").alias("s1"))
         .join(
@@ -99,8 +104,8 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket",
             (F.coalesce("n1", F.lit(0)) + F.coalesce("n2", F.lit(0))).alias("n"),
             (
-                F.coalesce(F.col("s1").cast("decimal(38,10)"), zero)
-                + F.coalesce(F.col("s2").cast("decimal(38,10)"), zero)
+                F.coalesce(F.col("s1").cast("decimal(37,10)"), zero)
+                + F.coalesce(F.col("s2").cast("decimal(37,10)"), zero)
             ).alias("s"),
         )
     )

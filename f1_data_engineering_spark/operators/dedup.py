@@ -1585,3 +1585,89 @@ SELECT jaccard_decile, n_true_pairs, n_lsh_hits,
   {_oracle_round6("1.0 - tt * tt * tt * tt")} AS expected_recall
 FROM m3 ORDER BY jaccard_decile
 """
+
+
+# ---------------------------------------------------------------------------
+# N-gram containment pairs (asymmetric near-dup: one doc inside another)
+# ---------------------------------------------------------------------------
+
+
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 pairs by 3-gram CONTAINMENT |A∩B| / min(|A|,|B|) — the
+    asymmetric near-dup signal Jaccard misses: a short document fully
+    embedded in a long one scores containment 1.0 but Jaccard
+    |A|/|B| ≪ 1 (quote pages, boilerplate-wrapped reposts, excerpt
+    spam).  Broder's containment from the SAME inverted-index join as
+    ngram_jaccard_pairs — one extra integer expression per pair, zero
+    extra shuffles; the hot-shingle df cap bounds the posting join
+    identically (both intersections and sizes use the capped universe,
+    so the ratio stays a true containment on that universe).
+    """
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", F.array_distinct(shingles("text", 3)).alias("sh")
+    )
+    ex_all = d.select(
+        "doc_id",
+        F.explode(F.transform("sh", lambda s: _md5_int("nj#", s))).alias("shingle"),
+    )
+    rare = (
+        ex_all.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    ex = ex_all.join(rare, "shingle").cache()
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
+    containment = F.round(
+        F.col("n_common").cast("double")
+        / F.least("sz1", "sz2").cast("double"),
+        6,
+    )
+    return (
+        inter.join(s1, "d1")
+        .join(s2, "d2")
+        .select("d1", "d2", "n_common", "sz1", "sz2",
+                containment.alias("containment"))
+        .orderBy(F.col("containment").desc(), "d1", "d2")
+        .limit(20)
+    )
+
+
+ORACLE_CONTAINMENT_PAIRS = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+d AS (SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS sh FROM t),
+ex_all AS (
+  SELECT doc_id, {_sql_md5_int("'nj#'", "s")} AS shingle
+  FROM (SELECT doc_id, unnest(sh) AS s FROM d)
+),
+rare AS (
+  SELECT shingle FROM ex_all GROUP BY shingle
+  HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+),
+ex AS (SELECT doc_id, shingle FROM ex_all WHERE shingle IN (SELECT shingle FROM rare)),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ex GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2, n_common, s1.sz AS sz1, s2.sz AS sz2,
+  ROUND(CAST(n_common AS DOUBLE) / CAST(LEAST(s1.sz, s2.sz) AS DOUBLE), 6)
+    AS containment
+FROM inter
+JOIN sizes s1 ON d1 = s1.doc_id
+JOIN sizes s2 ON d2 = s2.doc_id
+ORDER BY containment DESC, d1, d2 LIMIT 20
+"""

@@ -204,3 +204,87 @@ def _oracle_dq() -> str:
 
 
 ORACLE_DQ = _oracle_dq()
+
+
+# ---------------------------------------------------------------------------
+# Order-independent table checksums (replication / migration audit)
+# ---------------------------------------------------------------------------
+
+#: (table, canonical hash columns) — int/string columns only: their
+#: string forms are engine-identical ("123", "abc"); doubles and
+#: timestamps need a per-type canonical formatter first (same caveat
+#: as analytics4's NDV sketches).
+CHECKSUM_COLUMNS: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("region", ("r_regionkey", "r_name")),
+    ("nation", ("n_nationkey", "n_name", "n_regionkey")),
+    ("customer", ("c_custkey", "c_name", "c_nationkey", "c_mktsegment")),
+    ("orders", ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")),
+    ("events", ("event_id", "user_id", "event_type")),
+    ("documents", ("doc_id", "lang", "source", "n_chars")),
+)
+
+_CK_SEP = "\x1f"  # unit separator: cannot appear in the key columns
+_CK_NULL = "\x00null"
+
+
+def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content checksum per table: the SUM (exact
+    DECIMAL(38,0) — commutative, associative) of a 60-bit md5 row hash
+    over canonical column strings.  Two replicas match iff their
+    checksums and row counts match, regardless of row order, file
+    layout, or partitioning — the cheap answer to "did the migration /
+    replication / compaction preserve the data?".
+
+    Scale shape: one scan per table, hash computed scan-side, one
+    1-row aggregate — map-side partials sum locally, bytes crossing
+    the shuffle ≈ tasks × 16 B.  Checksums MERGE by addition, so
+    per-partition checksums roll up to any subset (store them per
+    file/partition and verify incrementally).  NULLs map to a sentinel
+    below any real value; columns join on an unprintable separator.
+    """
+    from functools import reduce
+
+    outs = []
+    for table, cols in CHECKSUM_COLUMNS:
+        t = load_table(spark, sf_dir, table)
+        canon = F.concat_ws(
+            _CK_SEP,
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit(_CK_NULL))
+                for c in cols
+            ],
+        )
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ck#"), canon).cast("binary")), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        outs.append(
+            t.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(h.cast("decimal(38,0)")).cast("string").alias("checksum"),
+            ).select(
+                F.lit(table).alias("table_name"), "n_rows", "checksum"
+            )
+        )
+    return reduce(DataFrame.unionByName, outs).orderBy("table_name")
+
+
+def _sql_checksum(table: str, cols: tuple[str, ...]) -> str:
+    canon = ", ".join(
+        f"COALESCE(CAST({c} AS VARCHAR), chr(0) || 'null')" for c in cols
+    )
+    return f"""
+SELECT '{table}' AS table_name,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CAST(CAST(('0x' || substr(md5('ck#' || concat_ws(chr(31), {canon})), 1, 15)) AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS checksum
+FROM {table}"""
+
+
+ORACLE_TABLE_CHECKSUM = (
+    "SELECT * FROM (\n"
+    + "\nUNION ALL\n".join(_sql_checksum(*e) for e in CHECKSUM_COLUMNS)
+    + "\n) ORDER BY table_name"
+)

@@ -1448,3 +1448,93 @@ SELECT query_id, n_exact, n_hits,
   {_oracle_round6("CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE)")} AS recall
 FROM allrows ORDER BY query_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Filtered (label-partitioned) ANN top-k
+# ---------------------------------------------------------------------------
+
+FILTERED_TOPK = 3
+
+
+def filtered_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search: top-3 SAME-LABEL neighbors per query —
+    the "vector search with a metadata predicate" shape every serving
+    stack needs (recommendations within a category, dedup within a
+    source).
+
+    The label equality is an EQUI-join key, so candidate generation
+    hash-partitions by label and each query only ever scores its own
+    label's vectors — the predicate bounds the work, it is not a
+    post-filter on a global top-k (which under-fills k whenever the
+    global neighbors are cross-label).  At 100 TB add an IVF layer
+    WITHIN each label (coarse_nlist on the label's count); the join
+    shape is unchanged.
+
+    Zero-norm vectors score NULL and are coalesced to a -2 sort key
+    (below any real cosine) on BOTH engines — DuckDB sorts NULLs first
+    on DESC, Spark last, so the sentinel keeps the rank order aligned.
+    """
+    e = spread(load_table(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id", "label", "embedding", l2_norm("embedding").alias("enorm")
+    )
+    q = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qvec"),
+        F.col("enorm").alias("qnorm"),
+    )
+    denom = F.col("qnorm") * F.col("enorm")
+    sim = F.when(denom > 0, dot("qvec", "embedding") / denom).otherwise(
+        F.lit(None).cast("double")
+    )
+    pairs = (
+        e.join(q, (F.col("label") == F.col("qlabel")))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("label").alias("query_label"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.coalesce(F.round(sim, 9), F.lit(-2.0)).alias("sim_key"),
+            F.round(sim, 6).alias("sim"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("query_id").orderBy(
+            F.col("sim_key").desc(), "neighbor_id"
+        )
+    )
+    return (
+        pairs.withColumn("rank", rn)
+        .filter(F.col("rank") <= FILTERED_TOPK)
+        .select(
+            "query_id",
+            "query_label",
+            F.col("rank").cast("long").alias("rank"),
+            "neighbor_id",
+            "sim",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+ORACLE_FILTERED_ANN = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS query_id, a.label AS query_label,
+    b.vec_id AS neighbor_id,
+    COALESCE(ROUND({_SQL_COS}, 9), -2.0) AS sim_key,
+    ROUND({_SQL_COS}, 6) AS sim
+  FROM embeddings a JOIN embeddings b
+    ON a.vec_id % 50 = 0 AND a.label = b.label AND b.vec_id <> a.vec_id
+),
+r AS (
+  SELECT query_id, query_label, neighbor_id, sim,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY sim_key DESC, neighbor_id) AS rn
+  FROM pairs
+)
+SELECT query_id, query_label, CAST(rn AS BIGINT) AS rank, neighbor_id, sim
+FROM r WHERE rn <= {FILTERED_TOPK} ORDER BY query_id, rank
+"""

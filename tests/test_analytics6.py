@@ -81,3 +81,89 @@ def test_vocab_coverage_bounds(spark):
         assert 0.0 <= r["oov_rate"] <= 1.0
         # top-500 vocab over a synthetic corpus should cover most mass
         assert r["oov_rate"] < 0.9
+
+
+# ---------------------------------------------------------------------------
+# round-6c: checksums / containment / filtered ANN
+# ---------------------------------------------------------------------------
+
+
+def test_table_checksum_order_and_layout_invariant(spark):
+    from f1_data_engineering_spark.operators import integrity as IG
+
+    base = {r["table_name"]: (r["n_rows"], r["checksum"])
+            for r in IG.table_checksum(spark, SF).collect()}
+    assert set(base) == {t for t, _ in IG.CHECKSUM_COLUMNS}
+    # the checksum must be independent of physical layout: recompute
+    # over a re-partitioned copy of one table via a temp view swap
+    ev = load_table(spark, SF, "events").repartition(7)
+    cols = dict(IG.CHECKSUM_COLUMNS)["events"]
+    canon = F.concat_ws(
+        IG._CK_SEP,
+        *[F.coalesce(F.col(c).cast("string"), F.lit(IG._CK_NULL)) for c in cols],
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("ck#"), canon).cast("binary")), 1, 15),
+        16, 10,
+    ).cast("long")
+    alt = ev.agg(
+        F.sum(h.cast("decimal(38,0)")).cast("string").alias("checksum")
+    ).collect()[0]["checksum"]
+    assert alt == base["events"][1]
+    # and it must DETECT a single-row change
+    ev2 = ev.withColumn(
+        "event_type",
+        F.when(F.col("event_id") == 0, F.lit("tampered")).otherwise(
+            F.col("event_type")
+        ),
+    )
+    canon2 = F.concat_ws(
+        IG._CK_SEP,
+        *[F.coalesce(F.col(c).cast("string"), F.lit(IG._CK_NULL)) for c in cols],
+    )
+    h2 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("ck#"), canon2).cast("binary")), 1, 15),
+        16, 10,
+    ).cast("long")
+    tampered = ev2.agg(
+        F.sum(h2.cast("decimal(38,0)")).cast("string").alias("checksum")
+    ).collect()[0]["checksum"]
+    assert tampered != base["events"][1]
+
+
+def test_containment_dominates_jaccard(spark):
+    """containment(A,B) >= jaccard(A,B) always (min ≤ union), and the
+    planted truncated copies in the LSH corpus — full containment of
+    the short doc — are the canonical case this operator exists for."""
+    from f1_data_engineering_spark.operators import dedup as DD
+
+    rows = DD.ngram_containment_pairs(spark, SF).collect()
+    assert rows
+    for r in rows:
+        union = r["sz1"] + r["sz2"] - r["n_common"]
+        jac = r["n_common"] / union if union else 0.0
+        assert r["containment"] >= jac - 1e-9
+        assert 0.0 <= r["containment"] <= 1.0 + 1e-9
+
+
+def test_filtered_ann_respects_label(spark):
+    from f1_data_engineering_spark.operators import similarity as SIM
+
+    rows = SIM.filtered_ann_topk(spark, SF).collect()
+    assert rows
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load_table(spark, SF, "embeddings").select("vec_id", "label").collect()
+    }
+    by_q: dict[int, list] = {}
+    for r in rows:
+        # every neighbor shares the query's label — the filter is a
+        # join predicate, not a post-filter
+        assert labels[r["neighbor_id"]] == r["query_label"]
+        assert r["neighbor_id"] != r["query_id"]
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, lst in by_q.items():
+        ranks = sorted(r["rank"] for r in lst)
+        assert ranks == list(range(1, len(lst) + 1))
+        sims = [r["sim"] for r in sorted(lst, key=lambda r: r["rank"]) if r["sim"] is not None]
+        assert sims == sorted(sims, reverse=True)

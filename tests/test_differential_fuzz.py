@@ -20,6 +20,7 @@ import duckdb
 import pytest
 from hypothesis import HealthCheck, example, given, settings, strategies as st
 
+from f1_data_engineering_spark.operators import analytics6 as A6F
 from f1_data_engineering_spark.operators import dedup as DD
 from f1_data_engineering_spark.operators import multimodal as MM
 from f1_data_engineering_spark.operators import textops as TX
@@ -100,6 +101,14 @@ FUZZ_QUERIES = [
     # NULL/empty/unicode documents (the NULL-blob crash class)
     ("blob_metadata", MM.blob_metadata, MM.ORACLE_BLOB_METADATA),
     ("frame_sample_census", MM.frame_sample_census, MM.ORACLE_FRAME_CENSUS),
+    # round-6: G² keyness (zero cells, single-side corpora), vocab
+    # coverage (all-OOV sources, NULL text), containment (planted
+    # substring geometry), and the LSH recall audit's exact-vs-banding
+    # composition over degenerate corpora (may yield zero true pairs)
+    ("keyness_g2", TX.keyness_g2, TX.ORACLE_KEYNESS),
+    ("vocab_coverage_eval", A6F.vocab_coverage_eval, A6F.ORACLE_VOCAB_COVERAGE),
+    ("ngram_containment_pairs", DD.ngram_containment_pairs, DD.ORACLE_CONTAINMENT_PAIRS),
+    ("lsh_recall_audit", DD.lsh_recall_audit, DD.ORACLE_LSH_RECALL),
 ]
 
 
@@ -186,6 +195,8 @@ from f1_data_engineering_spark.operators import analytics as ANA
 from f1_data_engineering_spark.operators import analytics2 as A2
 from f1_data_engineering_spark.operators import analytics3 as A3
 from f1_data_engineering_spark.operators import analytics4 as A4
+from f1_data_engineering_spark.operators import analytics5 as A5F
+from f1_data_engineering_spark.streaming import join_stream as JSF
 from f1_data_engineering_spark.operators import pandas_ops as PDO
 from f1_data_engineering_spark.operators import relational as RL
 
@@ -234,6 +245,16 @@ EVENT_FUZZ_QUERIES = [
     ("hll_distinct_users", A4.hll_distinct_users, A4.ORACLE_HLL),
     ("hll_intersection_estimate", A4.hll_intersection_estimate, A4.ORACLE_HLL_INTERSECTION),
     ("winsorized_stats", A4.winsorized_stats, A4.ORACLE_WINSORIZED),
+    # round-6: two-level-fold moments (single-value groups, huge-
+    # magnitude values, all-NULL groups), KMV set algebra (groups with
+    # < K hashes, single-group corpora → zero pairs), session paths
+    # (duplicate timestamps, NULL types), the stream-join batch twin
+    # (sub-second lags), and incremental-merge parity (empty slices)
+    ("moment_stats", A5F.moment_stats, A5F.ORACLE_MOMENTS),
+    ("kmv_set_ops", A5F.kmv_set_ops, A5F.ORACLE_KMV),
+    ("top_session_paths", A6F.top_session_paths, A6F.ORACLE_SESSION_PATHS),
+    ("view_purchase_join", JSF.view_purchase_join, JSF.ORACLE_VIEW_PURCHASE),
+    ("incremental_rollup_merge", A6F.incremental_rollup_merge, A6F.ORACLE_INCR_ROLLUP),
 ]
 
 
@@ -400,6 +421,9 @@ EMBED_FUZZ_QUERIES = [
     # inside a 3-iteration fixpoint (skipped when n < k — the query's
     # documented precondition)
     ("kmeans_exact_lloyd", SIM.kmeans_exact_lloyd, SIM.ORACLE_KMEANS_EXACT),
+    # round-6: filtered vector search — label-partitioned top-k under
+    # zero-norm sentinels and duplicate-vector rank ties
+    ("filtered_ann_topk", SIM.filtered_ann_topk, SIM.ORACLE_FILTERED_ANN),
 ]
 
 

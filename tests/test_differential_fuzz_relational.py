@@ -26,6 +26,8 @@ import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from f1_data_engineering_spark.operators import analytics as AN
+from f1_data_engineering_spark.operators import analytics5 as A5R
+from f1_data_engineering_spark.operators import analytics6 as A6R
 from f1_data_engineering_spark.operators import analytics2 as A2
 from f1_data_engineering_spark.operators import analytics3 as A3
 from f1_data_engineering_spark.operators import graphops as GR
@@ -136,6 +138,21 @@ RELATIONAL_FUZZ_QUERIES = [
     # must then report every hop as -1), orphan edge endpoints (the
     # nation-restriction semi-joins drop them), or disconnect the graph
     ("bfs_hops_trade", GR.bfs_hops_trade, "ORACLE_BFS", GR),
+    # round-6: bounded SSSP (FK holes can delete the source, orphan
+    # endpoints, or disconnect the graph — min_cost must mirror the
+    # recursive walk exactly), the DQ suite (holes CREATE violations),
+    # CDC snapshot diff (holes reshape the synthetic v2), the planner
+    # calibration (NDV/exact under arbitrary key distributions), exact
+    # PPS sampling (cumsum/tick arithmetic on any weight profile),
+    # Bloom pruning (filters built over holed key sets), and the
+    # replication checksums (layout-independence on every lake)
+    ("sssp_trade_costs", GR.sssp_trade_costs, "ORACLE_SSSP", GR),
+    ("dq_expectations", IG.dq_expectations, "ORACLE_DQ", IG),
+    ("snapshot_diff", MG.snapshot_diff, "ORACLE_SNAPSHOT_DIFF", MG),
+    ("join_cardinality_estimate", A6R.join_cardinality_estimate, "ORACLE_JOIN_CARD", A6R),
+    ("weighted_systematic_sample", A5R.weighted_systematic_sample, "ORACLE_WEIGHTED_SAMPLE", A5R),
+    ("bloom_prune_stats", A5R.bloom_prune_stats, "ORACLE_BLOOM", A5R),
+    ("table_checksum", IG.table_checksum, "ORACLE_TABLE_CHECKSUM", IG),
 ]
 
 
