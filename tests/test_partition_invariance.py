@@ -51,6 +51,19 @@ CASES = [
     ("ann_recall_eval", "similarity"),
     ("entity_resolution_clusters", "analytics4"),
     ("curation_pipeline_semantic", "curation"),
+    # round-6 wave: moments ride a TWO-LEVEL sorted fold (bucket order
+    # then group order); KMV estimates hinge on exact bottom-K ranks;
+    # the PPS sample on an integer cumsum over broadcast bucket
+    # offsets; the incremental merge on associative decimal adds; the
+    # checksum is the order-independence claim ITSELF (a commutative
+    # decimal sum); G² on integer-derived ln() ratios
+    ("moment_stats", "analytics5"),
+    ("kmv_set_ops", "analytics5"),
+    ("weighted_systematic_sample", "analytics5"),
+    ("incremental_rollup_merge", "analytics6"),
+    ("table_checksum", "integrity"),
+    ("keyness_g2", "textops"),
+    ("lsh_recall_audit", "dedup"),
 ]
 
 
