@@ -579,11 +579,16 @@ def weighted_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w_cents",
         (F.col("cum_local") + F.col("off")).alias("cum_cents"),
     )
+    # integer DIV, never floor(x / step): the double division promotes
+    # ~2^40-cent cumulative sums to float and floor() can land on the
+    # wrong side when cum is an exact multiple of step — same hazard
+    # class as the HLL bucket-word division; DIV is exact on longs in
+    # both engines (all values non-negative here)
     picked = cum.withColumn(
         "n_ticks",
         (
-            F.floor(F.col("cum_cents") / step)
-            - F.floor((F.col("cum_cents") - F.col("w_cents")) / step)
+            F.expr(f"cum_cents DIV {step}")
+            - F.expr(f"(cum_cents - w_cents) DIV {step}")
         ).cast("bigint"),
     ).filter(F.col("n_ticks") > 0)
     return picked.select(

@@ -117,10 +117,19 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bucket")
 
 
+#: Spark's double→DECIMAL cast rounds the SHORTEST REPR half-up
+#: (BigDecimal.valueOf); DuckDB's native cast rounds the scaled double
+#: — divergent at representation boundaries (the q1 avg_disc class).
+#: Parse the shortest repr at scale 30, then decimal-round to 10.
+_SQL_V_DEC = (
+    "CAST(ROUND(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,30)), 10)"
+    " AS DECIMAL(28,10))"
+)
+
 ORACLE_INCR_ROLLUP = f"""
 WITH ev AS (
   SELECT date_trunc('hour', ts) AS bucket,
-    CAST(value AS DECIMAL(28,10)) AS v
+    {_SQL_V_DEC} AS v
   FROM events WHERE value IS NOT NULL
 ),
 agg AS (
