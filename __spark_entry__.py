@@ -61,8 +61,9 @@ def entry(spark: SparkSession) -> DataFrame:
     return R.q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-def _driver_green_so_far() -> set[str]:
-    """Names already hash-green in any recorded CORRECTNESS_r*.json.
+def _driver_green_rounds() -> dict[str, int]:
+    """Latest round with a hash-green row per name, from the recorded
+    CORRECTNESS_r*.json files.
 
     The driver's gate records only the first ~50 ``queries()`` entries per
     round (observed in round 2: 50 of 126 registered queries recorded).
@@ -72,56 +73,83 @@ def _driver_green_so_far() -> set[str]:
     """
     import glob
     import json
+    import re
 
-    green: set[str] = set()
+    latest: dict[str, int] = {}
     for path in glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 rec = json.load(fh)
             for name, row in rec.items():
                 if isinstance(row, dict) and row.get("hash_match"):
-                    green.add(name)
+                    latest[name] = max(latest.get(name, 0), rnd)
         except Exception:
             continue
-    return green
+    return latest
+
+
+def _driver_green_so_far() -> set[str]:
+    """Names already hash-green in any recorded CORRECTNESS_r*.json."""
+    return set(_driver_green_rounds())
+
+
+#: Re-verification age cap (judge r6 item 4): any oracle-backed query
+#: whose latest green row is MORE THAN this many rounds old re-enters
+#: the gate window automatically, oldest first — shared helpers
+#: (spread, _oracle_round6, decimal casts) keep evolving, so a green
+#: row from round 2 attests text that may no longer exist.
+MAX_GREEN_AGE_ROUNDS = 3
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator family from SURVEY.md §2.
 
-    Ordered so queries without a driver-green CORRECTNESS row yet come
-    first (see _driver_green_so_far) — the driver gate truncates at ~50
-    entries per round.
+    Window rotation invariants (the driver gate truncates at ~50
+    entries per round):
+
+    1. never-driver-green names first (oracle-backed before rows-only);
+    2. then queries whose ORACLE TEXT changed this round (self-declared
+       list below) — green-under-old-text is not green;
+    3. then the age cap: any green row older than
+       ``MAX_GREEN_AGE_ROUNDS`` rounds ranks in automatically, oldest
+       round first (alphabetical within a round) — stale names beyond
+       the window roll into the next round's window by the same rule;
+    4. the rest in stable registration order.
     """
     base = _base_queries()
-    green = _driver_green_so_far()
-    # Round 6: 10 new queries need their first row; every oracle that
-    # changed this round (HLL shiftright words, shortest-repr 6-dp
-    # rounding, the winsorize/median lerp DOUBLE-cast) needs a FRESH
-    # green row under the new text.  10 + 4 rows-only + 10 changed ≈ 24
-    # names — comfortably inside the ~50-entry window; the remainder
-    # re-verifies the standing surface in stable order.
-    changed_r6 = {
-        # HLL register word now shiftright; estimate/rel_err via
-        # _oracle_round6
-        "hll_distinct_users", "hll_intersection_estimate",
-        "column_ndv_sketches",
-        # 6-dp double rounds rebuilt on the shortest-repr recipe
-        "skew_join_salted", "equidepth_bins", "skew_profile",
-        "ann_recall_eval",
-        # lerp fraction DOUBLE-cast (fuzz-found DECIMAL-literal bug)
-        "winsorized_stats", "user_value_median_iqr",
+    latest = _driver_green_rounds()
+    this_round = max(latest.values(), default=0) + 1
+    # Round 7: 3 former rows-only queries gained oracles (bpe_train,
+    # ann_topk_vectorized, sketch_summary) and 2 queries are new
+    # (curation_pipeline_incremental, view_purchase_outer) — all rank 0.
+    # Oracles that changed this round need a FRESH green row under the
+    # new text (rank 2).  5 + ~3 + ~42 oldest-stale fills the window.
+    changed_this_round = {
+        # ground-truth universe now MAX_SHINGLE_DF-capped + decile-10
+        # midpoint clamped (judge item 3 / advice)
+        "lsh_recall_audit",
+        # containment ratio now _oracle_round6 (advice item 2)
+        "ngram_containment_pairs",
     }
     rows_only = set(base) - set(oracle_sql())
 
-    def rank(name: str) -> int:
-        if name not in green:
-            return 1 if name in rows_only else 0  # new queries first
-        # green block: re-verify changed-this-round oracles first
-        # (positions ~15-24, still inside the window)
-        return 2 if name in changed_r6 else 3
+    def rank(name: str) -> tuple[int, int, str]:
+        if name not in latest:
+            return ((1, 0, name) if name in rows_only else (0, 0, name))
+        if name in changed_this_round:
+            return (2, 0, name)
+        age = this_round - latest[name]
+        if age > MAX_GREEN_AGE_ROUNDS:
+            return (3, latest[name], name)  # oldest green rounds first
+        return (4, 0, "")  # stable registration order
 
-    return {k: base[k] for k in sorted(base, key=lambda n: (rank(n),))}
+    names = list(base)
+    return {
+        k: base[k]
+        for k in sorted(names, key=lambda n: (rank(n), names.index(n)))
+    }
 
 
 def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -246,9 +274,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_doc_ngram_dup": DD.cross_doc_ngram_dup,
         # similarity search (beyond-reference, embeddings table)
         "ann_bruteforce_topk": SIM.ann_bruteforce_topk,
-        # Arrow fast path: rows-only under the driver gate (BLAS sims
-        # agree with the exact fold to 1e-6, not bit-exactly; pytest
-        # cross-checks it against the oracle-checked exact twin)
+        # Arrow fast path: BLAS prune + exact expression rescore, so
+        # since round 7 it is bit-identical to ann_bruteforce_topk and
+        # shares its DuckDB oracle (judge r6 item 1)
         "ann_topk_vectorized": SIM.ann_topk_vectorized,
         "lsh_bucket_histogram": SIM.lsh_bucket_histogram,
         "embedding_nearest_neighbor": SIM.embedding_nearest_neighbor,
@@ -257,8 +285,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_multiprobe_ann": SIM.lsh_multiprobe_ann,
         "ivf_ann": SIM.ivf_ann,
         "embedding_quantize_int8": SIM.embedding_quantize_int8,
-        "kmeans_embeddings": SIM.kmeans_embeddings,  # iterative; rows-only
-
+        # kmeans_embeddings (float Lloyd) is a library function + pytest
+        # twin only since round 7: its centroid means carry
+        # summation-order ulps no oracle can re-derive, and the full
+        # algorithm is already driver-hash-verified via the
+        # decimal-exact kmeans_exact_lloyd below (judge r6 item 2).
         # multimodal plumbing (binary columns + typed metadata)
         "blob_metadata": MM.blob_metadata,
         "frame_sample_census": MM.frame_sample_census,
@@ -272,7 +303,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data prep
         "build_vocab": TP.build_vocab,
         "bpe_merge_candidates": TP.bpe_merge_candidates,
-        "bpe_train": TP.bpe_train,  # iterative; rows-only check
+        "bpe_train": TP.bpe_train,  # iterative; unrolled-CTE oracle (r7)
         "pack_sequences": TP.pack_sequences,
         "dataset_splits": TP.dataset_splits,
         "chunk_documents": TP.chunk_documents,
@@ -290,7 +321,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # profiling / sampling / sketches
         "profile_orders": PF.profile_orders,
         "stratified_sample_orders": PF.stratified_sample_orders,
-        "sketch_summary": PF.sketch_summary,  # sketch estimates; rows-only check
+        "sketch_summary": PF.sketch_summary,  # md5-HLL + exact quantiles (r7)
         "numeric_corr_matrix": PF.numeric_corr_matrix,
         # round-4 wave: sequence mining / attribution / robust anomaly /
         # skyline / text-distribution analytics (kept LAST so the
@@ -476,6 +507,9 @@ def oracle_sql() -> dict[str, str]:
         "segment_dedup_clean": DD.ORACLE_SEGMENT_CLEAN,
         "cross_doc_ngram_dup": DD.ORACLE_CROSS_DOC_NGRAM,
         "ann_bruteforce_topk": SIM.ORACLE_ANN_TOPK,
+        # the vectorized path exact-rescores its BLAS-pruned candidates,
+        # so it shares the exact twin's oracle verbatim
+        "ann_topk_vectorized": SIM.ORACLE_ANN_TOPK,
         "lsh_bucket_histogram": SIM.ORACLE_LSH_HIST,
         "embedding_nearest_neighbor": SIM.ORACLE_NN,
         "embedding_centroids": SIM.ORACLE_CENTROIDS,
@@ -491,6 +525,7 @@ def oracle_sql() -> dict[str, str]:
         "frame_sample_census": MM.ORACLE_FRAME_CENSUS,
         "build_vocab": TP.ORACLE_VOCAB,
         "bpe_merge_candidates": TP.ORACLE_BPE_MERGE,
+        "bpe_train": TP.ORACLE_BPE_TRAIN,
         "pack_sequences": TP.ORACLE_PACK,
         "dataset_splits": TP.ORACLE_SPLITS,
         "chunk_documents": TP.ORACLE_CHUNKS,
@@ -503,6 +538,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_customer_merge": MG.ORACLE_SCD2,
         "scd2_point_in_time": MG.ORACLE_SCD2_PIT,
         "profile_orders": PF.ORACLE_PROFILE_ORDERS,
+        "sketch_summary": PF.ORACLE_SKETCH_SUMMARY,
         "stratified_sample_orders": PF.ORACLE_STRATIFIED_SAMPLE,
         "numeric_corr_matrix": PF.ORACLE_CORR_MATRIX,
         "event_bigram_transitions": A3.ORACLE_BIGRAM_TRANSITIONS,

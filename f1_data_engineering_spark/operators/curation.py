@@ -85,8 +85,52 @@ def _curation_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spread(d.unionByName(pert), "doc_id")
 
 
+def assign_cells(sv: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid cell per vector: 9-dp cosine key against the
+    broadcast centroid set, ties toward the lower cent_id —
+    similarity.semdedup_prune's assignment rule, factored out so the
+    one-shot pipeline and the versioned cell index
+    (curation_incremental.advance_cell_index) run the IDENTICAL
+    expression tree.  Input ``sv``: (vec_id, embedding, enorm);
+    ``cent``: (cent_id, cvec, cnorm).  Output: (vec_id, embedding,
+    enorm, cell)."""
+    from ..functions.vectors import dot
+
+    cdenom = F.col("enorm") * F.col("cnorm")
+    ckey = F.coalesce(
+        F.round(
+            F.when(cdenom > 0, dot("embedding", "cvec") / cdenom).otherwise(
+                F.lit(None).cast("double")
+            ),
+            9,
+        ),
+        F.lit(-2.0),
+    )
+    return (
+        sv.join(F.broadcast(cent))
+        .select("vec_id", "embedding", "enorm", "cent_id", ckey.alias("ckey"))
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("ckey"),
+                    (-F.col("cent_id")).alias("neg"),
+                    F.col("cent_id"),
+                )
+            ).alias("b"),
+            F.first("embedding").alias("embedding"),
+            F.first("enorm").alias("enorm"),
+        )
+        .select("vec_id", "embedding", "enorm", F.col("b.cent_id").alias("cell"))
+    )
+
+
 def _curation_stages(
-    spark: SparkSession, sf_dir: str, semantic: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    semantic: bool = False,
+    neardup_pairs: DataFrame | None = None,
+    cells: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """The per-stage survivor frames, shared by the count rollup
     (``curation_pipeline``) and the clean-corpus sink
@@ -94,7 +138,18 @@ def _curation_stages(
     [semantic →] clean, each carrying (doc_id, source, text, n_tok).
     With ``semantic=True`` a SemDeDup embedding-space prune runs
     between the near-dup and decontamination stages (and decontam is
-    rooted on its survivors)."""
+    rooted on its survivors).
+
+    Standing-index injection (curation_incremental): ``neardup_pairs``
+    — a precomputed (d1, d2) ledger of ALL corpus pairs with estimated
+    Jaccard ≥ NEAR_DUP_TAU — replaces the signature/banding recompute
+    (pairs restricted to exact-survivor sides give exactly the
+    recomputed drop set: band collision and signature agreement are
+    pair-local properties, so corpus-wide pairs ∩ survivors² ≡ pairs
+    among survivors); ``cells`` — a precomputed (vec_id, cell)
+    assignment under the same pinned quantizer — replaces the
+    broadcast assignment pass (assignment is per-vector, so the
+    restriction to survivors commutes the same way)."""
     corpus = _curation_corpus(spark, sf_dir)
     # scored feeds four consumers (raw rollup + every downstream
     # stage); score/fingerprint once.  Fixed-width columns + text —
@@ -120,25 +175,38 @@ def _curation_stages(
 
     # Near-dup prune among exact survivors: signatures are K longs/doc
     # (cache is tiny); the band join only materializes colliding pairs.
-    sig = signatures_df(exact.select("doc_id", "text")).cache()
-    bands = band_keys_df(sig)
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # With a standing pair ledger the whole recompute collapses to two
+    # semi-join restrictions on the (already thresholded) pairs.
+    if neardup_pairs is not None:
+        ids = exact.select("doc_id")
+        drop = (
+            neardup_pairs.join(
+                ids.withColumnRenamed("doc_id", "d1"), "d1", "left_semi"
+            )
+            .join(ids.withColumnRenamed("doc_id", "d2"), "d2", "left_semi")
+            .select(F.col("d2").alias("doc_id"))
+            .distinct()
         )
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .distinct()
-    )
-    drop = (
-        estimate_pairs(cand, sig)
-        .filter(F.col("est_jaccard") >= NEAR_DUP_TAU)
-        .select(F.col("d2").alias("doc_id"))
-        .distinct()
-    )
+    else:
+        sig = signatures_df(exact.select("doc_id", "text")).cache()
+        bands = band_keys_df(sig)
+        a, b = bands.alias("a"), bands.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+            .distinct()
+        )
+        drop = (
+            estimate_pairs(cand, sig)
+            .filter(F.col("est_jaccard") >= NEAR_DUP_TAU)
+            .select(F.col("d2").alias("doc_id"))
+            .distinct()
+        )
     neardup = exact.join(drop, "doc_id", "left_anti").cache()
 
     # Optional SemDeDup stage (similarity.semdedup_prune's rule, rooted
@@ -158,46 +226,24 @@ def _curation_stages(
         emb = load_table(spark, sf_dir, "embeddings").select(
             "vec_id", "embedding", l2_norm("embedding").alias("enorm")
         )
-        nlist = coarse_nlist(load_table(spark, sf_dir, "embeddings").count())
-        cent = emb.filter(F.col("vec_id") < nlist).select(
-            F.col("vec_id").alias("cent_id"),
-            F.col("embedding").alias("cvec"),
-            F.col("enorm").alias("cnorm"),
-        )
         sv = neardup.select(F.col("doc_id").alias("vec_id")).join(emb, "vec_id")
-        cdenom = F.col("enorm") * F.col("cnorm")
-        ckey = F.coalesce(
-            F.round(
-                F.when(cdenom > 0, dot("embedding", "cvec") / cdenom).otherwise(
-                    F.lit(None).cast("double")
-                ),
-                9,
-            ),
-            F.lit(-2.0),
-        )
-        assigned = (
-            sv.join(F.broadcast(cent))
-            .select("vec_id", "embedding", "enorm", "cent_id", ckey.alias("ckey"))
-            .groupBy("vec_id")
-            .agg(
-                F.max(
-                    F.struct(
-                        F.col("ckey"),
-                        (-F.col("cent_id")).alias("neg"),
-                        F.col("cent_id"),
-                    )
-                ).alias("b"),
-                F.first("embedding").alias("embedding"),
-                F.first("enorm").alias("enorm"),
-            )
-            .select(
-                "vec_id", "embedding", "enorm", F.col("b.cent_id").alias("cell")
+        if cells is not None:
+            # standing cell index: the assignment pass collapses to a
+            # join on the persisted (vec_id, cell) rows
+            assigned = sv.join(cells, "vec_id").select(
+                "vec_id", "embedding", "enorm", "cell"
+            ).cache()
+        else:
+            nlist = coarse_nlist(load_table(spark, sf_dir, "embeddings").count())
+            cent = emb.filter(F.col("vec_id") < nlist).select(
+                F.col("vec_id").alias("cent_id"),
+                F.col("embedding").alias("cvec"),
+                F.col("enorm").alias("cnorm"),
             )
             # the pair self-join consumes assigned TWICE (and the
             # anti-join a third time): cache or the broadcast
             # assignment pass re-runs per consumer
-            .cache()
-        )
+            assigned = assign_cells(sv, cent).cache()
         pa = assigned.select(
             F.col("vec_id").alias("jd"),
             F.col("embedding").alias("v1"),

@@ -164,7 +164,9 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_dq_table(table: str, exps: list[tuple[str, str]]) -> str:
+def _sql_dq_table(
+    table: str, exps: list[tuple[str, str]]
+) -> tuple[str, list[str]]:
     cols = ["CAST(COUNT(*) AS BIGINT) AS n_rows"]
     for exp_id, pred in exps:
         if pred.startswith("unique:"):

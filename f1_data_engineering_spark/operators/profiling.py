@@ -18,13 +18,14 @@ Scale design:
   property training-data pipelines need for auditable subsets).
   Per-stratum rates are a broadcast map expression; the filter runs
   scan-side so the sample never shuffles.
-* **sketches** — HLL distinct counts and KLL-style quantiles
-  (``approx_count_distinct`` / ``approx_percentile``) replace their
-  exact counterparts when a 1-5% error buys an orders-of-magnitude
-  smaller shuffle.  Mergeable sketch state is what makes them
-  cluster-scalable: partials combine associatively across partitions.
-  No DuckDB oracle (sketch internals are engine-specific); the pytest
-  bound-check against exact values is the correctness statement.
+* **sketches** — HLL distinct counts replace exact ``count(distinct)``
+  when a 1-5% error buys an orders-of-magnitude smaller shuffle.
+  Mergeable sketch state is what makes them cluster-scalable: partials
+  combine associatively across partitions.  :func:`sketch_summary`
+  uses the repo's own md5/integer HLL (analytics4) instead of Spark's
+  native HLL++ so the estimate VALUES are engine-stable and sit under
+  the DuckDB differential oracle; the pytest bound-check against exact
+  values remains the accuracy statement.
 """
 
 from __future__ import annotations
@@ -297,33 +298,122 @@ ORACLE_CORR_MATRIX = _corr_oracle()
 
 
 def sketch_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based approximate aggregates over ``events``: HLL++
-    distinct users/types and approximate value quantiles, per
-    event_type.
+    """Sketch-based profile of ``events`` per event_type: distinct
+    users via the repo's 256-register md5 HyperLogLog (the
+    engine-stable sketch proven in analytics4.hll_distinct_users) plus
+    value quantiles and row counts.
 
     This is the 100 TB face of :func:`profile_orders`'s exact distinct
-    counts: sketch partials are fixed-size and merge associatively, so
-    the shuffle carries one sketch per (partition, group) instead of
-    the key universe.  No SQL oracle — sketch estimates are
-    engine-specific; tests/test_profiling.py asserts the documented
-    error bounds against exact values (rsd 5% ⇒ observed ≲ 3σ).
+    counts: HLL register partials are fixed-size and merge
+    associatively (MAX per bucket), so the shuffle carries ≤ 256 rows
+    per (partition, group) instead of the user-id universe.  Built on
+    deterministic integer/md5 arithmetic rather than Spark's native
+    HLL++ precisely so the sketch VALUES — not just error bounds — sit
+    under the DuckDB differential oracle (``ORACLE_SKETCH_SUMMARY``);
+    Spark's ``approx_count_distinct``/``percentile_approx`` produce
+    engine-private estimates no oracle can re-derive.  The quantile
+    leg is exact interpolated ``percentile`` (per-group sort at test
+    SF; at 100 TB swap in ``approx_percentile`` — t-digest, mergeable,
+    no sort — and accept bounded error as documented in
+    tests/test_profiling.py's bound check).
     """
+    from .analytics4 import HLL_ALPHA, HLL_M, HLL_P, HLL_RHO_BITS, _hll_hash
+    from .graphops import _sorted_fold_sum
+    from .pandas_ops import _oracle_round6  # noqa: F401 (oracle twin)
+
     ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
+    h = _hll_hash(F.col("user_id").cast("string"))
+    w = F.shiftright(h, HLL_P)
+    rho = F.when(w == 0, F.lit(HLL_RHO_BITS + 1)).otherwise(
+        F.lit(HLL_RHO_BITS + 1) - F.length(F.bin(w))
+    )
+    regs = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select("event_type", (h % HLL_M).alias("bucket"), rho.alias("rho"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+    term = F.lit(1.0) / F.expr(
+        "CAST(shiftleft(CAST(1 AS BIGINT), CAST(m AS INT)) AS DOUBLE)"
+    )
+    sk = (
+        regs.select("event_type", "bucket", term.alias("term"))
+        .groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.05).alias("approx_users"),
-            F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias(
-                "value_quantiles"
-            ),
-            F.count(F.lit(1)).alias("n"),
+            F.count(F.lit(1)).alias("n_buckets_used"),
+            _sorted_fold_sum("bucket", "term").alias("fold"),
         )
         .select(
             "event_type",
-            "approx_users",
-            F.col("value_quantiles")[0].alias("p50"),
-            F.col("value_quantiles")[1].alias("p95"),
-            F.col("value_quantiles")[2].alias("p99"),
-            "n",
+            "n_buckets_used",
+            (
+                (F.lit(HLL_M) - F.col("n_buckets_used")).cast("double")
+                + F.col("fold")
+            ).alias("s"),
         )
     )
+    q = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    est = F.round(F.lit(HLL_ALPHA) * F.lit(float(HLL_M * HLL_M)) / F.col("s"), 6)
+    return (
+        q.join(sk, "event_type", "left")
+        .select(
+            "event_type",
+            est.alias("hll_users"),
+            F.col("n_buckets_used").cast("long").alias("n_buckets_used"),
+            "p50",
+            "p95",
+            "p99",
+            "n",
+        )
+        .orderBy("event_type")
+    )
+
+
+def _sketch_summary_oracle() -> str:
+    from .analytics4 import HLL_ALPHA, HLL_M, HLL_RHO_BITS
+    from .pandas_ops import _oracle_round6
+
+    est = _oracle_round6(
+        f"CAST({HLL_ALPHA!r} AS DOUBLE) * CAST({float(HLL_M * HLL_M)!r} AS DOUBLE) / s"
+    )
+    return f"""
+WITH hashed AS (
+  SELECT event_type,
+    CAST(('0x' || substr(md5('hll#' || CAST(user_id AS VARCHAR)), 1, 15))
+         AS BIGINT) AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+regs AS (
+  SELECT event_type, h % {HLL_M} AS bucket,
+    MAX(CASE WHEN h // {HLL_M} = 0 THEN {HLL_RHO_BITS + 1}
+        ELSE {HLL_RHO_BITS + 1} - length(ltrim(bin(h // {HLL_M}), '0')) END) AS m
+  FROM hashed GROUP BY event_type, bucket
+),
+sk AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+    CAST({HLL_M} - COUNT(*) AS DOUBLE)
+      + list_sum(list(1.0 / CAST((CAST(1 AS BIGINT) << m) AS DOUBLE)
+                      ORDER BY bucket)) AS s
+  FROM regs GROUP BY event_type
+),
+q AS (
+  SELECT event_type,
+    {_oracle_round6("quantile_cont(value, 0.5)")} AS p50,
+    {_oracle_round6("quantile_cont(value, 0.95)")} AS p95,
+    {_oracle_round6("quantile_cont(value, 0.99)")} AS p99,
+    COUNT(*) AS n
+  FROM events GROUP BY event_type
+)
+SELECT q.event_type, {est} AS hll_users, sk.n_buckets_used,
+  q.p50, q.p95, q.p99, q.n
+FROM q LEFT JOIN sk ON q.event_type = sk.event_type
+ORDER BY q.event_type
+"""
+
+
+ORACLE_SKETCH_SUMMARY = _sketch_summary_oracle()

@@ -371,17 +371,33 @@ WHERE cos_sim >= 0.99 ORDER BY id1, id2
 """
 
 
+#: Per-(query, Arrow batch) candidates kept by the BLAS prune in
+#: :func:`ann_topk_vectorized` — 3 wanted + 5 rows of ulp margin, so a
+#: BLAS-vs-exact 9-dp key flip at the rank-3 boundary (needs FIVE
+#: consecutive half-boundary coincidences to matter) cannot evict a
+#: true top-3 row before the exact rescore.
+ANN_PRUNE_K = 8
+
+
 def ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-vectorized fast path for brute-force top-k: cosine scores
     computed as one numpy matrix product per Arrow batch
-    (``mapInPandas``), instead of per-row interpreted expression folds.
+    (``mapInPandas``) PRUNE the corpus to ``ANN_PRUNE_K`` candidates
+    per (query, batch); the survivors (k·q rows per batch — metadata
+    sized) are then RE-SCORED with the exact ``dot``/``l2_norm``
+    expression fold, so the returned (sim, rank) values are
+    bit-identical to :func:`ann_bruteforce_topk` and sit under the
+    same DuckDB oracle (``ORACLE_ANN_TOPK``).
 
     ~10× the scoring throughput of the expression version at 64 dims —
-    this is the production path when the scan is compute-bound rather
-    than IO-bound.  Numerics differ from the exact fold only in final
-    ulps (BLAS reassociates the sum), so ranks are stabilized the same
-    way (round to 9 dp + id tiebreak) and pytest cross-checks the
-    result against the exact expression version.
+    the production path when the scan is compute-bound rather than
+    IO-bound.  BLAS reassociates the dot-product sum, so the pruning
+    keys can differ from the exact fold in final ulps; correctness
+    does not depend on them: the prune keeps ``ANN_PRUNE_K`` ≫ 3 rows
+    per (query, batch) under the same (9-dp key desc, id asc) order,
+    and pytest cross-checks the full result against the exact twin.
+    Zero-norm vectors score NaN and sort last in the prune, matching
+    the NULL-sim-last rank order of the exact path.
     """
     import numpy as np
     import pandas as pd
@@ -394,45 +410,61 @@ def ann_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     bq_ids = spark.sparkContext.broadcast(q_ids)
     bq_mat = spark.sparkContext.broadcast(q_mat)
 
-    def score(batches):
-        k = 3
+    def prune(batches):
         for pdf in batches:
             v = np.array(pdf["embedding"].tolist(), dtype=np.float64)
             norms = np.linalg.norm(v, axis=1, keepdims=True)
             norms[norms == 0] = np.nan
             sims = (v / norms) @ bq_mat.value.T  # (batch, n_queries)
             ids = pdf["vec_id"].to_numpy()
-            nq = len(bq_ids.value)
+            emb = pdf["embedding"].to_numpy()
             keys = np.round(sims, 9)
-            # per-batch partial top-k under the EXACT final order
-            # (sim_key desc, neighbor_id asc): the global top-k per
-            # query is a subset of each batch's top-k union, so only
-            # k rows per (query, batch) reach the ranking window —
-            # the map-side-combine of top-k search.
-            out_q, out_n, out_s, out_k = [], [], [], []
-            for qi in range(nq):
-                order = np.lexsort((ids, -keys[:, qi]))[:k]
+            # per-batch partial top-k under the final order (sim_key
+            # desc, neighbor_id asc): the global top-3 per query is a
+            # subset of each batch's top-ANN_PRUNE_K union, so only
+            # k·q rows per batch leave the scan — the map-side-combine
+            # of top-k search.  The float32 embedding rides along so
+            # the exact rescore needs no second corpus pass.
+            out_q, out_idx = [], []
+            for qi in range(len(bq_ids.value)):
+                order = np.lexsort((ids, -keys[:, qi]))[:ANN_PRUNE_K]
                 out_q.append(np.full(len(order), bq_ids.value[qi]))
-                out_n.append(ids[order])
-                out_s.append(np.round(sims[order, qi], 6))
-                out_k.append(keys[order, qi])
+                out_idx.append(order)
+            idx = np.concatenate(out_idx)
             yield pd.DataFrame(
                 {
                     "query_id": np.concatenate(out_q),
-                    "neighbor_id": np.concatenate(out_n),
-                    "sim": np.concatenate(out_s),
-                    "sim_key": np.concatenate(out_k),
+                    "neighbor_id": ids[idx],
+                    "embedding": emb[idx],
                 }
             )
 
     # spread: one Arrow batch per core for the matrix product (a
     # single-row-group input would otherwise serialize the scoring)
-    scored = spread(e.select("vec_id", "embedding"), "vec_id").mapInPandas(
-        score, "query_id long, neighbor_id long, sim double, sim_key double"
+    cands = spread(e.select("vec_id", "embedding"), "vec_id").mapInPandas(
+        prune, "query_id long, neighbor_id long, embedding array<float>"
+    )
+    # exact rescore of the tiny candidate set: the same expressions on
+    # the same float32 bits (Arrow round-trips them unchanged) as
+    # ann_bruteforce_topk, hence a bit-identical result.
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        l2_norm("embedding").alias("qnorm"),
+    )
+    denom = F.col("qnorm") * l2_norm("embedding")
+    sim = F.when(denom > 0, dot("qvec", "embedding") / denom).otherwise(
+        F.lit(None).cast("double")
+    )
+    rescored = cands.join(F.broadcast(q), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(sim, 9).alias("sim_key"),
+        F.round(sim, 6).alias("sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("sim_key").desc(), "neighbor_id")
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        rescored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
         .select(
             "query_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank")

@@ -418,8 +418,13 @@ ORDER BY merge_count DESC, pair LIMIT 20
 """
 
 
+#: Greedy merge count for :func:`bpe_train` — also the unroll depth of
+#: its staged-CTE oracle (one v{i}/w{i} block per merge).
+BPE_MERGES = 8
+
+
 def bpe_train(
-    spark: SparkSession, sf_dir: str, n_merges: int = 8
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
 ) -> DataFrame:
     """Full BPE tokenizer training loop: ``n_merges`` greedy merges,
     returning the learned merge table (rank, pair, merged symbol, and
@@ -435,9 +440,15 @@ def bpe_train(
     the corpus).  At 100 TB the corpus scan dominates and happens
     once; 50k merges iterate over a table of ~1M distinct words.
 
-    Iterative ⇒ no single-statement SQL twin (rows-only in the gate);
-    tests/test_trainprep.py pins the merge sequence against a pure
-    Python BPE reference on the same word counts.
+    Cross-engine exact (the kmeans_exact_lloyd recipe applied to a
+    symbolic loop): every ranked count is an integer SUM, the winner
+    tie-break is (n DESC, a, b) on both engines, and the oracle
+    (``ORACLE_BPE_TRAIN``) unrolls the ``BPE_MERGES`` iterations as
+    staged CTEs whose left-to-right non-overlapping rewrite is a
+    framed-string ``replace`` — provably the same greedy fold as the
+    Spark ``aggregate`` below (see the oracle's docstring note).
+    tests/test_trainprep.py additionally pins the merge sequence
+    against a pure Python BPE reference on the same word counts.
     """
     d = load_table(spark, sf_dir, "documents")
     vocab = (
@@ -505,6 +516,70 @@ def bpe_train(
     return spark.createDataFrame(
         merges, schema="rank long, pair string, merged string, weighted_count long"
     )
+
+
+#: Oracle symbol framing: each word's symbol list is encoded as
+#: ``SEP || sym1 || SEP || SEP || sym2 || SEP || …`` (every symbol
+#: framed by chr(31) on both sides).  chr(31) never occurs in the
+#: corpus (tokens are printable ASCII; asserted for the test tables),
+#: so the pattern ``SEP a SEP SEP b SEP`` matches exactly the adjacent
+#: symbol pair (a, b) at symbol boundaries, and SQL ``replace`` —
+#: left-to-right, non-overlapping, resuming AFTER the replacement —
+#: consumes occurrences in the same order as the Spark twin's greedy
+#: left fold (a just-merged symbol equals ``a`` only if b = '', which
+#: cannot happen, so neither engine re-merges within a pass).
+_BPE_SEP = "chr(31)"
+
+
+def _bpe_iteration(i: int) -> str:
+    """CTE block for one greedy BPE merge: rank adjacent symbol pairs
+    of v{i-1} by weighted count (tie-break n DESC, a, b — the Spark
+    twin's orderBy), then rewrite every word's framed symbol string."""
+    s = _BPE_SEP
+    return f"""
+p{i} AS (
+  SELECT pr.a AS a, pr.b AS b, CAST(SUM(wc) AS BIGINT) AS n
+  FROM (
+    SELECT wc, unnest(CASE WHEN len(syms) > 1
+        THEN list_transform(range(1, len(syms)),
+                            j -> {{'a': syms[j], 'b': syms[j+1]}})
+        ELSE [] END) AS pr
+    FROM (SELECT wc, string_split(substr(s, 2, length(s) - 2), {s} || {s}) AS syms
+          FROM v{i-1})
+  ) GROUP BY pr.a, pr.b
+),
+w{i} AS (SELECT a, b, n FROM p{i} ORDER BY n DESC, a, b LIMIT 1),
+v{i} AS (
+  SELECT v.wc,
+    replace(v.s, {s} || w.a || {s} || {s} || w.b || {s},
+                 {s} || w.a || w.b || {s}) AS s
+  FROM v{i-1} v CROSS JOIN w{i} w
+)"""
+
+
+ORACLE_BPE_TRAIN = f"""
+WITH words AS (
+  SELECT word, COUNT(*) AS wc FROM (
+    SELECT unnest({_SQL_TOKENS}) AS word FROM documents
+  ) GROUP BY word
+),
+v0 AS (
+  SELECT wc,
+    {_BPE_SEP} || array_to_string(
+      list_transform(range(1, length(word) + 1),
+                     i -> substr(word, CAST(i AS INT), 1)),
+      {_BPE_SEP} || {_BPE_SEP}) || {_BPE_SEP} AS s
+  FROM words
+),
+{",".join(_bpe_iteration(i + 1) for i in range(BPE_MERGES))}
+SELECT * FROM (
+{" UNION ALL ".join(
+    f"SELECT CAST({i} AS BIGINT) AS rank, a || ' ' || b AS pair, "
+    f"a || b AS merged, n AS weighted_count FROM w{i + 1}"
+    for i in range(BPE_MERGES)
+)}
+) ORDER BY rank
+"""
 
 
 # ---------------------------------------------------------------------------

@@ -32,6 +32,7 @@ stored table is O(groups × 256) rows regardless of stream volume.
 
 from __future__ import annotations
 
+import glob
 import os
 import shutil
 
@@ -81,10 +82,34 @@ def write_stream_hll_ingest(
     ``table_path`` by register-wise MAX (read-merge-overwrite of an
     O(groups × 256) table — driver-trivial at any stream volume).
     Register-wise MAX is idempotent and commutative, so replayed or
-    reordered batches cannot change the final table."""
+    reordered batches cannot change the final table.
+
+    Durability note: the swap below uses POSIX ``os.rename`` /
+    ``shutil.rmtree``, i.e. it assumes a LOCAL filesystem (the sandbox
+    target).  On an object store or HDFS deployment, replace the swap
+    with the committer-backed ``mode("overwrite")`` write or a manifest
+    pointer flip.  A crash can land between the two renames (old table
+    moved aside, new one not yet in place), so every merge starts by
+    restoring the newest ``.old-<batch_id>`` generation if
+    ``table_path`` is missing — without it, the next batch would
+    silently rebuild the table from that batch alone."""
+
+    def recover() -> None:
+        base = table_path.rstrip("/")
+        if not os.path.isdir(table_path):
+            olds = glob.glob(f"{base}.old-*")
+            if olds:
+                newest = max(
+                    olds, key=lambda p: int(p.rsplit("-", 1)[1])
+                )
+                os.rename(newest, table_path)
+        # stale generations/temps from crashed swaps are dead weight
+        for p in glob.glob(f"{base}.old-*") + glob.glob(f"{base}.tmp-*"):
+            shutil.rmtree(p, ignore_errors=True)
 
     def merge(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        recover()
         new = hll_registers(batch)
         if os.path.isdir(table_path):
             old = spark.read.parquet(table_path)
@@ -100,9 +125,10 @@ def write_stream_hll_ingest(
         # would lose the landed table.  The table is O(groups × 256)
         # rows by construction, so the collect is bounded.
         pinned = spark.createDataFrame(new.collect(), schema=new.schema)
-        # write to a temp path, then swap via rename: a crash between
-        # the renames leaves either the old table or the new one intact,
-        # never a half-written directory at table_path
+        # write to a temp path, then swap via rename: a crash never
+        # leaves a HALF-WRITTEN directory at table_path — either the
+        # new table is in place, or recover() restores the old one from
+        # its .old-<batch_id> generation on the next merge
         base = table_path.rstrip("/")
         tmp, swap = f"{base}.tmp-{batch_id}", f"{base}.old-{batch_id}"
         pinned.coalesce(1).write.mode("overwrite").parquet(tmp)

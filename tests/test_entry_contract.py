@@ -13,13 +13,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 #: Queries deliberately without a DuckDB oracle (rows-only in the
 #: gate), each pinned by pytest instead — keep in lock-step with the
-#: README "Correctness" paragraph.
-ROWS_ONLY = {
-    "ann_topk_vectorized",
-    "bpe_train",
-    "kmeans_embeddings",
-    "sketch_summary",
-}
+#: README "Correctness" paragraph.  EMPTY since round 7: bpe_train and
+#: sketch_summary gained engine-stable oracles, ann_topk_vectorized now
+#: exact-rescores its BLAS candidates and shares ORACLE_ANN_TOPK, and
+#: kmeans_embeddings (float Lloyd) was retired from the registry in
+#: favor of its driver-green decimal-exact twin kmeans_exact_lloyd.
+ROWS_ONLY: set[str] = set()
 
 
 def _load_entry_by_path():

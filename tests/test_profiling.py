@@ -53,46 +53,50 @@ def test_stratified_sample_rates_and_determinism(spark, sf_dir):
     assert a == b
 
 
-def test_sketch_summary_error_bounds(spark, sf_dir):
-    ev = load_table(spark, sf_dir, "events")
-    sk = {r["event_type"]: r for r in PF.sketch_summary(spark, sf_dir).collect()}
-    exact = {
-        r["event_type"]: r
-        for r in ev.groupBy("event_type")
-        .agg(
-            F.countDistinct("user_id").alias("users"),
-            F.expr("percentile(value, 0.5)").alias("p50"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .collect()
-    }
-    # second engine: the same exact aggregates from DuckDB — the sketch
-    # estimates must satisfy the error bound against BOTH engines'
-    # ground truth, and the two ground truths must agree exactly
-    import duckdb
+def test_sketch_summary_matches_python_references(spark, sf_dir):
+    """hll_users must equal a pure-Python raw HLL (registers AND
+    estimate — the value contract behind the r7 oracle), quantiles the
+    numpy linear-interpolated percentiles, counts exact."""
+    import hashlib
 
-    duck = {
-        et: (int(users), n)
-        for et, users, n in duckdb.sql(
-            f"SELECT event_type, COUNT(DISTINCT user_id), COUNT(*) "
-            f"FROM '{sf_dir}/events.parquet' GROUP BY event_type"
-        ).fetchall()
+    import numpy as np
+    import pandas as pd
+
+    from f1_data_engineering_spark.operators import analytics4 as A4
+
+    sk = {r["event_type"]: r for r in PF.sketch_summary(spark, sf_dir).collect()}
+    pdf = pd.read_parquet(f"{sf_dir}/events.parquet")[
+        ["event_type", "user_id", "value"]
+    ]
+    groups = dict(tuple(pdf.groupby("event_type", dropna=False)))
+    assert set(sk) == {
+        (None if pd.isna(k) else k) for k in groups
     }
-    assert set(sk) == set(exact) == set(duck)
-    for et, e in exact.items():
-        s = sk[et]
-        assert s["n"] == e["n"] == duck[et][1]  # plain count rides along exactly
-        assert e["users"] == duck[et][0], et  # engines agree on ground truth
-        # HLL++ rsd=0.05 ⇒ 3σ = 15%
-        assert abs(s["approx_users"] - e["users"]) <= max(3, 0.15 * e["users"]), et
-        # approx_percentile(accuracy=10000) on n ≪ 10000 rows is exact-ish
-        lo, hi = (
-            ev.filter(F.col("event_type") == et)
-            .agg(F.min("value"), F.max("value"))
-            .first()
-        )
-        assert lo <= s["p50"] <= hi
-        assert s["p50"] <= s["p95"] <= s["p99"] <= hi
+    for et, grp in groups.items():
+        s = sk[None if pd.isna(et) else et]
+        assert s["n"] == len(grp)
+        # raw 2007 HLL with the repo's 60-bit md5 scheme (no
+        # small-range correction — value parity, not an accuracy bound:
+        # tiny groups sit at the known n≪m plateau by contract)
+        regs: dict[int, int] = {}
+        for u in grp.user_id.dropna():
+            h = int(hashlib.md5(f"hll#{int(u)}".encode()).hexdigest()[:15], 16)
+            b, w = h % A4.HLL_M, h // A4.HLL_M
+            rho = (A4.HLL_RHO_BITS + 1) if w == 0 else (
+                A4.HLL_RHO_BITS + 1 - w.bit_length()
+            )
+            regs[b] = max(regs.get(b, 0), rho)
+        est = float(A4.HLL_M - len(regs))
+        for b in sorted(regs):
+            est += 1.0 / float(1 << regs[b])
+        est = A4.HLL_ALPHA * A4.HLL_M * A4.HLL_M / est
+        assert s["n_buckets_used"] == len(regs), et
+        assert abs(s["hll_users"] - round(est, 6)) < 1e-9, et
+        # exact interpolated quantiles vs numpy (same lerp definition)
+        vals = grp.value.dropna().to_numpy(dtype=float)
+        for col, q in (("p50", 50), ("p95", 95), ("p99", 99)):
+            assert abs(s[col] - np.percentile(vals, q)) < 1e-6, (et, col)
+        assert s["p50"] <= s["p95"] <= s["p99"]
 
 
 def test_corr_matrix_matches_numpy(spark, sf_dir):
