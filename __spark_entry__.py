@@ -53,6 +53,7 @@ from f1_data_engineering_spark.operators import graphops as GR
 from f1_data_engineering_spark.operators import curation as CU
 from f1_data_engineering_spark.operators import analytics5 as A5
 from f1_data_engineering_spark.operators import analytics6 as A6
+from f1_data_engineering_spark.operators import curation_incremental as CI
 from f1_data_engineering_spark.streaming import join_stream as JS
 
 
@@ -395,6 +396,12 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_checksum": IG.table_checksum,
         "ngram_containment_pairs": DD.ngram_containment_pairs,
         "filtered_ann_topk": SIM.filtered_ann_topk,
+        # round-7: the composed pipeline wired to the standing versioned
+        # indexes (signature index + pair ledger + cell index; equals
+        # the one-shot semantic pipeline exactly — shared oracle), and
+        # the watermark-evicted LEFT OUTER attribution join's batch twin
+        "curation_pipeline_incremental": CI.curation_pipeline_incremental,
+        "view_purchase_outer": JS.view_purchase_outer,
     }
 
 
@@ -585,5 +592,8 @@ def oracle_sql() -> dict[str, str]:
         "table_checksum": IG.ORACLE_TABLE_CHECKSUM,
         "ngram_containment_pairs": DD.ORACLE_CONTAINMENT_PAIRS,
         "filtered_ann_topk": SIM.ORACLE_FILTERED_ANN,
+        # equality with the one-shot semantic pipeline IS the contract
+        "curation_pipeline_incremental": CI.ORACLE_CURATION_INCREMENTAL,
+        "view_purchase_outer": JS.ORACLE_VIEW_PURCHASE_OUTER,
     }
     return out

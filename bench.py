@@ -186,6 +186,12 @@ BENCH_QUERIES = (
     "table_checksum",
     "ngram_containment_pairs",
     "filtered_ann_topk",
+    # round-7: the index-wired composed pipeline (A/B twin of
+    # curation_pipeline_semantic — the gap is the standing-index win,
+    # including its own two-advance ingest) and the outer attribution
+    # funnel join
+    "curation_pipeline_incremental",
+    "view_purchase_outer",
 )
 
 
