@@ -54,6 +54,7 @@ from f1_data_engineering_spark.operators import curation as CU
 from f1_data_engineering_spark.operators import analytics5 as A5
 from f1_data_engineering_spark.operators import analytics6 as A6
 from f1_data_engineering_spark.operators import curation_incremental as CI
+from f1_data_engineering_spark.operators import analytics7 as A7
 from f1_data_engineering_spark.streaming import join_stream as JS
 
 
@@ -402,6 +403,12 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the watermark-evicted LEFT OUTER attribution join's batch twin
         "curation_pipeline_incremental": CI.curation_pipeline_incremental,
         "view_purchase_outer": JS.view_purchase_outer,
+        # round-7b: tokenizer application (corpus encoded under the
+        # learned merges — the fertility/compression signal) and CUSUM
+        # change-point detection via the prefix-sum/running-min closed
+        # form (integer-exact, two window functions, no driver loop)
+        "bpe_encode_corpus": TP.bpe_encode_corpus,
+        "cusum_event_drift": A7.cusum_event_drift,
     }
 
 
@@ -595,5 +602,7 @@ def oracle_sql() -> dict[str, str]:
         # equality with the one-shot semantic pipeline IS the contract
         "curation_pipeline_incremental": CI.ORACLE_CURATION_INCREMENTAL,
         "view_purchase_outer": JS.ORACLE_VIEW_PURCHASE_OUTER,
+        "bpe_encode_corpus": TP.ORACLE_BPE_ENCODE,
+        "cusum_event_drift": A7.ORACLE_CUSUM,
     }
     return out

@@ -192,6 +192,10 @@ BENCH_QUERIES = (
     # funnel join
     "curation_pipeline_incremental",
     "view_purchase_outer",
+    # round-7b: tokenizer application over the learned merges; CUSUM
+    # drift summary (hourly rollup + two ordered windows)
+    "bpe_encode_corpus",
+    "cusum_event_drift",
 )
 
 

@@ -451,11 +451,22 @@ def bpe_train(
     against a pure Python BPE reference on the same word counts.
     """
     d = load_table(spark, sf_dir, "documents")
-    vocab = (
+    merges, final_vocab = _bpe_learn(_bpe_vocab(d), n_merges)
+    final_vocab.unpersist()
+    return spark.createDataFrame(
+        merges, schema="rank long, pair string, merged string, weighted_count long"
+    )
+
+
+def _bpe_vocab(d: DataFrame) -> DataFrame:
+    """(word, wc, syms) weighted character-split vocabulary — the ONE
+    corpus scan of BPE training; everything after runs on it."""
+    return (
         d.select(F.explode(tokens("text")).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wc"))
         .select(
+            "word",
             "wc",
             F.expr(
                 "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
@@ -464,6 +475,14 @@ def bpe_train(
         .cache()
     )
 
+
+def _bpe_learn(
+    vocab: DataFrame, n_merges: int
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """The greedy merge loop over a cached (word, wc, syms) vocab:
+    returns (merge table rows, final CACHED vocab frame with post-merge
+    syms) — shared by :func:`bpe_train` (keeps the merges) and
+    :func:`bpe_encode_corpus` (keeps the rewritten vocabulary)."""
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
         pairs = vocab.select(
@@ -507,15 +526,69 @@ def bpe_train(
         merged_syms = F.aggregate(
             F.col("syms"), F.array().cast("array<string>"), _step
         )
-        new_vocab = vocab.select("wc", merged_syms.alias("syms")).cache()
+        new_vocab = vocab.select("word", "wc", merged_syms.alias("syms")).cache()
         new_vocab.count()  # materialize before unpersisting the parent
         vocab.unpersist()
         vocab = new_vocab
-    vocab.unpersist()
+    return merges, vocab
 
-    return spark.createDataFrame(
-        merges, schema="rank long, pair string, merged string, weighted_count long"
+
+def bpe_encode_corpus(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
+) -> DataFrame:
+    """Apply the learned BPE merges to the corpus — the tokenizer
+    APPLICATION step of training-data prep: per document, whitespace
+    words, character-level token count, post-merge BPE token count,
+    and the compression ratio (the tokenizer-fertility signal that
+    decides token budgets and flags scripts the tokenizer serves
+    badly).
+
+    Scale shape: the merge loop runs on the DISTINCT vocabulary
+    (Zipf: orders of magnitude smaller than the corpus); encoding is
+    then ONE equi-join of the exploded corpus against the (word →
+    token count) table plus one per-doc aggregate — document bodies
+    are scanned once and no symbol array ever crosses a shuffle.
+    Cross-engine exact end-to-end: integer counts joined through the
+    same unrolled merge chain as ``ORACLE_BPE_TRAIN`` (the encode
+    oracle extends it by a word-length tail), ratio via the 6-dp
+    shortest-repr recipe.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    _, final_vocab = _bpe_learn(_bpe_vocab(d), n_merges)
+    wtoks = final_vocab.select(
+        "word",
+        F.size("syms").cast("long").alias("n_sym"),
+        F.length("word").cast("long").alias("n_chr"),
     )
+    ex = d.select("doc_id", F.explode_outer(tokens("text")).alias("word"))
+    per = (
+        ex.join(wtoks, "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.col("word")).alias("n_words"),
+            F.coalesce(F.sum("n_chr"), F.lit(0)).cast("long").alias("n_chars"),
+            F.coalesce(F.sum("n_sym"), F.lit(0)).cast("long").alias(
+                "n_bpe_tokens"
+            ),
+        )
+    )
+    out = per.select(
+        "doc_id",
+        "n_words",
+        "n_chars",
+        "n_bpe_tokens",
+        F.when(
+            F.col("n_chars") > 0,
+            F.round(
+                F.col("n_bpe_tokens").cast("double")
+                / F.col("n_chars").cast("double"),
+                6,
+            ),
+        ).alias("compression"),
+    ).orderBy("doc_id")
+    # final_vocab stays cached: `out` consumes it (the 8-fold rewrite
+    # chain would otherwise re-run at execution time)
+    return out
 
 
 #: Oracle symbol framing: each word's symbol list is encoded as
@@ -550,28 +623,34 @@ p{i} AS (
 ),
 w{i} AS (SELECT a, b, n FROM p{i} ORDER BY n DESC, a, b LIMIT 1),
 v{i} AS (
-  SELECT v.wc,
+  SELECT v.word, v.wc,
     replace(v.s, {s} || w.a || {s} || {s} || w.b || {s},
                  {s} || w.a || w.b || {s}) AS s
   FROM v{i-1} v CROSS JOIN w{i} w
 )"""
 
 
-ORACLE_BPE_TRAIN = f"""
-WITH words AS (
+#: Shared unrolled merge chain: words → framed v0 → (p{i}, w{i}, v{i})
+#: per merge.  ORACLE_BPE_TRAIN reads the winners w{i};
+#: ORACLE_BPE_ENCODE reads the final rewritten vocabulary v{BPE_MERGES}.
+_BPE_CHAIN = f"""words AS (
   SELECT word, COUNT(*) AS wc FROM (
     SELECT unnest({_SQL_TOKENS}) AS word FROM documents
   ) GROUP BY word
 ),
 v0 AS (
-  SELECT wc,
+  SELECT word, wc,
     {_BPE_SEP} || array_to_string(
       list_transform(range(1, length(word) + 1),
                      i -> substr(word, CAST(i AS INT), 1)),
       {_BPE_SEP} || {_BPE_SEP}) || {_BPE_SEP} AS s
   FROM words
 ),
-{",".join(_bpe_iteration(i + 1) for i in range(BPE_MERGES))}
+{",".join(_bpe_iteration(i + 1) for i in range(BPE_MERGES))}"""
+
+
+ORACLE_BPE_TRAIN = f"""
+WITH {_BPE_CHAIN}
 SELECT * FROM (
 {" UNION ALL ".join(
     f"SELECT CAST({i} AS BIGINT) AS rank, a || ' ' || b AS pair, "
@@ -580,6 +659,42 @@ SELECT * FROM (
 )}
 ) ORDER BY rank
 """
+
+
+def _bpe_encode_oracle() -> str:
+    from .pandas_ops import _oracle_round6
+
+    s = _BPE_SEP
+    ratio = _oracle_round6(
+        "CAST(p.n_bpe_tokens AS DOUBLE) / CAST(p.n_chars AS DOUBLE)"
+    )
+    return f"""
+WITH {_BPE_CHAIN},
+wq AS (
+  SELECT word,
+    CAST(len(string_split(substr(s, 2, length(s) - 2), {s} || {s})) AS BIGINT)
+      AS n_sym,
+    CAST(length(word) AS BIGINT) AS n_chr
+  FROM v{BPE_MERGES}
+),
+ex AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS word FROM documents),
+per AS (
+  SELECT ex.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+    CAST(SUM(wq.n_chr) AS BIGINT) AS n_chars,
+    CAST(SUM(wq.n_sym) AS BIGINT) AS n_bpe_tokens
+  FROM ex JOIN wq USING (word) GROUP BY ex.doc_id
+)
+SELECT d.doc_id,
+  COALESCE(p.n_words, 0) AS n_words,
+  COALESCE(p.n_chars, 0) AS n_chars,
+  COALESCE(p.n_bpe_tokens, 0) AS n_bpe_tokens,
+  CASE WHEN COALESCE(p.n_chars, 0) > 0 THEN {ratio} END AS compression
+FROM documents d LEFT JOIN per p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+ORACLE_BPE_ENCODE = _bpe_encode_oracle()
 
 
 # ---------------------------------------------------------------------------

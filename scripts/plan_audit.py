@@ -454,6 +454,37 @@ AUDIT += [
     ),
 ]
 
+from f1_data_engineering_spark.operators import analytics7 as A7  # noqa: E402
+from f1_data_engineering_spark.streaming import join_stream as JSP  # noqa: E402
+
+AUDIT += [
+    (
+        "cusum_event_drift",
+        A7.cusum_event_drift,
+        "CUSUM without a driver loop: ONE map-combinable hourly rollup "
+        "is the only corpus-sized aggregate; the detector is two ordered "
+        "windows (running sum + running min of integer deviations) over "
+        "the hours×types relation, every window partitioned by "
+        "event_type — never a single global partition.",
+    ),
+    (
+        "view_purchase_outer",
+        JSP.view_purchase_outer,
+        "Outer interval join keys on user_id first (both sides hash-"
+        "partition once); the time-range predicate prunes inside the "
+        "partition.  The same predicate is the streaming form's state-"
+        "eviction bound — batch plan and stream plan share the shape.",
+    ),
+    (
+        "bpe_encode_corpus",
+        TP.bpe_encode_corpus,
+        "Tokenizer application: the merge chain runs on the distinct "
+        "vocabulary (Zipf-small, cached); the corpus is scanned ONCE — "
+        "explode → equi-join word→counts → per-doc hash aggregate; no "
+        "symbol array crosses a shuffle.",
+    ),
+]
+
 
 def main() -> None:
     spark = get_spark(app_name="plan-audit", master="local[8]", shuffle_partitions=8)

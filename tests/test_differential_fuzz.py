@@ -197,7 +197,9 @@ from f1_data_engineering_spark.operators import analytics3 as A3
 from f1_data_engineering_spark.operators import analytics4 as A4
 from f1_data_engineering_spark.operators import analytics5 as A5F
 from f1_data_engineering_spark.streaming import join_stream as JSF
+from f1_data_engineering_spark.operators import analytics7 as A7F
 from f1_data_engineering_spark.operators import pandas_ops as PDO
+from f1_data_engineering_spark.operators import profiling as PFF
 from f1_data_engineering_spark.operators import relational as RL
 
 EVENT_FUZZ_QUERIES = [
@@ -255,6 +257,14 @@ EVENT_FUZZ_QUERIES = [
     ("top_session_paths", A6F.top_session_paths, A6F.ORACLE_SESSION_PATHS),
     ("view_purchase_join", JSF.view_purchase_join, JSF.ORACLE_VIEW_PURCHASE),
     ("incremental_rollup_merge", A6F.incremental_rollup_merge, A6F.ORACLE_INCR_ROLLUP),
+    # round-7: the outer funnel twin (NULL-heavy join sides, views with
+    # zero qualifying purchases) and the md5-HLL + exact-quantile sketch
+    # profile (all-NULL-user groups, NULL event_type, lerp-rank ties)
+    ("view_purchase_outer", JSF.view_purchase_outer, JSF.ORACLE_VIEW_PURCHASE_OUTER),
+    ("sketch_summary", PFF.sketch_summary, PFF.ORACLE_SKETCH_SUMMARY),
+    # CUSUM: NULL event_type groups (null-safe join legs), duplicate /
+    # single-hour series, all-equal counts (zero deviations everywhere)
+    ("cusum_event_drift", A7F.cusum_event_drift, A7F.ORACLE_CUSUM),
 ]
 
 
@@ -504,6 +514,15 @@ EXTENDED_DOC_QUERIES = [
     # in both engines, incl. the planted doc_id<10 truncated copies
     # (substr of NULL text) and the doc_id=0 eval-split membership
     "curation_pipeline",
+    # round-7: the unrolled greedy BPE loop — single-char-word corpora
+    # (zero pairs, early break vs the oracle's empty-CTE cascade),
+    # all-duplicate vocabularies (tie-breaks decide every merge), and
+    # unicode symbols through the framed-string replace
+    "bpe_train",
+    # encode under the same chain: empty docs (explode_outer leg),
+    # every-word-unique corpora, and the integer compression ratio
+    # through the 6-dp shortest-repr recipe
+    "bpe_encode_corpus",
 ]
 
 

@@ -156,6 +156,74 @@ def test_bpe_train_matches_python_reference(spark, sf_dir):
     assert got == expected, (got, expected)
 
 
+def test_bpe_encode_corpus_matches_python_reference(spark, sf_dir):
+    """Per-doc BPE token counts must equal sequentially encoding each
+    document's words under the merges the pure-Python trainer learns —
+    the end-to-end train→apply contract."""
+    from collections import Counter
+
+    from f1_data_engineering_spark.operators import trainprep as TP
+    from f1_data_engineering_spark.functions.text import tokens
+    from f1_data_engineering_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_chars"], r["n_bpe_tokens"], r["compression"])
+        for r in TP.bpe_encode_corpus(spark, sf_dir).collect()
+    }
+
+    docs = {
+        r["doc_id"]: list(r["ws"])
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", tokens("text").alias("ws"))
+        .collect()
+    }
+    # learn merges sequentially (same reference as the train test)
+    vocab = Counter()
+    for ws in docs.values():
+        for w in ws:
+            vocab[tuple(w)] += 1
+
+    def apply_merge(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return tuple(out)
+
+    cur = dict(vocab)
+    for _ in range(TP.BPE_MERGES):
+        counts = Counter()
+        for syms, c in cur.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += c
+        if not counts:
+            break
+        (a, b), _n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        newv = {}
+        for syms, c in cur.items():
+            t = apply_merge(syms, a, b)
+            newv[t] = newv.get(t, 0) + c
+        cur = newv
+
+    word_len = {"".join(syms): len(syms) for syms in cur}
+
+    for doc_id, ws in docs.items():
+        n_words = len(ws)
+        n_chars = sum(len(w) for w in ws)
+        n_bpe = sum(word_len[w] for w in ws)
+        g = got[doc_id]
+        assert g[0] == n_words and g[1] == n_chars and g[2] == n_bpe, doc_id
+        if n_chars > 0:
+            assert abs(g[3] - round(n_bpe / n_chars, 6)) < 1e-9
+        else:
+            assert g[3] is None
+
+
 # ---------------------------------------------------------------------------
 # training shard assignment + writer
 # ---------------------------------------------------------------------------
