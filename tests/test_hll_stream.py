@@ -104,3 +104,36 @@ def test_landed_merge_preserves_disjoint_seeded_groups(spark, tmp_path):
         assert got[k] == v
     # nothing else: union of the two keyspaces exactly
     assert set(got) == set(exp_new) | {("seed_only_group", b) for b in range(5)}
+
+
+def test_landed_merge_recovers_interrupted_swap(spark, tmp_path):
+    """A crash BETWEEN the two swap renames leaves the old table at
+    '<table>.old-<batch_id>' and nothing at table_path; the next merge
+    must restore that generation before merging — without it, the
+    batch would silently rebuild the table from itself alone (advice
+    r6).  Simulated by renaming the table aside, exactly the
+    mid-crash filesystem state."""
+    import os
+
+    table = str(tmp_path / "hll_table_crash")
+    seeded = spark.createDataFrame(
+        [("crash_group", b, 7) for b in range(4)], "g string, bucket int, m int"
+    )
+    seeded.coalesce(1).write.parquet(table)
+    os.rename(table, table + ".old-41")  # mid-swap crash state
+
+    events_dir = str(tmp_path / "ev")
+    ev = load_table(spark, SF, "events").limit(100)
+    ev.coalesce(1).write.parquet(events_dir)
+    q = write_stream_hll_ingest(
+        events_file_stream(spark, events_dir), table, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+
+    got = _reg_map(spark.read.parquet(table))
+    for b in range(4):  # pre-crash registers survived the recovery
+        assert got[("crash_group", b)] == 7
+    for k, v in _reg_map(hll_registers(ev)).items():
+        assert got[k] == v
+    # stale generations cleaned up after the successful swap
+    assert not [p for p in os.listdir(str(tmp_path)) if ".old-" in p]

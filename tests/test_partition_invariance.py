@@ -64,6 +64,16 @@ CASES = [
     ("table_checksum", "integrity"),
     ("keyness_g2", "textops"),
     ("lsh_recall_audit", "dedup"),
+    # round-7 wave: the md5-HLL sketch profile rides the bucket-sorted
+    # fold + exact lerp percentiles; the ANN fast path's BLAS prune
+    # happens per ARROW BATCH (the partitioning-dependent unit) so the
+    # exact rescore must erase any batch-shape effect; CUSUM's ordered
+    # prefix sums are integers but the windows shuffle; the encode
+    # ratio is an integer-ratio 6-dp round
+    ("sketch_summary", "profiling"),
+    ("ann_topk_vectorized", "similarity"),
+    ("cusum_event_drift", "analytics7"),
+    ("bpe_encode_corpus", "trainprep"),
 ]
 
 
