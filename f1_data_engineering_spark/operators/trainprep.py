@@ -623,10 +623,18 @@ p{i} AS (
 ),
 w{i} AS (SELECT a, b, n FROM p{i} ORDER BY n DESC, a, b LIMIT 1),
 v{i} AS (
+  -- LEFT JOIN ON TRUE, not CROSS JOIN: when no pair exists (w{i}
+  -- empty — all words single-symbol) the vocabulary must CARRY
+  -- FORWARD unchanged, mirroring the Spark loop's early break.  A
+  -- cross join would empty v{i} and with it the encode oracle's
+  -- final vocabulary (fuzz-found on a one-char-word corpus); the
+  -- train oracle is indifferent (it reads w{i}, and p/w stay empty
+  -- once empty either way).
   SELECT v.word, v.wc,
-    replace(v.s, {s} || w.a || {s} || {s} || w.b || {s},
-                 {s} || w.a || w.b || {s}) AS s
-  FROM v{i-1} v CROSS JOIN w{i} w
+    CASE WHEN w.a IS NULL THEN v.s
+         ELSE replace(v.s, {s} || w.a || {s} || {s} || w.b || {s},
+                           {s} || w.a || w.b || {s}) END AS s
+  FROM v{i-1} v LEFT JOIN w{i} w ON TRUE
 )"""
 
 
