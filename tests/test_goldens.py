@@ -1,13 +1,15 @@
-"""Golden-trace pins for the rows-only iterative queries.
+"""Golden-trace pins for the iterative loops.
 
-kmeans_embeddings and bpe_train have no SQL oracle (the driver's gate
-records a rows-only check for them); their primary correctness pins
-are the cross-implementation tests (numpy Lloyd in test_analytics2,
-sequential Python BPE in test_trainprep).  Those recompute the
-expected trace in-session, so a library bump that shifts BOTH
-implementations the same way would pass silently.  These tests compare
-against traces committed at generation time (scripts/make_goldens.py)
-— a deterministic secondary check across sessions and environments.
+kmeans_embeddings (float Lloyd, library-only since round 7 — its
+registry seat went to the decimal-exact kmeans_exact_lloyd) has no SQL
+oracle; bpe_train gained its unrolled-CTE oracle in round 7 but keeps
+this pin as defense in depth.  Their primary correctness pins are the
+cross-implementation tests (numpy Lloyd in test_analytics2, sequential
+Python BPE in test_trainprep).  Those recompute the expected trace
+in-session, so a library bump that shifts BOTH implementations the
+same way would pass silently.  These tests compare against traces
+committed at generation time (scripts/make_goldens.py) — a
+deterministic secondary check across sessions and environments.
 """
 
 from __future__ import annotations
