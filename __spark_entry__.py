@@ -104,6 +104,21 @@ def _driver_green_so_far() -> set[str]:
 #: row from round 2 attests text that may no longer exist.
 MAX_GREEN_AGE_ROUNDS = 3
 
+#: Oracles whose TEXT changed this round — a green row under the old
+#: text does not attest the new one, so these re-enter the window right
+#: after the never-green block.  Rewrite per round.  Round 7: the LSH
+#: recall audit's ground-truth universe is now MAX_SHINGLE_DF-capped
+#: with the decile-10 midpoint clamped (judge item 3 / advice), and the
+#: containment ratio moved to _oracle_round6 (advice item 2); the new
+#: and formerly-rows-only names (bpe_train, ann_topk_vectorized,
+#: sketch_summary, bpe_encode_corpus, cusum_event_drift,
+#: curation_pipeline_incremental, view_purchase_outer) are never-green
+#: and rank ahead of this set automatically.
+CHANGED_ORACLES = {
+    "lsh_recall_audit",
+    "ngram_containment_pairs",
+}
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator family from SURVEY.md §2.
@@ -123,18 +138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _base_queries()
     latest = _driver_green_rounds()
     this_round = max(latest.values(), default=0) + 1
-    # Round 7: 3 former rows-only queries gained oracles (bpe_train,
-    # ann_topk_vectorized, sketch_summary) and 2 queries are new
-    # (curation_pipeline_incremental, view_purchase_outer) — all rank 0.
-    # Oracles that changed this round need a FRESH green row under the
-    # new text (rank 2).  5 + ~3 + ~42 oldest-stale fills the window.
-    changed_this_round = {
-        # ground-truth universe now MAX_SHINGLE_DF-capped + decile-10
-        # midpoint clamped (judge item 3 / advice)
-        "lsh_recall_audit",
-        # containment ratio now _oracle_round6 (advice item 2)
-        "ngram_containment_pairs",
-    }
+    changed_this_round = CHANGED_ORACLES
     rows_only = set(base) - set(oracle_sql())
 
     def rank(name: str) -> tuple[int, int, str]:

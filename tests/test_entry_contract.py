@@ -83,6 +83,43 @@ def test_unverified_queries_order_first():
             )
 
 
+def test_stale_green_names_reenter_the_window():
+    """The age-cap invariant (judge r6 item 4): every oracle-backed
+    name whose latest green row is older than MAX_GREEN_AGE_ROUNDS
+    must be ordered before every fresher green name that is not in
+    CHANGED_ORACLES — independently re-derived from the CORRECTNESS
+    files, so a rank() regression can't hide behind its own logic."""
+    mod = _load_entry_by_path()
+    latest = mod._driver_green_rounds()
+    if not latest:
+        return
+    this_round = max(latest.values()) + 1
+    names = list(mod.queries())
+    pos = {n: i for i, n in enumerate(names)}
+    stale = [
+        n for n in names
+        if n in latest and this_round - latest[n] > mod.MAX_GREEN_AGE_ROUNDS
+    ]
+    fresh_unchanged = [
+        n for n in names
+        if n in latest
+        and this_round - latest[n] <= mod.MAX_GREEN_AGE_ROUNDS
+        and n not in mod.CHANGED_ORACLES
+    ]
+    if not stale or not fresh_unchanged:
+        return
+    worst_stale = max(pos[n] for n in stale)
+    first_fresh = min(pos[n] for n in fresh_unchanged)
+    assert worst_stale < first_fresh, (
+        f"stale green name ordered after a fresh one: "
+        f"{names[worst_stale]!r} (pos {worst_stale}) vs "
+        f"{names[first_fresh]!r} (pos {first_fresh})"
+    )
+    # oldest green rounds come first within the stale block
+    stale_rounds = [latest[n] for n in sorted(stale, key=lambda n: pos[n])]
+    assert stale_rounds == sorted(stale_rounds)
+
+
 def test_entry_runs_and_returns_rows(spark):
     df = _load_entry_by_path().entry(spark)
     assert len(df.columns) > 0
