@@ -434,6 +434,11 @@ EMBED_FUZZ_QUERIES = [
     # round-6: filtered vector search — label-partitioned top-k under
     # zero-norm sentinels and duplicate-vector rank ties
     ("filtered_ann_topk", SIM.filtered_ann_topk, SIM.ORACLE_FILTERED_ANN),
+    # round-7: the BLAS prune + exact rescore path — duplicate vectors
+    # (prune tie order vs exact tie order), zero-norm rows (NaN keys
+    # must sort last in the prune exactly as NULL sims rank last), and
+    # tiny corpora where batches are smaller than ANN_PRUNE_K
+    ("ann_topk_vectorized", SIM.ann_topk_vectorized, SIM.ORACLE_ANN_TOPK),
 ]
 
 
