@@ -564,3 +564,66 @@ def test_text_extended_differential_fuzz(spark, fuzz_dir, corpus):
         odf = con.execute(_ORACLES[name]).df()
         problems = compare(name, sdf, odf)
         assert not problems, (name, problems, rows)
+
+
+# --------------------------------------------------------------------------
+# index-wired incremental curation: the equality claim under adversarial
+# dual-table (documents + embeddings) lakes
+# --------------------------------------------------------------------------
+
+from f1_data_engineering_spark.operators import curation as _CU
+from f1_data_engineering_spark.operators import curation_incremental as _CI
+
+
+def _det_vec(i: int):
+    """Deterministic float32-exact embedding for doc_id i — integer
+    arithmetic into the same exact-value alphabet as _vec_component,
+    so duplicate/zero geometry still occurs across docs."""
+    vals = [-2.0, -1.0, -0.25, 0.0, 0.25, 1.0, 2.5]
+    return [vals[((i * 8191 + d) * 2654435761) % 7] for d in range(SIM.DIM)]
+
+
+@settings(
+    max_examples=_n_examples(3),
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=_corpus)
+def test_curation_incremental_differential_fuzz(spark, fuzz_dir, corpus):
+    """curation_pipeline_incremental's standing-index equality claim
+    (pair ledger ∩ survivors² ≡ survivor banding; persisted cells ≡
+    broadcast assignment) differenced three ways on adversarial lakes:
+    vs its DuckDB oracle, and vs the in-engine one-shot semantic
+    pipeline.  Embeddings exist for HALF the docs (i % 2 == 0) so the
+    no-embedding pass-through leg is always exercised; NULL/empty/
+    duplicate documents flow through the versioned two-advance ingest."""
+    _run_counter[0] += 1
+    sf_dir = str(fuzz_dir / f"ci{_run_counter[0]}")
+    rows = [
+        (i, t, lang, src, len(t) if t is not None else 0)
+        for i, (t, lang, src) in enumerate(corpus)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    )
+    emb = [(i, _det_vec(i), i % 3) for i, _ in enumerate(corpus) if i % 2 == 0]
+    spark.createDataFrame(
+        emb, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    )
+
+    inc = _CI.curation_pipeline_incremental(spark, sf_dir).toPandas()
+    one = _CU.curation_pipeline_semantic(spark, sf_dir).toPandas()
+    assert not compare("inc_vs_oneshot", inc, one), (corpus,)
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{os.path.join(sf_dir, f'{t}.parquet', '*.parquet')}'"
+        )
+    odf = con.execute(_CI.ORACLE_CURATION_INCREMENTAL).df()
+    assert not compare("inc_vs_oracle", inc, odf), (corpus,)
