@@ -53,6 +53,22 @@ def test_incremental_equals_oneshot_and_costs_delta(spark, tmp_path):
     assert cells.select("base_version").distinct().count() == 2
 
 
+def test_cell_index_advance_is_noop_when_current(spark, tmp_path):
+    """Advancing an up-to-date cell index must write nothing: the
+    index's latest version list is unchanged and no new base_version
+    appears (the idempotence a scheduled maintenance job relies on)."""
+    corpus_path = str(tmp_path / "corpus")
+    cells_path = str(tmp_path / "cells")
+    V.write_versioned(CU._curation_corpus(spark, SF), corpus_path, mode="append")
+    CI.advance_cell_index(spark, SF, corpus_path, cells_path)
+    v_before = V.latest_version(cells_path)
+    n_before = V.read_versioned(spark, cells_path).count()
+
+    CI.advance_cell_index(spark, SF, corpus_path, cells_path)  # no-op
+    assert V.latest_version(cells_path) == v_before
+    assert V.read_versioned(spark, cells_path).count() == n_before
+
+
 def test_cell_index_rebuilds_on_quantizer_drift(spark, tmp_path):
     corpus_path = str(tmp_path / "corpus")
     cells_path = str(tmp_path / "cells")
