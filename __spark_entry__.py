@@ -106,17 +106,19 @@ MAX_GREEN_AGE_ROUNDS = 3
 
 #: Oracles whose TEXT changed this round — a green row under the old
 #: text does not attest the new one, so these re-enter the window right
-#: after the never-green block.  Rewrite per round.  Round 7: the LSH
-#: recall audit's ground-truth universe is now MAX_SHINGLE_DF-capped
-#: with the decile-10 midpoint clamped (judge item 3 / advice), and the
-#: containment ratio moved to _oracle_round6 (advice item 2); the new
-#: and formerly-rows-only names (bpe_train, ann_topk_vectorized,
-#: sketch_summary, bpe_encode_corpus, cusum_event_drift,
-#: curation_pipeline_incremental, view_purchase_outer) are never-green
-#: and rank ahead of this set automatically.
+#: after the never-green block.  Rewrite per round.  Round 8:
+#: sketch_summary's oracle joins the HLL leg null-safely and pins NULLS
+#: LAST (advice r7 item 2); filtered_ann_topk's sim keys moved from
+#: native ROUND to the shortest-repr _oracle_round recipe (judge r7
+#: item 3); ann_topk_vectorized's registered shape moved to 500 queries
+#: with the BLAS path pinned (judge r7 item 4 — the new auto-dispatch
+#: would delegate the old 5-query shape to the exact fold, and 500 is
+#: the regime the operator exists for), so its oracle now scans
+#: vec_id < 500.
 CHANGED_ORACLES = {
-    "lsh_recall_audit",
-    "ngram_containment_pairs",
+    "sketch_summary",
+    "filtered_ann_topk",
+    "ann_topk_vectorized",
 }
 
 
@@ -283,7 +285,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Arrow fast path: BLAS prune + exact expression rescore, so
         # since round 7 it is bit-identical to ann_bruteforce_topk and
         # shares its DuckDB oracle (judge r6 item 1)
-        "ann_topk_vectorized": SIM.ann_topk_vectorized,
+        "ann_topk_vectorized": SIM.ann_topk_vectorized_500,
         "lsh_bucket_histogram": SIM.lsh_bucket_histogram,
         "embedding_nearest_neighbor": SIM.embedding_nearest_neighbor,
         "embedding_centroids": SIM.embedding_centroids,
@@ -527,7 +529,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_bruteforce_topk": SIM.ORACLE_ANN_TOPK,
         # the vectorized path exact-rescores its BLAS-pruned candidates,
         # so it shares the exact twin's oracle verbatim
-        "ann_topk_vectorized": SIM.ORACLE_ANN_TOPK,
+        "ann_topk_vectorized": SIM.ORACLE_ANN_TOPK_500,
         "lsh_bucket_histogram": SIM.ORACLE_LSH_HIST,
         "embedding_nearest_neighbor": SIM.ORACLE_NN,
         "embedding_centroids": SIM.ORACLE_CENTROIDS,

@@ -99,7 +99,10 @@ def cusum_event_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "peak_hour",
             F.when(F.col("total_events") > 0, score).alias("drift_score"),
         )
-        .orderBy("event_type")
+        # DuckDB ASC defaults to NULLS LAST; Spark defaults to NULLS FIRST.
+        # The NULL event_type group is real (eqNullSafe joins above), so pin
+        # the null position to the oracle's convention.
+        .orderBy(F.col("event_type").asc_nulls_last())
     )
 
 

@@ -243,7 +243,19 @@ def _oracle_round6(expr: str) -> str:
     target scale (fuzz-found: '-5.96…e-08' → -1e-6), and DuckDB's
     native ROUND(double, 6) rounds the scaled double rather than the
     shortest repr."""
-    return f"CAST(ROUND(CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(38,30)), 6) AS DOUBLE)"
+    return _oracle_round(expr, 6)
+
+
+def _oracle_round(expr: str, dp: int) -> str:
+    """Generalized :func:`_oracle_round6` — Spark/Python HALF_UP on the
+    shortest repr at ``dp`` decimals.  Safe for any dp ≤ 12: a double
+    too small for its shortest repr to fit DECIMAL(38,30) exactly is
+    < 1e-14, which rounds to ±0 at every such dp regardless of the
+    scale-30 parse's terminal-digit rounding."""
+    return (
+        f"CAST(ROUND(CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(38,30)), {dp})"
+        " AS DOUBLE)"
+    )
 
 
 ORACLE_MEDIAN_IQR = f"""

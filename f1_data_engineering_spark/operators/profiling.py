@@ -359,8 +359,14 @@ def sketch_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
     )
     est = F.round(F.lit(HLL_ALPHA) * F.lit(float(HLL_M * HLL_M)) / F.col("s"), 6)
+    # A NULL event_type group is real (same treatment as cusum_event_drift):
+    # null-safe join so its HLL estimate attaches, and pin nulls last to the
+    # oracle's DuckDB ASC default.
+    sk2 = sk.select(
+        F.col("event_type").alias("sk_et"), "n_buckets_used", "s"
+    )
     return (
-        q.join(sk, "event_type", "left")
+        q.join(sk2, F.col("event_type").eqNullSafe(F.col("sk_et")), "left")
         .select(
             "event_type",
             est.alias("hll_users"),
@@ -370,7 +376,7 @@ def sketch_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p99",
             "n",
         )
-        .orderBy("event_type")
+        .orderBy(F.col("event_type").asc_nulls_last())
     )
 
 
@@ -411,8 +417,8 @@ q AS (
 )
 SELECT q.event_type, {est} AS hll_users, sk.n_buckets_used,
   q.p50, q.p95, q.p99, q.n
-FROM q LEFT JOIN sk ON q.event_type = sk.event_type
-ORDER BY q.event_type
+FROM q LEFT JOIN sk ON q.event_type IS NOT DISTINCT FROM sk.event_type
+ORDER BY q.event_type NULLS LAST
 """
 
 

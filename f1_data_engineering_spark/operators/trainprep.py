@@ -555,11 +555,18 @@ def bpe_encode_corpus(
     """
     d = load_table(spark, sf_dir, "documents")
     _, final_vocab = _bpe_learn(_bpe_vocab(d), n_merges)
+    # Materialize the vocab-sized (word, n_sym, n_chr) projection and
+    # release the learner's cache: localCheckpoint truncates the 8-fold
+    # rewrite lineage (so unpersist can't trigger a recompute) and its
+    # blocks are reclaimed by the ContextCleaner when `wtoks` goes out of
+    # scope — unlike the previous leave-it-cached approach, which leaked
+    # one cached vocabulary per invocation for the session's lifetime.
     wtoks = final_vocab.select(
         "word",
         F.size("syms").cast("long").alias("n_sym"),
         F.length("word").cast("long").alias("n_chr"),
-    )
+    ).localCheckpoint(eager=True)
+    final_vocab.unpersist()
     ex = d.select("doc_id", F.explode_outer(tokens("text")).alias("word"))
     per = (
         ex.join(wtoks, "word", "left")
@@ -586,8 +593,6 @@ def bpe_encode_corpus(
             ),
         ).alias("compression"),
     ).orderBy("doc_id")
-    # final_vocab stays cached: `out` consumes it (the 8-fold rewrite
-    # chain would otherwise re-run at execution time)
     return out
 
 

@@ -437,8 +437,14 @@ EMBED_FUZZ_QUERIES = [
     # round-7: the BLAS prune + exact rescore path — duplicate vectors
     # (prune tie order vs exact tie order), zero-norm rows (NaN keys
     # must sort last in the prune exactly as NULL sims rank last), and
-    # tiny corpora where batches are smaller than ANN_PRUNE_K
-    ("ann_topk_vectorized", SIM.ann_topk_vectorized, SIM.ORACLE_ANN_TOPK),
+    # tiny corpora where batches are smaller than ANN_PRUNE_K.
+    # use_blas=True: the r8 auto-dispatch would otherwise delegate the
+    # 5-query default to the exact fold and fuzz nothing new
+    (
+        "ann_topk_vectorized",
+        lambda spark, sf: SIM.ann_topk_vectorized(spark, sf, use_blas=True),
+        SIM.ORACLE_ANN_TOPK,
+    ),
 ]
 
 

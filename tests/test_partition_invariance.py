@@ -71,7 +71,10 @@ CASES = [
     # prefix sums are integers but the windows shuffle; the encode
     # ratio is an integer-ratio 6-dp round
     ("sketch_summary", "profiling"),
-    ("ann_topk_vectorized", "similarity"),
+    # _500 = the registered shape: BLAS pinned (the default 5-query
+    # call auto-dispatches to the exact fold and wouldn't exercise the
+    # batch-shape-sensitive prune at all)
+    ("ann_topk_vectorized_500", "similarity"),
     ("cusum_event_drift", "analytics7"),
     ("bpe_encode_corpus", "trainprep"),
 ]
