@@ -55,6 +55,7 @@ from f1_data_engineering_spark.operators import analytics5 as A5
 from f1_data_engineering_spark.operators import analytics6 as A6
 from f1_data_engineering_spark.operators import curation_incremental as CI
 from f1_data_engineering_spark.operators import analytics7 as A7
+from f1_data_engineering_spark.operators import lakedml as LD
 from f1_data_engineering_spark.streaming import join_stream as JS
 
 
@@ -325,6 +326,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_summary": DC.contamination_summary,
         # incremental MERGE / SCD2 dimension maintenance
         "scd2_customer_merge": MG.scd2_customer_merge,
+        # round-8: row-level DML on the versioned lake (copy-on-write
+        # MERGE/DELETE/UPDATE with time travel across rewrites)
+        "merge_upsert_orders": LD.merge_upsert_orders,
+        "dml_lifecycle_orders": LD.dml_lifecycle_orders,
         "scd2_point_in_time": MG.scd2_point_in_time,
         # profiling / sampling / sketches
         "profile_orders": PF.profile_orders,
@@ -556,6 +561,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_ngrams": DC.ORACLE_DECONTAM,
         "contamination_summary": DC.ORACLE_CONTAM_SUMMARY,
         "scd2_customer_merge": MG.ORACLE_SCD2,
+        "merge_upsert_orders": LD.ORACLE_MERGE_UPSERT,
+        "dml_lifecycle_orders": LD.ORACLE_DML_LIFECYCLE,
         "scd2_point_in_time": MG.ORACLE_SCD2_PIT,
         "profile_orders": PF.ORACLE_PROFILE_ORDERS,
         "sketch_summary": PF.ORACLE_SKETCH_SUMMARY,

@@ -1,0 +1,253 @@
+"""Row-level DML on the versioned lake as REGISTERED, oracle-checked
+queries: build a scratch lake from ``orders``, run MERGE / DELETE /
+UPDATE through ``sources/dml.py``, and summarize the resulting table
+states so DuckDB can re-derive them declaratively.
+
+Reference parity: the reference has no table format — its closest
+shape is rewriting whole CSV trees per session
+(src/load/f1_dataLoader.py); these operators are the lakehouse-grade
+replacement (VERDICT r7 "What's missing" item 3).
+
+Verification shape: the DML path commits actual rewrite versions
+(copy-on-write, file-granular) and the query then reads the table
+back — the oracle reproduces the same end states with plain SQL
+(LEFT JOIN + CASE for MERGE, NOT COALESCE(pred, FALSE) for DELETE's
+NULL semantics), so a hash match certifies the whole mutate→commit→
+snapshot-read pipeline, not just an expression.  Checksums follow
+``integrity.table_checksum``'s recipe (md5 60-bit row hash, exact
+DECIMAL(38,0) sum — order/file-layout independent) over the
+non-float columns; the float column is summed via the exact
+DECIMAL(18,2) cast (2-dp-valued doubles cast exactly on both
+engines).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import dml as D
+from ..sources import versioned as V
+from ..sources.registry import load_table
+
+_SEP = "\x1f"
+_NULL = "\x00null"
+
+#: Non-float orders columns carried into the row checksum (the float
+#: ``o_totalprice`` is verified via the exact decimal sum instead —
+#: double→string casts are not cross-engine-stable).
+_CK_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+
+def _ck_hash() -> F.Column:
+    canon = F.concat_ws(
+        _SEP,
+        *[F.coalesce(F.col(c).cast("string"), F.lit(_NULL)) for c in _CK_COLS],
+    )
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit("dml#"), canon).cast("binary")), 1, 15),
+        16,
+        10,
+    ).cast("long")
+
+
+def _state_summary(df: DataFrame, label_col: F.Column, label_name: str) -> DataFrame:
+    return (
+        df.groupBy(label_col.alias(label_name))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(_ck_hash().cast("decimal(38,0)")).cast("string").alias("checksum"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
+def _pin(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Materialize a metadata-sized summary into a local DataFrame so
+    the scratch lake can be deleted before returning."""
+    return spark.createDataFrame(df.collect(), df.schema)
+
+
+def merge_upsert_orders(
+    spark: SparkSession, sf_dir: str, work_dir: str | None = None
+) -> DataFrame:
+    """``MERGE INTO`` end-to-end: seed a range-clustered versioned lake
+    with 80% of ``orders`` (o_orderkey % 10 < 8), merge a source delta
+    built from the other overlap (% 10 >= 5: keys 5-7 update in place,
+    8-9 insert), and summarize the post-merge snapshot per
+    ``o_orderstatus`` — updated rows all land under status ``'M'``.
+
+    Scale shape: the merge rewrites only files owning a matched key
+    (copy-on-write; the match scan is a broadcastable semi-join), and
+    the summary is one scan of the result.  The scratch lake is
+    per-invocation and removed before returning.
+    """
+    tmp = work_dir or tempfile.mkdtemp(prefix="dml_merge_")
+    try:
+        t = os.path.join(tmp, "orders_lake")
+        orders = load_table(spark, sf_dir, "orders")
+        base = orders.filter("o_orderkey % 10 < 8").repartitionByRange(
+            8, "o_orderkey"
+        )
+        V.write_versioned(base, t, mode="overwrite")
+        src = orders.filter("o_orderkey % 10 >= 5").select(
+            "o_orderkey",
+            (F.col("o_custkey") + 5000000).alias("o_custkey"),
+            F.lit("M").alias("o_orderstatus"),
+            (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        D.merge_into(
+            spark,
+            t,
+            src,
+            on=["o_orderkey"],
+            when_matched_update={
+                "o_custkey": "s.o_custkey",
+                "o_orderstatus": "s.o_orderstatus",
+                "o_totalprice": "s.o_totalprice",
+            },
+        )
+        out = _state_summary(
+            V.read_versioned(spark, t), F.col("o_orderstatus"), "o_orderstatus"
+        ).orderBy("o_orderstatus")
+        return _pin(spark, out)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+ORACLE_MERGE_UPSERT = f"""
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 10 < 8
+),
+src AS (
+  SELECT o_orderkey, o_custkey + 5000000 AS o_custkey,
+         'M' AS o_orderstatus,
+         o_totalprice + CAST(1 AS DOUBLE) AS o_totalprice,
+         o_orderpriority
+  FROM orders WHERE o_orderkey % 10 >= 5
+),
+merged AS (
+  SELECT b.o_orderkey,
+    CASE WHEN s.o_orderkey IS NULL THEN b.o_custkey ELSE s.o_custkey END AS o_custkey,
+    CASE WHEN s.o_orderkey IS NULL THEN b.o_orderstatus ELSE s.o_orderstatus END AS o_orderstatus,
+    CASE WHEN s.o_orderkey IS NULL THEN b.o_totalprice ELSE s.o_totalprice END AS o_totalprice,
+    b.o_orderpriority
+  FROM base b LEFT JOIN src s ON b.o_orderkey = s.o_orderkey
+  UNION ALL
+  SELECT s.o_orderkey, s.o_custkey, s.o_orderstatus, s.o_totalprice,
+         s.o_orderpriority
+  FROM src s WHERE NOT EXISTS (
+    SELECT 1 FROM base b WHERE b.o_orderkey = s.o_orderkey
+  )
+)
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CAST(CAST(('0x' || substr(md5('dml#' || concat_ws(chr(31),
+    COALESCE(CAST(o_orderkey AS VARCHAR), chr(0) || 'null'),
+    COALESCE(CAST(o_custkey AS VARCHAR), chr(0) || 'null'),
+    COALESCE(CAST(o_orderstatus AS VARCHAR), chr(0) || 'null'),
+    COALESCE(CAST(o_orderpriority AS VARCHAR), chr(0) || 'null'))), 1, 15))
+    AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS checksum,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def dml_lifecycle_orders(
+    spark: SparkSession, sf_dir: str, work_dir: str | None = None
+) -> DataFrame:
+    """DELETE then UPDATE on a versioned lake, with each intermediate
+    state read back by TIME TRAVEL: seed the lake with ``orders``
+    (version 0), ``DELETE WHERE o_orderstatus = 'F' AND o_orderkey % 4
+    = 1`` (version 1), ``UPDATE SET o_custkey += 1000000,
+    o_orderpriority = '0-DML:' || … WHERE o_orderkey % 4 = 2``
+    (version 2), then emit one summary row per version — the snapshot
+    at v0 must still show the pre-DML table (rewrites preserve
+    history), v1 the post-delete state, v2 the post-update state.
+
+    Each DML rewrites only the files owning affected rows; the deltas
+    are verified end-to-end because every stage's checksum covers the
+    full surviving row set.
+    """
+    tmp = work_dir or tempfile.mkdtemp(prefix="dml_life_")
+    try:
+        t = os.path.join(tmp, "orders_lake")
+        orders = load_table(spark, sf_dir, "orders")
+        V.write_versioned(
+            orders.repartitionByRange(6, "o_orderkey"), t, mode="overwrite"
+        )
+        D.delete_where(spark, t, "o_orderstatus = 'F' AND o_orderkey % 4 = 1")
+        D.update_where(
+            spark,
+            t,
+            "o_orderkey % 4 = 2",
+            {
+                "o_custkey": "o_custkey + 1000000",
+                "o_orderpriority": "concat('0-DML:', o_orderpriority)",
+            },
+        )
+        stages = [("01_base", 0), ("02_after_delete", 1), ("03_after_update", 2)]
+        outs = [
+            _state_summary(
+                V.read_versioned(spark, t, version=v), F.lit(name), "stage"
+            )
+            for name, v in stages
+        ]
+        from functools import reduce
+
+        out = reduce(DataFrame.unionByName, outs).orderBy("stage")
+        return _pin(spark, out)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _lifecycle_state_sql(rel: str, stage: str) -> str:
+    return f"""
+SELECT '{stage}' AS stage, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CAST(CAST(('0x' || substr(md5('dml#' || concat_ws(chr(31),
+    COALESCE(CAST(o_orderkey AS VARCHAR), chr(0) || 'null'),
+    COALESCE(CAST(o_custkey AS VARCHAR), chr(0) || 'null'),
+    COALESCE(CAST(o_orderstatus AS VARCHAR), chr(0) || 'null'),
+    COALESCE(CAST(o_orderpriority AS VARCHAR), chr(0) || 'null'))), 1, 15))
+    AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS checksum,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM {rel}"""
+
+
+ORACLE_DML_LIFECYCLE = f"""
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+  FROM orders
+),
+after_delete AS (
+  -- DELETE removes rows where the predicate is TRUE; NULL-predicate
+  -- rows survive (NOT COALESCE(pred, FALSE) — the dml.py contract)
+  SELECT * FROM base
+  WHERE NOT COALESCE(o_orderstatus = 'F' AND o_orderkey % 4 = 1, FALSE)
+),
+after_update AS (
+  SELECT o_orderkey,
+    CASE WHEN COALESCE(o_orderkey % 4 = 2, FALSE)
+         THEN o_custkey + 1000000 ELSE o_custkey END AS o_custkey,
+    o_orderstatus, o_totalprice,
+    CASE WHEN COALESCE(o_orderkey % 4 = 2, FALSE)
+         THEN '0-DML:' || o_orderpriority ELSE o_orderpriority END
+      AS o_orderpriority
+  FROM after_delete
+)
+SELECT * FROM (
+{_lifecycle_state_sql("base", "01_base")}
+UNION ALL
+{_lifecycle_state_sql("after_delete", "02_after_delete")}
+UNION ALL
+{_lifecycle_state_sql("after_update", "03_after_update")}
+) ORDER BY stage
+"""

@@ -1,0 +1,376 @@
+"""Row-level DML on the versioned lake: DELETE / UPDATE / MERGE as
+table mutations (copy-on-write), the piece a lakehouse user reaches
+for first beyond append/overwrite (reference has no table format at
+all — its "update" is rewriting CSV trees, src/load/f1_dataLoader.py;
+this is the engine-level replacement).
+
+Algorithm (the same shape Delta/Iceberg copy-on-write uses):
+
+1. **Find touched files.**  Scan the current snapshot with
+   ``input_file_name()`` and keep the DISTINCT file names owning at
+   least one row the operation affects (predicate rows for
+   DELETE/UPDATE, key-matched rows for MERGE — the match scan is a
+   semi-join against the source, broadcast when the source is small).
+   The collect is file-metadata sized, never row sized.
+2. **Rewrite only those files.**  Untouched files carry over into the
+   new snapshot by reference — zero IO.  Touched files are re-read
+   and rewritten without the deleted rows / with assignments applied /
+   with merge actions resolved; MERGE appends not-matched source rows
+   in the same commit.
+3. **Commit a ``rewrite`` log entry** — ``files`` added plus
+   ``removed`` dropped — through the same optimistic loop as
+   ``write_versioned``, with one extra check: every removed file must
+   still be in the HEAD snapshot at commit time, otherwise a
+   concurrent writer rewrote or replaced it and blindly committing
+   would resurrect deleted rows or double-apply updates, so the
+   commit raises ``ConcurrentModificationError`` (real formats fail
+   the transaction the same way; the caller re-runs against the new
+   snapshot).
+
+Old files stay on disk for time travel until ``vacuum``; readers at
+version V-1 still see the pre-DML rows.  ``read_version_delta``
+refuses ranges crossing a rewrite for the same reason it refuses
+overwrites — rewritten rows are not "new rows".
+
+Scale shape: cost ∝ bytes of files containing affected rows, not
+table bytes.  Pair with range-clustered / Z-ordered layout
+(operators/layout.py) so selective predicates touch few files; the
+touched-file scan itself prunes via parquet footers + pushed
+predicates like any other read.
+
+NULL semantics: DELETE removes rows where the predicate is TRUE
+(NULL-predicate rows survive, matching SQL); UPDATE assigns where
+TRUE only; MERGE matches on equi-keys (NULL keys never match, like a
+SQL join).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .versioned import (
+    _entries,
+    _log_path,
+    _snapshot_files,
+    _stage_files,
+    read_versioned,
+)
+
+__all__ = [
+    "ConcurrentModificationError",
+    "delete_where",
+    "update_where",
+    "merge_into",
+]
+
+
+class ConcurrentModificationError(RuntimeError):
+    """A concurrent commit invalidated this DML transaction's snapshot
+    (a file it rewrites is no longer live).  Re-run against the new
+    head."""
+
+
+def _to_cond(condition: str | Column) -> Column:
+    return F.expr(condition) if isinstance(condition, str) else condition
+
+
+def _scan_with_file(spark: SparkSession, path: str, files: list[str]) -> DataFrame:
+    """Snapshot scan carrying the owning file's BASENAME per row."""
+    df = spark.read.parquet(*[os.path.join(path, f) for f in files])
+    return df.withColumn(
+        "_dml_file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+    )
+
+
+def _touched(df_with_file: DataFrame, affected: Column) -> list[str]:
+    """Distinct owning files of the affected rows (file-count sized)."""
+    return [
+        r["_dml_file"]
+        for r in df_with_file.filter(affected)
+        .select("_dml_file")
+        .distinct()
+        .collect()
+    ]
+
+
+def _commit_rewrite(
+    df_new: DataFrame | None,
+    path: str,
+    removed: list[str],
+    op: dict,
+) -> int:
+    """Stage ``df_new`` (None → removal-only) and commit a ``rewrite``
+    entry via the optimistic loop, validating that every removed file
+    is still live at commit time."""
+    os.makedirs(_log_path(path), exist_ok=True)
+    if df_new is not None:
+        files, n_rows, stats = _stage_files(df_new, path)
+        schema_json = df_new.schema.json()
+    else:
+        files, n_rows, stats, schema_json = [], 0, {}, None
+    log = _log_path(path)
+    tmp = os.path.join(log, f"_tmp_{uuid.uuid4().hex}.json")
+    try:
+        while True:
+            es = _entries(path)
+            head = es[-1]["version"] if es else -1
+            live = set(_snapshot_files(path, None))
+            if not set(removed) <= live:
+                # clean up the orphaned staged files before failing
+                for fn in files:
+                    try:
+                        os.remove(os.path.join(path, fn))
+                    except FileNotFoundError:
+                        pass
+                missing = sorted(set(removed) - live)
+                raise ConcurrentModificationError(
+                    f"files {missing[:3]}{'…' if len(missing) > 3 else ''} "
+                    f"left the snapshot of {path} mid-transaction"
+                )
+            version = head + 1
+            entry = {
+                "version": version,
+                "action": "rewrite",
+                "files": files,
+                "removed": removed,
+                "n_rows": n_rows,
+                "file_stats": stats,
+                "op": op,
+            }
+            if schema_json is not None:
+                entry["schema"] = schema_json
+            with open(tmp, "w") as f:
+                json.dump(entry, f)
+            target = os.path.join(log, f"{version:08d}.json")
+            try:
+                os.link(tmp, target)
+                return version
+            except FileExistsError:
+                continue  # lost the race — revalidate and retry
+    finally:
+        try:
+            os.remove(tmp)
+        except FileNotFoundError:
+            pass
+
+
+def delete_where(
+    spark: SparkSession, path: str, condition: str | Column
+) -> dict:
+    """``DELETE FROM <table> WHERE condition`` — copy-on-write.
+    Returns ``{"version", "n_deleted", "files_rewritten",
+    "files_total"}``."""
+    cond = _to_cond(condition)
+    snap = _snapshot_files(path, None)
+    df = _scan_with_file(spark, path, snap)
+    hit = F.coalesce(cond, F.lit(False))
+    touched = _touched(df, hit)
+    if not touched:
+        return {
+            "version": _entries(path)[-1]["version"],
+            "n_deleted": 0,
+            "files_rewritten": 0,
+            "files_total": len(snap),
+        }
+    scope = df.filter(F.col("_dml_file").isin(touched))
+    n_deleted = scope.filter(hit).count()
+    survivors = scope.filter(~hit).drop("_dml_file")
+    version = _commit_rewrite(
+        survivors, path, touched, {"op": "delete", "n_deleted": n_deleted}
+    )
+    return {
+        "version": version,
+        "n_deleted": n_deleted,
+        "files_rewritten": len(touched),
+        "files_total": len(snap),
+    }
+
+
+def update_where(
+    spark: SparkSession,
+    path: str,
+    condition: str | Column,
+    assignments: dict[str, str | Column],
+) -> dict:
+    """``UPDATE <table> SET col = expr, … WHERE condition`` —
+    copy-on-write.  Assignment expressions see the OLD row (standard
+    SQL UPDATE semantics: all right-hand sides evaluate before any
+    assignment) and are cast back to the column's existing type, so an
+    update can never silently migrate the table schema.  Returns
+    ``{"version", "n_updated", "files_rewritten", "files_total"}``."""
+    cond = _to_cond(condition)
+    snap = _snapshot_files(path, None)
+    df = _scan_with_file(spark, path, snap)
+    hit = F.coalesce(cond, F.lit(False))
+    touched = _touched(df, hit)
+    if not touched:
+        return {
+            "version": _entries(path)[-1]["version"],
+            "n_updated": 0,
+            "files_rewritten": 0,
+            "files_total": len(snap),
+        }
+    scope = df.filter(F.col("_dml_file").isin(touched))
+    n_updated = scope.filter(hit).count()
+    types = dict(scope.drop("_dml_file").dtypes)
+    out_cols = []
+    for c in scope.drop("_dml_file").columns:
+        if c in assignments:
+            new = _to_cond(assignments[c]).cast(types[c])
+            out_cols.append(F.when(hit, new).otherwise(F.col(c)).alias(c))
+        else:
+            out_cols.append(F.col(c))
+    rewritten = scope.select(*out_cols)
+    version = _commit_rewrite(
+        rewritten, path, touched, {"op": "update", "n_updated": n_updated}
+    )
+    return {
+        "version": version,
+        "n_updated": n_updated,
+        "files_rewritten": len(touched),
+        "files_total": len(snap),
+    }
+
+
+def merge_into(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    on: list[str],
+    when_matched_update: dict[str, str | Column] | None = None,
+    when_matched_delete: bool = False,
+    when_not_matched_insert: bool = True,
+) -> dict:
+    """``MERGE INTO <table> t USING source s ON t.k = s.k …`` —
+    copy-on-write upsert.  Matched target rows are updated (assignment
+    expressions may reference source columns as ``s.<col>`` and target
+    columns bare) or deleted; not-matched source rows are inserted
+    (projected onto the target schema by name).  Returns
+    ``{"version", "n_updated", "n_deleted", "n_inserted",
+    "files_rewritten", "files_total"}``.
+
+    Source-cardinality guard: if more than one source row matches the
+    same target key the result would be nondeterministic, so the merge
+    raises — the same contract as Delta's
+    DELTA_MULTIPLE_SOURCE_ROW_MATCHING error.  NULL join keys never
+    match (SQL join semantics): such source rows insert, such target
+    rows pass through.
+
+    Only files containing at least one matched key are rewritten; the
+    match scan is ``target ⋉ source`` on the key columns — broadcast
+    the source below the threshold, shuffle equi-join above, never a
+    full-table rewrite.
+    """
+    if when_matched_update and when_matched_delete:
+        raise ValueError("choose ONE matched action: update or delete")
+    dup = source.groupBy(*on).count().filter(F.col("count") > 1).limit(1)
+    if dup.count() > 0:
+        raise ValueError(
+            "source has multiple rows per merge key — resolve (e.g. "
+            "latest-wins dedup) before merging"
+        )
+    snap = _snapshot_files(path, None)
+    df = _scan_with_file(spark, path, snap)
+    tcols = [c for c in df.columns if c != "_dml_file"]
+    types = dict(df.drop("_dml_file").dtypes)
+    if when_matched_update is None and not when_matched_delete:
+        touched = []  # insert-if-absent: matched rows are untouched
+    else:
+        skeys = source.select(*on).distinct()
+        matched_rows = df.join(skeys, on, "left_semi")
+        touched = [
+            r["_dml_file"]
+            for r in matched_rows.select("_dml_file").distinct().collect()
+        ]
+
+    # rewrite touched files: unmatched rows pass through; matched rows
+    # update or delete.  eqNullSafe is NOT used — NULL keys never match.
+    n_updated = n_deleted = 0
+    rewritten = None
+    if touched:
+        scope = df.filter(F.col("_dml_file").isin(touched)).alias("t")
+        s = source.alias("s")
+        joined = scope.join(
+            s, [F.col(f"t.{k}") == F.col(f"s.{k}") for k in on], "left"
+        )
+        is_matched = F.col(f"s.{on[0]}").isNotNull()
+        n_matched = joined.filter(is_matched).count()
+        if when_matched_delete:
+            n_deleted = n_matched
+            rewritten = joined.filter(~is_matched).select(
+                *[F.col(f"t.{c}").alias(c) for c in tcols]
+            )
+        else:
+            n_updated = n_matched if when_matched_update else 0
+            out = []
+            for c in tcols:
+                if when_matched_update and c in when_matched_update:
+                    new = _to_cond(when_matched_update[c]).cast(types[c])
+                    out.append(
+                        F.when(is_matched, new)
+                        .otherwise(F.col(f"t.{c}"))
+                        .alias(c)
+                    )
+                else:
+                    out.append(F.col(f"t.{c}").alias(c))
+            rewritten = joined.select(*out)
+
+    inserts = None
+    n_inserted = 0
+    if when_not_matched_insert:
+        # a source row matching ANY target row matches one in a touched
+        # file by construction, so anti-joining the full target equals
+        # anti-joining the touched scope — use the full snapshot keys
+        # for clarity (it is the same scan the semi-join planned)
+        unmatched = source.join(df.select(*on), on, "left_anti")
+        n_inserted = unmatched.count()
+        if n_inserted:
+            inserts = unmatched.select(
+                *[
+                    F.col(c).cast(types[c]).alias(c)
+                    if c in unmatched.columns
+                    else F.lit(None).cast(types[c]).alias(c)
+                    for c in tcols
+                ]
+            )
+
+    new_df = None
+    if rewritten is not None and inserts is not None:
+        new_df = rewritten.unionByName(inserts)
+    elif rewritten is not None:
+        new_df = rewritten
+    elif inserts is not None:
+        new_df = inserts
+    if new_df is None and not touched:
+        return {
+            "version": _entries(path)[-1]["version"],
+            "n_updated": 0,
+            "n_deleted": 0,
+            "n_inserted": 0,
+            "files_rewritten": 0,
+            "files_total": len(snap),
+        }
+    version = _commit_rewrite(
+        new_df,
+        path,
+        touched,
+        {
+            "op": "merge",
+            "n_updated": n_updated,
+            "n_deleted": n_deleted,
+            "n_inserted": n_inserted,
+        },
+    )
+    return {
+        "version": version,
+        "n_updated": n_updated,
+        "n_deleted": n_deleted,
+        "n_inserted": n_inserted,
+        "files_rewritten": len(touched),
+        "files_total": len(snap),
+    }

@@ -12,7 +12,9 @@ with nothing but parquet + JSON:
 * data files land under the table root with UUID names (never
   overwritten, never mutated);
 * ``_log/%08d.json`` entries record each version: the ACTION
-  (append/overwrite) and the FILE LIST added by that version;
+  (append/overwrite, or the row-level DML ``rewrite`` committed by
+  ``sources/dml.py``) and the FILE LIST added by that version
+  (rewrites also list the files they drop);
 * a snapshot at version V = all files appended since the most recent
   overwrite ≤ V — readers resolve the list from the log only, so
   half-written data files are invisible (same manifest-last principle
@@ -228,6 +230,12 @@ def _snapshot_files(path: str, version: int | None) -> list[str]:
     for e in es:
         if e["action"] == "overwrite":
             files = list(e["files"])
+        elif e["action"] == "rewrite":
+            # row-level DML (sources/dml.py): drops the files it
+            # rewrote, adds their replacements (+ merge inserts)
+            removed = set(e.get("removed", ()))
+            files = [f for f in files if f not in removed]
+            files.extend(e["files"])
         else:
             files.extend(e["files"])
     return files
@@ -316,10 +324,12 @@ def read_version_delta(
     instead of recomputing the world (at 100 TB the difference between
     a nightly full rebuild and a minute of incremental work).
 
-    Raises if the range crosses an ``overwrite`` commit — an overwrite
-    invalidates incremental state by definition, and silently returning
-    its files would corrupt downstream accumulators; callers catch this
-    and fall back to a full rebuild from the snapshot.
+    Raises if the range crosses an ``overwrite`` or ``rewrite`` commit
+    — an overwrite invalidates incremental state by definition, a
+    rewrite's files are DML replacements rather than new rows, and
+    silently returning either would corrupt downstream accumulators;
+    callers catch this and fall back to a full rebuild from the
+    snapshot.
     """
     all_es = _entries(path)
     hi = all_es[-1]["version"] if all_es else -1
@@ -327,10 +337,13 @@ def read_version_delta(
         raise ValueError(f"version {to_version} does not exist (head={hi})")
     es = [e for e in all_es if from_version < e["version"] <= to_version]
     for e in es:
-        if e["action"] == "overwrite":
+        if e["action"] in ("overwrite", "rewrite"):
+            # a rewrite's files are REPLACEMENTS (DML over existing
+            # rows), not new rows — returning them would double-count
+            # every carried-over row in a downstream accumulator
             raise ValueError(
-                f"version range ({from_version}, {to_version}] crosses an "
-                f"overwrite at v{e['version']}; rebuild from snapshot"
+                f"version range ({from_version}, {to_version}] crosses "
+                f"{e['action']!r} at v{e['version']}; rebuild from snapshot"
             )
     files = [f for e in es for f in e["files"]]
     if not files:

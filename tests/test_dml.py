@@ -1,0 +1,213 @@
+"""Row-level DML on the versioned lake (sources/dml.py): semantics,
+copy-on-write file granularity, time travel across rewrites, and the
+concurrency / incremental-read contracts."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from f1_data_engineering_spark.sources import dml as D
+from f1_data_engineering_spark.sources import versioned as V
+
+
+@pytest.fixture()
+def lake(spark, tmp_path):
+    """A 100-row range-clustered table in 4 files: k 0..99, v = 2k."""
+    t = str(tmp_path / "tbl")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("v"),
+        F.lit("x").alias("s"),
+    )
+    V.write_versioned(df.repartitionByRange(4, "k"), t, mode="overwrite")
+    return t
+
+
+def test_delete_where_semantics(spark, lake):
+    r = D.delete_where(spark, lake, "k >= 90")
+    assert r["n_deleted"] == 10 and r["version"] == 1
+    snap = V.read_versioned(spark, lake)
+    assert snap.count() == 90
+    assert snap.agg(F.max("k")).first()[0] == 89
+
+
+def test_delete_null_predicate_rows_survive(spark, tmp_path):
+    t = str(tmp_path / "nulls")
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30)], "k long, v long"
+    )
+    V.write_versioned(df, t, mode="overwrite")
+    r = D.delete_where(spark, t, "v > 15")
+    # v=NULL row: predicate NULL -> survives (SQL DELETE semantics)
+    assert r["n_deleted"] == 1
+    assert sorted(x["k"] for x in V.read_versioned(spark, t).collect()) == [1, 2]
+
+
+def test_delete_rewrites_only_touched_files(spark, lake):
+    before = set(V._snapshot_files(lake, None))
+    r = D.delete_where(spark, lake, "k >= 90")  # last range file only
+    after = set(V._snapshot_files(lake, None))
+    assert r["files_rewritten"] == 1 and r["files_total"] == 4
+    # the 3 untouched files carry over by REFERENCE (no rewrite IO)
+    assert len(before & after) == 3
+
+
+def test_delete_no_match_is_noop(spark, lake):
+    r = D.delete_where(spark, lake, "k > 1000")
+    assert r["n_deleted"] == 0 and r["files_rewritten"] == 0
+    assert r["version"] == 0  # no new version committed
+    assert V.latest_version(lake) == 0
+
+
+def test_update_where_semantics(spark, lake):
+    r = D.update_where(
+        spark, lake, "k < 10", {"v": "v + 1000", "s": "'upd'"}
+    )
+    assert r["n_updated"] == 10
+    snap = V.read_versioned(spark, lake)
+    assert snap.filter("s = 'upd'").count() == 10
+    # old rows' v sum for k<10 is 2*(0+..+9)=90; +1000 each => 10090
+    assert snap.filter("k < 10").agg(F.sum("v")).first()[0] == 10090
+    # assignments cast back to the column's type: schema unchanged
+    assert dict(snap.dtypes) == {"k": "bigint", "v": "bigint", "s": "string"}
+
+
+def test_update_assignments_see_old_row(spark, tmp_path):
+    """All right-hand sides evaluate against the PRE-update row."""
+    t = str(tmp_path / "swap")
+    V.write_versioned(
+        spark.createDataFrame([(1, 10, 20)], "k long, a long, b long"),
+        t,
+        mode="overwrite",
+    )
+    D.update_where(spark, t, "k = 1", {"a": "b", "b": "a"})
+    row = V.read_versioned(spark, t).first()
+    assert (row["a"], row["b"]) == (20, 10)  # swapped, not b,b
+
+
+def test_merge_upsert_and_insert(spark, lake):
+    src = spark.createDataFrame(
+        [(50, -1, "m"), (51, -2, "m"), (200, -3, "m")], "k long, v long, s string"
+    )
+    r = D.merge_into(
+        spark, lake, src, on=["k"], when_matched_update={"v": "s.v", "s": "s.s"}
+    )
+    assert (r["n_updated"], r["n_inserted"], r["n_deleted"]) == (2, 1, 0)
+    snap = V.read_versioned(spark, lake)
+    assert snap.count() == 101
+    assert snap.filter("k = 50").first()["v"] == -1
+    assert snap.filter("k = 200").first()["s"] == "m"
+    assert r["files_rewritten"] == 1  # 50,51 live in one range file
+
+
+def test_merge_matched_delete(spark, lake):
+    src = spark.createDataFrame([(10,), (11,), (999,)], "k long")
+    r = D.merge_into(
+        spark,
+        lake,
+        src,
+        on=["k"],
+        when_matched_delete=True,
+        when_not_matched_insert=False,
+    )
+    assert (r["n_deleted"], r["n_inserted"]) == (2, 0)
+    assert V.read_versioned(spark, lake).filter("k in (10, 11)").count() == 0
+
+
+def test_merge_insert_only_rewrites_nothing(spark, lake):
+    """Insert-if-absent must not rewrite matched files at all."""
+    before = set(V._snapshot_files(lake, None))
+    src = spark.createDataFrame(
+        [(50, -1, "m"), (300, -3, "m")], "k long, v long, s string"
+    )
+    r = D.merge_into(spark, lake, src, on=["k"])  # no matched action
+    assert r["files_rewritten"] == 0 and r["n_inserted"] == 1
+    assert before <= set(V._snapshot_files(lake, None))
+    snap = V.read_versioned(spark, lake)
+    assert snap.filter("k = 50").first()["v"] == 100  # untouched
+    assert snap.filter("k = 300").count() == 1
+
+
+def test_merge_duplicate_source_keys_raise(spark, lake):
+    src = spark.createDataFrame(
+        [(50, 1, "a"), (50, 2, "b")], "k long, v long, s string"
+    )
+    with pytest.raises(ValueError, match="multiple rows per merge key"):
+        D.merge_into(spark, lake, src, on=["k"], when_matched_update={"v": "s.v"})
+
+
+def test_merge_null_keys_never_match(spark, tmp_path):
+    t = str(tmp_path / "nullkey")
+    V.write_versioned(
+        spark.createDataFrame([(None, 1), (2, 2)], "k long, v long"),
+        t,
+        mode="overwrite",
+    )
+    src = spark.createDataFrame([(None, 100), (2, 200)], "k long, v long")
+    r = D.merge_into(spark, t, src, on=["k"], when_matched_update={"v": "s.v"})
+    # NULL source key inserts (never matches the NULL target row);
+    # NULL target row passes through untouched
+    assert (r["n_updated"], r["n_inserted"]) == (1, 1)
+    snap = V.read_versioned(spark, t)
+    assert snap.count() == 3
+    assert snap.filter("k = 2").first()["v"] == 200
+    assert sorted(
+        x["v"] for x in snap.filter("k IS NULL").collect()
+    ) == [1, 100]
+
+
+def test_time_travel_across_rewrites(spark, lake):
+    D.delete_where(spark, lake, "k >= 90")
+    D.update_where(spark, lake, "k < 10", {"v": "v + 1000"})
+    assert V.read_versioned(spark, lake, version=0).count() == 100
+    v1 = V.read_versioned(spark, lake, version=1)
+    assert v1.count() == 90
+    assert v1.filter("k < 10").agg(F.sum("v")).first()[0] == 90  # pre-update
+    assert V.read_versioned(spark, lake).filter("k < 10").agg(
+        F.sum("v")
+    ).first()[0] == 10090
+
+
+def test_delta_read_refuses_rewrite_range(spark, lake):
+    D.delete_where(spark, lake, "k >= 90")
+    with pytest.raises(ValueError, match="rewrite"):
+        V.read_version_delta(spark, lake, 0, 1)
+
+
+def test_concurrent_modification_detected(spark, lake):
+    """A rewrite racing a commit that already dropped one of its files
+    must fail, not resurrect deleted rows."""
+    snap0 = V._snapshot_files(lake, None)
+    df = spark.read.parquet(*[os.path.join(lake, f) for f in snap0])
+    # first writer compacts (overwrite: all old files leave the snapshot)
+    V.write_versioned(df.coalesce(1), lake, mode="overwrite")
+    # second writer tries to commit a rewrite of the now-dead files
+    with pytest.raises(D.ConcurrentModificationError):
+        D._commit_rewrite(
+            df.limit(1), lake, [snap0[0]], {"op": "delete", "n_deleted": 1}
+        )
+    # and its staged files must not leak into the table directory
+    live = set(V._snapshot_files(lake, None))
+    on_disk = {f for f in os.listdir(lake) if f.endswith(".parquet")}
+    assert on_disk - live == set(snap0)  # only time-travel files remain
+
+
+def test_vacuum_after_rewrite(spark, lake):
+    D.delete_where(spark, lake, "k >= 90")
+    deleted = V.vacuum(lake, retain_versions=0, min_age_seconds=0.0)
+    # the rewritten file's OLD generation is unreachable from head
+    assert len(deleted) >= 1
+    assert V.read_versioned(spark, lake).count() == 90  # head intact
+    with pytest.raises(Exception):
+        V.read_versioned(spark, lake, version=0).count()  # history gone
+
+
+def test_file_stats_recorded_for_rewrites(spark, lake):
+    """Rewrite entries carry per-file min/max stats like appends, so
+    read_versioned_pruned keeps skipping files after DML."""
+    D.delete_where(spark, lake, "k >= 90")
+    _, scanned, total = V.read_versioned_pruned(spark, lake, "k", 0, 5)
+    assert scanned < total
