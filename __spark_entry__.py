@@ -330,6 +330,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # MERGE/DELETE/UPDATE with time travel across rewrites)
         "merge_upsert_orders": LD.merge_upsert_orders,
         "dml_lifecycle_orders": LD.dml_lifecycle_orders,
+        "dml_mor_delete_orders": LD.dml_mor_delete_orders,
+        "dml_change_feed_orders": LD.dml_change_feed_orders,
         "scd2_point_in_time": MG.scd2_point_in_time,
         # profiling / sampling / sketches
         "profile_orders": PF.profile_orders,
@@ -563,6 +565,8 @@ def oracle_sql() -> dict[str, str]:
         "scd2_customer_merge": MG.ORACLE_SCD2,
         "merge_upsert_orders": LD.ORACLE_MERGE_UPSERT,
         "dml_lifecycle_orders": LD.ORACLE_DML_LIFECYCLE,
+        "dml_mor_delete_orders": LD.ORACLE_DML_MOR,
+        "dml_change_feed_orders": LD.ORACLE_DML_CDF,
         "scd2_point_in_time": MG.ORACLE_SCD2_PIT,
         "profile_orders": PF.ORACLE_PROFILE_ORDERS,
         "sketch_summary": PF.ORACLE_SKETCH_SUMMARY,

@@ -251,3 +251,156 @@ UNION ALL
 {_lifecycle_state_sql("after_update", "03_after_update")}
 ) ORDER BY stage
 """
+
+
+def dml_mor_delete_orders(
+    spark: SparkSession, sf_dir: str, work_dir: str | None = None
+) -> DataFrame:
+    """Merge-on-read DELETE end-to-end: seed the lake, delete via a
+    DELETION VECTOR sidecar (no data file rewritten), read the
+    snapshot back (scan-time DV anti-join), then COMPACT — which
+    materializes the DVs into a clean snapshot — and read again.  Both
+    stages must show the identical post-delete state, which is exactly
+    what the oracle asserts by deriving that state twice in plain SQL:
+    a value divergence in either the DV application or the compaction
+    pipeline flips the hash.
+    """
+    tmp = work_dir or tempfile.mkdtemp(prefix="dml_mor_")
+    try:
+        t = os.path.join(tmp, "orders_lake")
+        orders = load_table(spark, sf_dir, "orders")
+        V.write_versioned(
+            orders.repartitionByRange(6, "o_orderkey"), t, mode="overwrite"
+        )
+        D.delete_where_mor(
+            spark, t, "o_orderstatus = 'F' AND o_orderkey % 4 = 1"
+        )
+        stage1 = _state_summary(
+            V.read_versioned(spark, t), F.lit("01_mor_delete"), "stage"
+        )
+        pinned1 = _pin(spark, stage1)
+        V.compact_versioned(spark, t, target_rows_per_file=1_000_000)
+        stage2 = _state_summary(
+            V.read_versioned(spark, t), F.lit("02_compacted"), "stage"
+        )
+        out = pinned1.unionByName(_pin(spark, stage2)).orderBy("stage")
+        return _pin(spark, out)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+ORACLE_DML_MOR = f"""
+WITH after_delete AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+  FROM orders
+  WHERE NOT COALESCE(o_orderstatus = 'F' AND o_orderkey % 4 = 1, FALSE)
+)
+SELECT * FROM (
+{_lifecycle_state_sql("after_delete", "01_mor_delete")}
+UNION ALL
+{_lifecycle_state_sql("after_delete", "02_compacted")}
+) ORDER BY stage
+"""
+
+
+def dml_change_feed_orders(
+    spark: SparkSession, sf_dir: str, work_dir: str | None = None
+) -> DataFrame:
+    """Change-data feed over the DML lifecycle: run the same DELETE →
+    UPDATE sequence as :func:`dml_lifecycle_orders` with
+    ``capture_cdf=True``, then read the row-level change feed for
+    versions (0, 2] and summarize it per (commit version, change
+    type) — delete rows at v1, update pre/post images at v2, each
+    with a full-content checksum, so the feed's row VALUES (not just
+    its counts) sit under the oracle.  This is the stream a 100 TB
+    downstream accumulator applies instead of rebuilding when its
+    delta range crosses DML.
+    """
+    tmp = work_dir or tempfile.mkdtemp(prefix="dml_cdf_")
+    try:
+        t = os.path.join(tmp, "orders_lake")
+        orders = load_table(spark, sf_dir, "orders")
+        V.write_versioned(
+            orders.repartitionByRange(6, "o_orderkey"), t, mode="overwrite"
+        )
+        D.delete_where(
+            spark,
+            t,
+            "o_orderstatus = 'F' AND o_orderkey % 4 = 1",
+            capture_cdf=True,
+        )
+        D.update_where(
+            spark,
+            t,
+            "o_orderkey % 4 = 2",
+            {
+                "o_custkey": "o_custkey + 1000000",
+                "o_orderpriority": "concat('0-DML:', o_orderpriority)",
+            },
+            capture_cdf=True,
+        )
+        feed = D.read_change_feed(spark, t, 0, 2)
+        out = (
+            feed.groupBy(
+                F.col("_commit_version").alias("commit_version"),
+                F.col("_change_type").alias("change_type"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(_ck_hash().cast("decimal(38,0)"))
+                .cast("string")
+                .alias("checksum"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_price"),
+            )
+            .orderBy("commit_version", "change_type")
+        )
+        return _pin(spark, out)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _cdf_state_sql(rel: str, version: int, change_type: str) -> str:
+    return f"""
+SELECT CAST({version} AS BIGINT) AS commit_version,
+  '{change_type}' AS change_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CAST(CAST(('0x' || substr(md5('dml#' || concat_ws(chr(31),
+    COALESCE(CAST(o_orderkey AS VARCHAR), chr(0) || 'null'),
+    COALESCE(CAST(o_custkey AS VARCHAR), chr(0) || 'null'),
+    COALESCE(CAST(o_orderstatus AS VARCHAR), chr(0) || 'null'),
+    COALESCE(CAST(o_orderpriority AS VARCHAR), chr(0) || 'null'))), 1, 15))
+    AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS checksum,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM {rel}"""
+
+
+ORACLE_DML_CDF = f"""
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+  FROM orders
+),
+v1_deleted AS (
+  SELECT * FROM base
+  WHERE COALESCE(o_orderstatus = 'F' AND o_orderkey % 4 = 1, FALSE)
+),
+after_delete AS (
+  SELECT * FROM base
+  WHERE NOT COALESCE(o_orderstatus = 'F' AND o_orderkey % 4 = 1, FALSE)
+),
+v2_pre AS (
+  SELECT * FROM after_delete WHERE COALESCE(o_orderkey % 4 = 2, FALSE)
+),
+v2_post AS (
+  SELECT o_orderkey, o_custkey + 1000000 AS o_custkey, o_orderstatus,
+         o_totalprice, '0-DML:' || o_orderpriority AS o_orderpriority
+  FROM v2_pre
+)
+SELECT * FROM (
+{_cdf_state_sql("v1_deleted", 1, "delete")}
+UNION ALL
+{_cdf_state_sql("v2_pre", 2, "update_preimage")}
+UNION ALL
+{_cdf_state_sql("v2_post", 2, "update_postimage")}
+) ORDER BY commit_version, change_type
+"""

@@ -42,6 +42,14 @@ NULL semantics: DELETE removes rows where the predicate is TRUE
 (NULL-predicate rows survive, matching SQL); UPDATE assigns where
 TRUE only; MERGE matches on equi-keys (NULL keys never match, like a
 SQL join).
+
+Beyond copy-on-write, the module carries the two companions real
+formats pair with it: MERGE-ON-READ deletes (:func:`delete_where_mor`
+— deletion-vector sidecars applied at scan time, O(deleted rows)
+write cost, materialized by compaction) and an opt-in CHANGE FEED
+(``capture_cdf=True`` on any DML + :func:`read_change_feed` — the
+row-level CDC stream incremental consumers apply across the DML
+commits ``read_version_delta`` refuses).
 """
 
 from __future__ import annotations
@@ -64,8 +72,10 @@ from .versioned import (
 __all__ = [
     "ConcurrentModificationError",
     "delete_where",
+    "delete_where_mor",
     "update_where",
     "merge_into",
+    "read_change_feed",
 ]
 
 
@@ -79,12 +89,36 @@ def _to_cond(condition: str | Column) -> Column:
     return F.expr(condition) if isinstance(condition, str) else condition
 
 
+_META = ("_dml_file", "_dml_ri")
+
+
 def _scan_with_file(spark: SparkSession, path: str, files: list[str]) -> DataFrame:
-    """Snapshot scan carrying the owning file's BASENAME per row."""
-    df = spark.read.parquet(*[os.path.join(path, f) for f in files])
-    return df.withColumn(
-        "_dml_file", F.element_at(F.split(F.input_file_name(), "/"), -1)
+    """Snapshot scan carrying the owning file's BASENAME and row
+    position per row, with in-effect deletion vectors already applied —
+    a copy-on-write op over a table carrying MoR deletes must not
+    resurrect them (the rewrite it commits materializes those deletes
+    as a side effect)."""
+    from .versioned import _dv_files
+
+    df = spark.read.parquet(*[os.path.join(path, f) for f in files]).select(
+        "*",
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
+            "_dml_file"
+        ),
+        F.col("_metadata.row_index").alias("_dml_ri"),
     )
+    dvs = _dv_files(path, None)
+    if dvs:
+        dv = spark.read.parquet(*[os.path.join(path, f) for f in dvs]).select(
+            F.col("file").alias("_dv_f"), F.col("row_index").alias("_dv_ri")
+        )
+        df = df.join(
+            dv,
+            (F.col("_dml_file") == F.col("_dv_f"))
+            & (F.col("_dml_ri") == F.col("_dv_ri")),
+            "left_anti",
+        )
+    return df
 
 
 def _touched(df_with_file: DataFrame, affected: Column) -> list[str]:
@@ -98,21 +132,19 @@ def _touched(df_with_file: DataFrame, affected: Column) -> list[str]:
     ]
 
 
-def _commit_rewrite(
-    df_new: DataFrame | None,
+def _commit(
     path: str,
-    removed: list[str],
-    op: dict,
+    entry_base: dict,
+    staged: list[str],
+    require_live: list[str],
 ) -> int:
-    """Stage ``df_new`` (None → removal-only) and commit a ``rewrite``
-    entry via the optimistic loop, validating that every removed file
-    is still live at commit time."""
+    """Optimistic commit of a DML log entry: assign the next version,
+    link into place, retry on collision — validating on every attempt
+    that all of ``require_live`` is still in the head snapshot (a
+    concurrent writer replacing one invalidates this transaction's
+    reads).  On failure the ``staged`` sidecar/data files are removed
+    so nothing leaks into the table directory."""
     os.makedirs(_log_path(path), exist_ok=True)
-    if df_new is not None:
-        files, n_rows, stats = _stage_files(df_new, path)
-        schema_json = df_new.schema.json()
-    else:
-        files, n_rows, stats, schema_json = [], 0, {}, None
     log = _log_path(path)
     tmp = os.path.join(log, f"_tmp_{uuid.uuid4().hex}.json")
     try:
@@ -120,30 +152,19 @@ def _commit_rewrite(
             es = _entries(path)
             head = es[-1]["version"] if es else -1
             live = set(_snapshot_files(path, None))
-            if not set(removed) <= live:
-                # clean up the orphaned staged files before failing
-                for fn in files:
+            if not set(require_live) <= live:
+                for fn in staged:
                     try:
                         os.remove(os.path.join(path, fn))
                     except FileNotFoundError:
                         pass
-                missing = sorted(set(removed) - live)
+                missing = sorted(set(require_live) - live)
                 raise ConcurrentModificationError(
                     f"files {missing[:3]}{'…' if len(missing) > 3 else ''} "
                     f"left the snapshot of {path} mid-transaction"
                 )
             version = head + 1
-            entry = {
-                "version": version,
-                "action": "rewrite",
-                "files": files,
-                "removed": removed,
-                "n_rows": n_rows,
-                "file_stats": stats,
-                "op": op,
-            }
-            if schema_json is not None:
-                entry["schema"] = schema_json
+            entry = {"version": version, **entry_base}
             with open(tmp, "w") as f:
                 json.dump(entry, f)
             target = os.path.join(log, f"{version:08d}.json")
@@ -159,12 +180,64 @@ def _commit_rewrite(
             pass
 
 
+def _stage_cdf(
+    frames: list[tuple[DataFrame, str]], path: str
+) -> list[str]:
+    """Stage change-feed rows (table columns + ``_change_type``) as
+    ``cdf-`` sidecar parquet; returns the staged names.  Cost is
+    O(affected rows) extra write volume — why CDF capture is opt-in,
+    exactly as in real formats."""
+    from functools import reduce
+
+    tagged = [
+        df.withColumn("_change_type", F.lit(ct)) for df, ct in frames
+    ]
+    files, _, _ = _stage_files(
+        reduce(DataFrame.unionByName, tagged), path, prefix="cdf-"
+    )
+    return files
+
+
+def _commit_rewrite(
+    df_new: DataFrame | None,
+    path: str,
+    removed: list[str],
+    op: dict,
+    cdf: list[tuple[DataFrame, str]] | None = None,
+) -> int:
+    """Stage ``df_new`` (None → removal-only) and commit a ``rewrite``
+    entry, plus optional change-feed sidecars."""
+    if df_new is not None:
+        files, n_rows, stats = _stage_files(df_new, path)
+        schema_json = df_new.schema.json()
+    else:
+        files, n_rows, stats, schema_json = [], 0, {}, None
+    cdf_files = _stage_cdf(cdf, path) if cdf else []
+    entry = {
+        "action": "rewrite",
+        "files": files,
+        "removed": removed,
+        "n_rows": n_rows,
+        "file_stats": stats,
+        "op": op,
+    }
+    if schema_json is not None:
+        entry["schema"] = schema_json
+    if cdf_files:
+        entry["cdf_files"] = cdf_files
+    return _commit(path, entry, files + cdf_files, removed)
+
+
 def delete_where(
-    spark: SparkSession, path: str, condition: str | Column
+    spark: SparkSession,
+    path: str,
+    condition: str | Column,
+    capture_cdf: bool = False,
 ) -> dict:
     """``DELETE FROM <table> WHERE condition`` — copy-on-write.
-    Returns ``{"version", "n_deleted", "files_rewritten",
-    "files_total"}``."""
+    ``capture_cdf`` additionally lands the deleted rows as
+    change-feed sidecars for :func:`read_change_feed`.  Returns
+    ``{"version", "n_deleted", "files_rewritten", "files_total"}``."""
     cond = _to_cond(condition)
     snap = _snapshot_files(path, None)
     df = _scan_with_file(spark, path, snap)
@@ -179,9 +252,12 @@ def delete_where(
         }
     scope = df.filter(F.col("_dml_file").isin(touched))
     n_deleted = scope.filter(hit).count()
-    survivors = scope.filter(~hit).drop("_dml_file")
+    survivors = scope.filter(~hit).drop(*_META)
+    cdf = (
+        [(scope.filter(hit).drop(*_META), "delete")] if capture_cdf else None
+    )
     version = _commit_rewrite(
-        survivors, path, touched, {"op": "delete", "n_deleted": n_deleted}
+        survivors, path, touched, {"op": "delete", "n_deleted": n_deleted}, cdf
     )
     return {
         "version": version,
@@ -196,13 +272,16 @@ def update_where(
     path: str,
     condition: str | Column,
     assignments: dict[str, str | Column],
+    capture_cdf: bool = False,
 ) -> dict:
     """``UPDATE <table> SET col = expr, … WHERE condition`` —
     copy-on-write.  Assignment expressions see the OLD row (standard
     SQL UPDATE semantics: all right-hand sides evaluate before any
     assignment) and are cast back to the column's existing type, so an
-    update can never silently migrate the table schema.  Returns
-    ``{"version", "n_updated", "files_rewritten", "files_total"}``."""
+    update can never silently migrate the table schema.
+    ``capture_cdf`` lands pre- and post-image rows as change-feed
+    sidecars.  Returns ``{"version", "n_updated", "files_rewritten",
+    "files_total"}``."""
     cond = _to_cond(condition)
     snap = _snapshot_files(path, None)
     df = _scan_with_file(spark, path, snap)
@@ -217,17 +296,22 @@ def update_where(
         }
     scope = df.filter(F.col("_dml_file").isin(touched))
     n_updated = scope.filter(hit).count()
-    types = dict(scope.drop("_dml_file").dtypes)
+    types = dict(scope.drop(*_META).dtypes)
     out_cols = []
-    for c in scope.drop("_dml_file").columns:
+    for c in scope.drop(*_META).columns:
         if c in assignments:
             new = _to_cond(assignments[c]).cast(types[c])
             out_cols.append(F.when(hit, new).otherwise(F.col(c)).alias(c))
         else:
             out_cols.append(F.col(c))
     rewritten = scope.select(*out_cols)
+    cdf = None
+    if capture_cdf:
+        pre = scope.filter(hit).drop(*_META)
+        post = scope.filter(hit).select(*out_cols).drop(*_META)
+        cdf = [(pre, "update_preimage"), (post, "update_postimage")]
     version = _commit_rewrite(
-        rewritten, path, touched, {"op": "update", "n_updated": n_updated}
+        rewritten, path, touched, {"op": "update", "n_updated": n_updated}, cdf
     )
     return {
         "version": version,
@@ -245,6 +329,7 @@ def merge_into(
     when_matched_update: dict[str, str | Column] | None = None,
     when_matched_delete: bool = False,
     when_not_matched_insert: bool = True,
+    capture_cdf: bool = False,
 ) -> dict:
     """``MERGE INTO <table> t USING source s ON t.k = s.k …`` —
     copy-on-write upsert.  Matched target rows are updated (assignment
@@ -276,8 +361,8 @@ def merge_into(
         )
     snap = _snapshot_files(path, None)
     df = _scan_with_file(spark, path, snap)
-    tcols = [c for c in df.columns if c != "_dml_file"]
-    types = dict(df.drop("_dml_file").dtypes)
+    tcols = [c for c in df.columns if c not in _META]
+    types = dict(df.drop(*_META).dtypes)
     if when_matched_update is None and not when_matched_delete:
         touched = []  # insert-if-absent: matched rows are untouched
     else:
@@ -292,6 +377,7 @@ def merge_into(
     # update or delete.  eqNullSafe is NOT used — NULL keys never match.
     n_updated = n_deleted = 0
     rewritten = None
+    cdf: list[tuple[DataFrame, str]] = []
     if touched:
         scope = df.filter(F.col("_dml_file").isin(touched)).alias("t")
         s = source.alias("s")
@@ -300,11 +386,12 @@ def merge_into(
         )
         is_matched = F.col(f"s.{on[0]}").isNotNull()
         n_matched = joined.filter(is_matched).count()
+        t_row = [F.col(f"t.{c}").alias(c) for c in tcols]
         if when_matched_delete:
             n_deleted = n_matched
-            rewritten = joined.filter(~is_matched).select(
-                *[F.col(f"t.{c}").alias(c) for c in tcols]
-            )
+            rewritten = joined.filter(~is_matched).select(*t_row)
+            if capture_cdf:
+                cdf.append((joined.filter(is_matched).select(*t_row), "delete"))
         else:
             n_updated = n_matched if when_matched_update else 0
             out = []
@@ -319,6 +406,13 @@ def merge_into(
                 else:
                     out.append(F.col(f"t.{c}").alias(c))
             rewritten = joined.select(*out)
+            if capture_cdf and n_updated:
+                cdf.append(
+                    (joined.filter(is_matched).select(*t_row), "update_preimage")
+                )
+                cdf.append(
+                    (joined.filter(is_matched).select(*out), "update_postimage")
+                )
 
     inserts = None
     n_inserted = 0
@@ -355,6 +449,8 @@ def merge_into(
             "files_rewritten": 0,
             "files_total": len(snap),
         }
+    if capture_cdf and inserts is not None:
+        cdf.append((inserts, "insert"))
     version = _commit_rewrite(
         new_df,
         path,
@@ -365,6 +461,7 @@ def merge_into(
             "n_deleted": n_deleted,
             "n_inserted": n_inserted,
         },
+        cdf if (capture_cdf and cdf) else None,
     )
     return {
         "version": version,
@@ -374,3 +471,142 @@ def merge_into(
         "files_rewritten": len(touched),
         "files_total": len(snap),
     }
+
+
+def delete_where_mor(
+    spark: SparkSession,
+    path: str,
+    condition: str | Column,
+    capture_cdf: bool = False,
+) -> dict:
+    """``DELETE`` in MERGE-ON-READ form: instead of rewriting the
+    touched files (copy-on-write), land a DELETION VECTOR sidecar —
+    the (owning file, row position) keys of the deleted rows — and
+    commit a ``dv`` log entry.  Readers anti-join in-effect DVs at
+    scan time (``versioned._apply_dvs``); ``compact_versioned``
+    materializes them away (its snapshot read applies the DVs, its
+    overwrite commit starts a DV-free snapshot).
+
+    Trade-off vs :func:`delete_where`: write cost is O(deleted rows)
+    — deleting 100 rows from a 1 GB file writes KBs, not the file —
+    at the price of a read-time anti-join whose right side grows with
+    accumulated deletes.  The production pattern is MoR for frequent
+    small deletes + periodic compaction, CoW for bulk deletes; both
+    exist here so the choice is the caller's.
+
+    Same NULL semantics and concurrency contract as the CoW form: the
+    files the DV targets must still be live at commit time, else
+    ``ConcurrentModificationError``.  Returns ``{"version",
+    "n_deleted", "files_targeted", "files_total"}``.
+    """
+    cond = _to_cond(condition)
+    snap = _snapshot_files(path, None)
+    df = _scan_with_file(spark, path, snap)
+    hit = F.coalesce(cond, F.lit(False))
+    matched = df.filter(hit)
+    targeted = [
+        r["_dml_file"]
+        for r in matched.select("_dml_file").distinct().collect()
+    ]
+    if not targeted:
+        return {
+            "version": _entries(path)[-1]["version"],
+            "n_deleted": 0,
+            "files_targeted": 0,
+            "files_total": len(snap),
+        }
+    dv_df = matched.select(
+        F.col("_dml_file").alias("file"), F.col("_dml_ri").alias("row_index")
+    )
+    files, n_deleted, _ = _stage_files(dv_df, path, prefix="dv-")
+    cdf_files = (
+        _stage_cdf([(matched.drop(*_META), "delete")], path)
+        if capture_cdf
+        else []
+    )
+    entry = {
+        "action": "dv",
+        "files": files,
+        "applies_to": targeted,
+        "n_rows": n_deleted,
+        "op": {"op": "delete_mor", "n_deleted": n_deleted},
+    }
+    if cdf_files:
+        entry["cdf_files"] = cdf_files
+    version = _commit(path, entry, files + cdf_files, targeted)
+    return {
+        "version": version,
+        "n_deleted": n_deleted,
+        "files_targeted": len(targeted),
+        "files_total": len(snap),
+    }
+
+
+def read_change_feed(
+    spark: SparkSession, path: str, from_version: int, to_version: int
+) -> DataFrame:
+    """Row-level change feed for versions ``(from_version,
+    to_version]``: table columns plus ``_change_type`` (insert /
+    delete / update_preimage / update_postimage) and
+    ``_commit_version`` — the CDC stream a downstream incremental
+    consumer applies instead of rebuilding when the range crosses DML
+    (``read_version_delta`` refuses exactly those ranges and points
+    here).
+
+    ``append`` commits contribute their data files as ``insert`` rows
+    directly (no extra storage — the files ARE the change);
+    ``rewrite`` / ``dv`` commits require change-feed sidecars, i.e.
+    the DML must have run with ``capture_cdf=True`` — otherwise this
+    raises, because reconstructing row-level changes from before/after
+    file states would need the old snapshot AND a full diff join
+    (exactly the cost CDF capture amortizes to write time).
+    ``overwrite`` commits raise unconditionally: a full replacement
+    has no incremental representation.
+    """
+    all_es = _entries(path)
+    hi = all_es[-1]["version"] if all_es else -1
+    if to_version > hi:
+        raise ValueError(f"version {to_version} does not exist (head={hi})")
+    es = [e for e in all_es if from_version < e["version"] <= to_version]
+    parts: list[DataFrame] = []
+    for e in es:
+        v = e["version"]
+        if e["action"] == "overwrite":
+            if v == 0 and e is all_es[0]:
+                # the seeding commit: every row is an insert
+                df = spark.read.parquet(
+                    *[os.path.join(path, f) for f in e["files"]]
+                ).withColumn("_change_type", F.lit("insert"))
+            else:
+                raise ValueError(
+                    f"v{v} is an overwrite — no incremental representation"
+                )
+        elif e["action"] == "append":
+            if not e["files"]:
+                continue
+            df = spark.read.parquet(
+                *[os.path.join(path, f) for f in e["files"]]
+            ).withColumn("_change_type", F.lit("insert"))
+        else:  # rewrite / dv
+            cdf_files = e.get("cdf_files")
+            if not cdf_files:
+                raise ValueError(
+                    f"v{v} ({e['action']}) was committed without "
+                    "capture_cdf=True — no change feed recorded"
+                )
+            df = spark.read.parquet(
+                *[os.path.join(path, f) for f in cdf_files]
+            )
+        parts.append(df.withColumn("_commit_version", F.lit(v).cast("long")))
+    if not parts:
+        from .versioned import _snapshot_schema
+        from pyspark.sql.types import LongType, StringType, StructField
+
+        schema = _snapshot_schema(path, to_version)
+        schema = schema.add(StructField("_change_type", StringType())).add(
+            StructField("_commit_version", LongType())
+        )
+        return spark.createDataFrame([], schema)
+    from functools import reduce
+
+    return reduce(DataFrame.unionByName, parts)

@@ -124,17 +124,22 @@ def _file_stats(pf) -> dict:
     return {c: [mins[c], maxs[c]] for c in mins}
 
 
-def _stage_files(df: DataFrame, path: str) -> tuple[list[str], int, dict]:
+def _stage_files(
+    df: DataFrame, path: str, prefix: str = "data-"
+) -> tuple[list[str], int, dict]:
     """Write df as parquet into the table root under fresh UUID names;
     returns (relative file names, row count, per-file column stats).
-    Files are invisible to readers until a log entry references them."""
+    Files are invisible to readers until a log entry references them.
+    ``prefix`` distinguishes sidecar roles (``dv-`` deletion vectors,
+    ``cdf-`` change-feed files — sources/dml.py) from data files; the
+    role is decided by the LOG, the prefix only aids operators."""
     stage = os.path.join(path, f"_stage_{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(stage)
     names = []
     n_rows = 0
     for f in sorted(os.listdir(stage)):
         if f.endswith(".parquet"):
-            final = f"data-{uuid.uuid4().hex}.parquet"
+            final = f"{prefix}{uuid.uuid4().hex}.parquet"
             os.replace(os.path.join(stage, f), os.path.join(path, final))
             names.append(final)
     # row count + skipping stats from the committed files' footers
@@ -236,9 +241,51 @@ def _snapshot_files(path: str, version: int | None) -> list[str]:
             removed = set(e.get("removed", ()))
             files = [f for f in files if f not in removed]
             files.extend(e["files"])
+        elif e["action"] == "dv":
+            pass  # deletion-vector sidecars, not data files
         else:
             files.extend(e["files"])
     return files
+
+
+def _dv_files(path: str, version: int | None) -> list[str]:
+    """Deletion-vector sidecar files in effect at ``version``: every
+    ``dv`` entry at or before it.  DVs whose target data files later
+    left the snapshot are harmlessly inert (their (file, row_index)
+    keys match nothing)."""
+    es = _entries(path)
+    if version is not None:
+        es = [e for e in es if e["version"] <= version]
+    return [f for e in es if e["action"] == "dv" for f in e["files"]]
+
+
+def _apply_dvs(
+    spark: SparkSession, path: str, df: DataFrame, version: int | None
+) -> DataFrame:
+    """Merge-on-read: anti-join the scan against the in-effect
+    deletion vectors on (owning file basename, row position).  The DV
+    side is O(MoR-deleted rows) — broadcast-sized until a compaction
+    materializes it away."""
+    dvs = _dv_files(path, version)
+    if not dvs:
+        return df
+    dv = spark.read.parquet(*[os.path.join(path, f) for f in dvs]).select(
+        F.col("file").alias("_dv_f"), F.col("row_index").alias("_dv_ri")
+    )
+    tagged = df.select(
+        "*",
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("_mor_f"),
+        F.col("_metadata.row_index").alias("_mor_ri"),
+    )
+    return (
+        tagged.join(
+            dv,
+            (F.col("_mor_f") == F.col("_dv_f"))
+            & (F.col("_mor_ri") == F.col("_dv_ri")),
+            "left_anti",
+        )
+        .drop("_mor_f", "_mor_ri")
+    )
 
 
 def read_versioned(
@@ -250,7 +297,8 @@ def read_versioned(
     files = _snapshot_files(path, version)
     if not files:
         raise ValueError(f"no committed data in {path} at version {version}")
-    return spark.read.parquet(*[os.path.join(path, f) for f in files])
+    df = spark.read.parquet(*[os.path.join(path, f) for f in files])
+    return _apply_dvs(spark, path, df, version)
 
 
 def read_versioned_pruned(
@@ -294,7 +342,12 @@ def read_versioned_pruned(
     if not keep:
         df = spark.createDataFrame([], _snapshot_schema(path, version))
     else:
-        df = spark.read.parquet(*[os.path.join(path, f) for f in keep])
+        df = _apply_dvs(
+            spark,
+            path,
+            spark.read.parquet(*[os.path.join(path, f) for f in keep]),
+            version,
+        )
     return (
         df.filter((F.col(column) >= lo) & (F.col(column) <= hi)),
         len(keep),
@@ -337,13 +390,17 @@ def read_version_delta(
         raise ValueError(f"version {to_version} does not exist (head={hi})")
     es = [e for e in all_es if from_version < e["version"] <= to_version]
     for e in es:
-        if e["action"] in ("overwrite", "rewrite"):
+        if e["action"] in ("overwrite", "rewrite", "dv"):
             # a rewrite's files are REPLACEMENTS (DML over existing
-            # rows), not new rows — returning them would double-count
-            # every carried-over row in a downstream accumulator
+            # rows) and a dv entry DELETES rows — neither is "new
+            # rows", and returning either would corrupt a downstream
+            # accumulator.  DML-crossing incremental consumption is
+            # what the change feed is for (sources/dml.py
+            # read_change_feed).
             raise ValueError(
                 f"version range ({from_version}, {to_version}] crosses "
-                f"{e['action']!r} at v{e['version']}; rebuild from snapshot"
+                f"{e['action']!r} at v{e['version']}; rebuild from "
+                "snapshot or consume the change feed"
             )
     files = [f for e in es for f in e["files"]]
     if not files:
@@ -383,6 +440,15 @@ def vacuum(
     keep: set[str] = set()
     for v in range(max(0, head - retain_versions), head + 1):
         keep.update(_snapshot_files(path, v))
+    # sidecars (deletion vectors, change-feed files) are log-referenced
+    # .parquet files too: DVs must survive while any retained snapshot
+    # needs them, CDF files while their commits are readable — both are
+    # O(affected rows); a dv entry whose targets all left the retained
+    # snapshots is dead weight a future DV-compaction could prune
+    for e in _entries(path):
+        if e["action"] == "dv":
+            keep.update(e["files"])
+        keep.update(e.get("cdf_files", ()))
     cutoff = time.time() - min_age_seconds
 
     def _old(p: str) -> bool:

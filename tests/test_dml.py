@@ -211,3 +211,125 @@ def test_file_stats_recorded_for_rewrites(spark, lake):
     D.delete_where(spark, lake, "k >= 90")
     _, scanned, total = V.read_versioned_pruned(spark, lake, "k", 0, 5)
     assert scanned < total
+
+
+def test_mor_delete_semantics_and_time_travel(spark, lake):
+    r = D.delete_where_mor(spark, lake, "k % 10 = 0")
+    assert r["n_deleted"] == 10 and r["files_targeted"] == 4
+    snap = V.read_versioned(spark, lake)
+    assert snap.count() == 90 and snap.filter("k = 20").count() == 0
+    # no data file was rewritten: the snapshot's data files are v0's
+    assert set(V._snapshot_files(lake, None)) == set(V._snapshot_files(lake, 0))
+    # time travel to v0 ignores the later DV
+    assert V.read_versioned(spark, lake, version=0).count() == 100
+
+
+def test_mor_deletes_stack_and_cow_respects_them(spark, lake):
+    D.delete_where_mor(spark, lake, "k % 10 = 0")
+    D.delete_where_mor(spark, lake, "k % 10 = 1")
+    assert V.read_versioned(spark, lake).count() == 80
+    # a CoW update over the MoR table must not resurrect deleted rows
+    r = D.update_where(spark, lake, "k < 50", {"v": "v + 1"})
+    assert r["n_updated"] == 40  # 50 minus the 10 MoR-deleted under 50
+    snap = V.read_versioned(spark, lake)
+    assert snap.count() == 80
+    assert snap.filter("k = 0").count() == 0
+
+
+def test_mor_pruned_read_applies_dvs(spark, lake):
+    D.delete_where_mor(spark, lake, "k % 10 = 0")
+    df, scanned, total = V.read_versioned_pruned(spark, lake, "k", 50, 70)
+    assert scanned < total
+    assert df.count() == 18  # 21 in range minus MoR-deleted 50, 60, 70
+
+
+def test_compaction_materializes_dvs(spark, lake):
+    D.delete_where_mor(spark, lake, "k >= 95")
+    V.compact_versioned(spark, lake, target_rows_per_file=1000)
+    snap = V.read_versioned(spark, lake)
+    assert snap.count() == 95 and snap.agg(F.max("k")).first()[0] == 94
+    # post-compaction files are DV-free replacements
+    head_files = V._snapshot_files(lake, None)
+    raw = spark.read.parquet(*[os.path.join(lake, f) for f in head_files])
+    assert raw.count() == 95
+
+
+def test_mor_concurrent_modification_detected(spark, lake):
+    snap0 = V._snapshot_files(lake, None)
+    df = V.read_versioned(spark, lake)
+    V.write_versioned(df.coalesce(1), lake, mode="overwrite")
+    with pytest.raises(D.ConcurrentModificationError):
+        # DV targeting files that left the snapshot must not commit
+        D._commit(
+            lake,
+            {"action": "dv", "files": [], "applies_to": [snap0[0]],
+             "n_rows": 1, "op": {"op": "delete_mor", "n_deleted": 1}},
+            [],
+            [snap0[0]],
+        )
+
+
+def test_change_feed_round_trip(spark, lake):
+    D.delete_where(spark, lake, "k >= 90", capture_cdf=True)
+    D.update_where(spark, lake, "k < 5", {"v": "v + 7"}, capture_cdf=True)
+    src = spark.createDataFrame(
+        [(10, -1, "m"), (200, -2, "m")], "k long, v long, s string"
+    )
+    D.merge_into(
+        spark, lake, src, on=["k"],
+        when_matched_update={"v": "s.v"}, capture_cdf=True,
+    )
+    feed = D.read_change_feed(spark, lake, 0, 3)
+    by = {
+        (r["_commit_version"], r["_change_type"]): r["count"]
+        for r in feed.groupBy("_commit_version", "_change_type").count().collect()
+    }
+    assert by == {
+        (1, "delete"): 10,
+        (2, "update_preimage"): 5,
+        (2, "update_postimage"): 5,
+        (3, "update_preimage"): 1,
+        (3, "update_postimage"): 1,
+        (3, "insert"): 1,
+    }
+    # value-level checks: post-images carry the updated values
+    post = feed.filter(
+        "_commit_version = 2 AND _change_type = 'update_postimage'"
+    )
+    assert post.agg(F.sum("v")).first()[0] == 2 * (0 + 1 + 2 + 3 + 4) + 5 * 7
+    # applying the feed to the v0 snapshot reproduces the head snapshot
+    v0 = V.read_versioned(spark, lake, version=0)
+    deletes = feed.filter("_change_type IN ('delete', 'update_preimage')")
+    upserts = feed.filter("_change_type IN ('insert', 'update_postimage')")
+    applied = (
+        v0.join(deletes.select("k"), "k", "left_anti")
+        .unionByName(upserts.select("k", "v", "s"))
+    )
+    head = V.read_versioned(spark, lake)
+    assert applied.exceptAll(head).count() == 0
+    assert head.exceptAll(applied).count() == 0
+
+
+def test_change_feed_includes_seed_and_appends(spark, lake):
+    extra = spark.createDataFrame([(500, 1, "a")], "k long, v long, s string")
+    V.write_versioned(extra, lake, mode="append")
+    feed = D.read_change_feed(spark, lake, -1, 1)
+    by = {
+        r["_change_type"]: r["count"]
+        for r in feed.groupBy("_change_type").count().collect()
+    }
+    assert by == {"insert": 101}  # 100 seed rows + 1 append
+
+
+def test_change_feed_requires_capture(spark, lake):
+    D.delete_where(spark, lake, "k >= 90")  # capture_cdf=False
+    with pytest.raises(ValueError, match="capture_cdf"):
+        D.read_change_feed(spark, lake, 0, 1)
+
+
+def test_vacuum_retains_dv_and_cdf_sidecars(spark, lake):
+    D.delete_where_mor(spark, lake, "k % 10 = 0", capture_cdf=True)
+    V.vacuum(lake, retain_versions=1, min_age_seconds=0.0)
+    # the MoR view AND its change feed both survive the vacuum
+    assert V.read_versioned(spark, lake).count() == 90
+    assert D.read_change_feed(spark, lake, 0, 1).count() == 10
