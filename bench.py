@@ -100,9 +100,10 @@ BENCH_QUERIES = (
     "sentence_split",
     "frame_sample_census",
     "stride_downsample",
-    # Arrow fast-path A/B twin of ann_bruteforce_topk: same query, numpy
-    # matrix product per batch instead of expression folds — the gap
-    # between these two rows is the measured Arrow win (DEPLOY.md)
+    # Arrow fast path at its registered 500-query shape (BLAS pinned) —
+    # NOT an A/B twin of ann_bruteforce_topk's 5-query row since r8: the
+    # two rows measure the two regimes of the auto-dispatch crossover
+    # (ANN_BLAS_MIN_QUERIES; solo A/B numbers in README/DEPLOY.md)
     "ann_topk_vectorized",
     # round-3 curation transforms: segment-removal dedup (corpus-sized
     # rebuild shuffle), Gopher rule census, DSIR importance weighting
@@ -196,6 +197,11 @@ BENCH_QUERIES = (
     # drift summary (hourly rollup + two ordered windows)
     "bpe_encode_corpus",
     "cusum_event_drift",
+    # round-8: lakehouse DML — MERGE INTO a scratch versioned lake
+    # (copy-on-write upsert, measured INCLUSIVE of the seed write) and
+    # the MoR deletion-vector delete + compaction read-back
+    "merge_upsert_orders",
+    "dml_mor_delete_orders",
 )
 
 
