@@ -486,6 +486,40 @@ AUDIT += [
 ]
 
 
+def _dml_mor_read_probe(spark, sf):
+    """Internal plan of the merge-on-read path: a snapshot read over a
+    lake carrying a deletion vector.  (The registered dml_* queries
+    return PINNED local summaries — their interesting plans are the
+    internal scans like this one.)"""
+    import os
+    import tempfile
+
+    from f1_data_engineering_spark.sources import dml as DML
+    from f1_data_engineering_spark.sources import versioned as V
+
+    t = os.path.join(tempfile.mkdtemp(prefix="plan_dml_"), "orders_lake")
+    orders = R.load_table(spark, sf, "orders")
+    V.write_versioned(
+        orders.repartitionByRange(6, "o_orderkey"), t, mode="overwrite"
+    )
+    DML.delete_where_mor(spark, t, "o_orderkey % 4 = 1")
+    return V.read_versioned(spark, t)
+
+
+AUDIT += [
+    (
+        "dml_mor_snapshot_read (internal probe)",
+        _dml_mor_read_probe,
+        "Merge-on-read: the snapshot scan anti-joins the deletion-vector "
+        "sidecar on (owning file, row position).  The DV side is "
+        "O(MoR-deleted rows) — a BroadcastHashJoin LeftAnti riding the "
+        "parquet scan, so deletes cost one broadcast probe per row, "
+        "never a shuffle; compaction materializes the DVs away and the "
+        "anti-join disappears from the plan entirely.",
+    ),
+]
+
+
 def main() -> None:
     spark = get_spark(app_name="plan-audit", master="local[8]", shuffle_partitions=8)
     out = [
