@@ -1,0 +1,247 @@
+"""Differential fuzzing of the lake DML semantics (sources/dml.py).
+
+The registered dml_* queries verify ONE fixed predicate/assignment set
+against DuckDB.  This fuzzer generates adversarial tables (NULL keys,
+NULL predicate columns, duplicate values, single-row and single-file
+lakes) and random predicate/assignment/merge-source combinations, runs
+the actual DML machinery (touched-file discovery → rewrite/DV →
+optimistic commit → snapshot read), and differences the resulting
+table state against the declaratively-computed expected state in
+DuckDB — the same rows+schema+values gate as the driver.  Also pins
+the two delete strategies against each other (CoW state == MoR state)
+and change-feed replay (v0 + feed == head).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from f1_data_engineering_spark.sources import dml as D
+from f1_data_engineering_spark.sources import versioned as V
+
+_SPEC = importlib.util.spec_from_file_location(
+    "oracle_check",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts",
+        "oracle_check.py",
+    ),
+)
+_ORACLE_CHECK = importlib.util.module_from_spec(_SPEC)
+_SPEC.loader.exec_module(_ORACLE_CHECK)
+compare = _ORACLE_CHECK.compare
+
+
+def _n_examples(default: int) -> int:
+    base = int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "0"))
+    return max(1, round(base * default / 8)) if base else default
+
+
+@pytest.fixture(scope="module")
+def fuzz_dir(tmp_path_factory):
+    return tmp_path_factory.mktemp("dml_fuzz")
+
+
+_run_counter = [0]
+
+#: SQL expressions valid in BOTH Spark and DuckDB over (k, v, s) —
+#: including NULL-evaluating and always-false/always-true shapes
+_PREDICATES = [
+    "v > 15",
+    "v <= 8",
+    "k % 3 = 0",
+    "s = 'a'",
+    "v IS NULL",
+    "k IS NULL",
+    "v > 1000",       # usually no match
+    "k >= 0 OR k IS NULL",  # everything
+    "s = 'a' AND v > 10",
+]
+
+#: (assignments dict for Spark, SELECT expr list for DuckDB).  The
+#: oracle applies them inside CASE WHEN COALESCE(pred, FALSE).
+_ASSIGNMENTS = [
+    ({"v": "v + 100"}, {"v": "v + 100"}),
+    ({"s": "concat(s, '!')"}, {"s": "s || '!'"}),
+    ({"v": "k", "s": "'u'"}, {"v": "k", "s": "'u'"}),  # RHS sees OLD row
+    ({"v": "CAST(NULL AS BIGINT)"}, {"v": "CAST(NULL AS BIGINT)"}),
+]
+
+_maybe_long = st.one_of(st.none(), st.integers(-5, 40))
+_s_val = st.sampled_from(["a", "b", "c"])
+
+
+@st.composite
+def _table(draw):
+    n = draw(st.integers(1, 30))
+    rows = []
+    for i in range(n):
+        k = draw(st.one_of(st.none(), st.integers(0, 20)))
+        rows.append((k, draw(_maybe_long), draw(_s_val)))
+    return rows
+
+
+@st.composite
+def _dml_case(draw):
+    return {
+        "rows": draw(_table()),
+        "n_files": draw(st.integers(1, 4)),
+        "pred_del": draw(st.sampled_from(_PREDICATES)),
+        "pred_upd": draw(st.sampled_from(_PREDICATES)),
+        "assign": draw(st.sampled_from(_ASSIGNMENTS)),
+        # merge source keys: deduped (the cardinality guard is a
+        # documented raise, tested separately)
+        "src_keys": sorted(
+            set(draw(st.lists(st.one_of(st.none(), st.integers(0, 25)),
+                              max_size=8))),
+            key=lambda x: (x is None, x),
+        ),
+    }
+
+
+def _seed(spark, case, t):
+    df = spark.createDataFrame(case["rows"], "k long, v long, s string")
+    V.write_versioned(df.repartition(case["n_files"]), t, mode="overwrite")
+
+
+def _duck(t):
+    """DuckDB connection with the lake's v0 snapshot as view t0."""
+    con = duckdb.connect()
+    files = [os.path.join(t, f) for f in V._snapshot_files(t, 0)]
+    con.execute(
+        "CREATE VIEW t0 AS SELECT k, v, s FROM read_parquet(["
+        + ",".join(f"'{f}'" for f in files)
+        + "])"
+    )
+    return con
+
+
+def _snap_pdf(spark, t):
+    return V.read_versioned(spark, t).select("k", "v", "s").toPandas()
+
+
+@settings(
+    max_examples=_n_examples(8),
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=_dml_case())
+def test_delete_cow_mor_and_oracle(spark, fuzz_dir, case):
+    """DELETE under a random predicate: the CoW state, the MoR state,
+    and the MoR-then-compacted state must all equal DuckDB's
+    NOT-COALESCE(pred, FALSE) filter of the seed."""
+    _run_counter[0] += 1
+    base = str(fuzz_dir / f"del{_run_counter[0]}")
+    t_cow, t_mor = os.path.join(base, "cow"), os.path.join(base, "mor")
+    for t in (t_cow, t_mor):
+        _seed(spark, case, t)
+    con = _duck(t_cow)
+    expected = con.execute(
+        f"SELECT k, v, s FROM t0 WHERE NOT COALESCE({case['pred_del']}, FALSE)"
+    ).df()
+
+    D.delete_where(spark, t_cow, case["pred_del"])
+    problems = compare("delete_cow", _snap_pdf(spark, t_cow), expected)
+    assert not problems, (case["pred_del"], problems)
+
+    D.delete_where_mor(spark, t_mor, case["pred_del"])
+    problems = compare("delete_mor", _snap_pdf(spark, t_mor), expected)
+    assert not problems, (case["pred_del"], problems)
+
+    V.compact_versioned(spark, t_mor, target_rows_per_file=1000)
+    problems = compare("delete_mor_compacted", _snap_pdf(spark, t_mor), expected)
+    assert not problems, (case["pred_del"], problems)
+
+
+@settings(
+    max_examples=_n_examples(8),
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=_dml_case())
+def test_update_then_merge_oracle_and_feed_replay(spark, fuzz_dir, case):
+    """UPDATE under a random predicate/assignment set, then a MERGE
+    (update v from source, insert unmatched), each differenced against
+    the DuckDB-expected state; finally the captured change feed must
+    replay v0 into the head snapshot exactly."""
+    _run_counter[0] += 1
+    t = str(fuzz_dir / f"um{_run_counter[0]}" / "t")
+    _seed(spark, case, t)
+    con = _duck(t)
+
+    assign_spark, assign_sql = case["assign"]
+    hit = f"COALESCE({case['pred_upd']}, FALSE)"
+    cols = []
+    for c in ("k", "v", "s"):
+        if c in assign_sql:
+            cols.append(f"CASE WHEN {hit} THEN {assign_sql[c]} ELSE {c} END AS {c}")
+        else:
+            cols.append(c)
+    con.execute(f"CREATE VIEW t1 AS SELECT {', '.join(cols)} FROM t0")
+    D.update_where(spark, t, case["pred_upd"], assign_spark, capture_cdf=True)
+    problems = compare(
+        "update", _snap_pdf(spark, t), con.execute("SELECT * FROM t1").df()
+    )
+    assert not problems, (case["pred_upd"], assign_spark, problems)
+
+    # merge: source rows (k, -1, 'm') for the deduped key sample
+    src_rows = [(k, -1, "m") for k in case["src_keys"]]
+    if src_rows:
+        src = spark.createDataFrame(src_rows, "k long, v long, s string")
+        D.merge_into(
+            spark,
+            t,
+            src,
+            on=["k"],
+            when_matched_update={"v": "s.v", "s": "s.s"},
+            capture_cdf=True,
+        )
+        vals = ",".join(
+            f"({'NULL' if k is None else k}, -1, 'm')"
+            for k in case["src_keys"]
+        )
+        con.execute(
+            "CREATE VIEW src AS SELECT CAST(k AS BIGINT) AS k, "
+            "CAST(v AS BIGINT) AS v, CAST(s AS VARCHAR) AS s "
+            f"FROM (VALUES {vals}) AS t(k, v, s)"
+        )
+        expected = con.execute(
+            """
+            SELECT t1.k,
+              CASE WHEN src.k IS NULL THEN t1.v ELSE src.v END AS v,
+              CASE WHEN src.k IS NULL THEN t1.s ELSE src.s END AS s
+            FROM t1 LEFT JOIN src ON t1.k = src.k
+            UNION ALL
+            SELECT s.k, s.v, s.s FROM src s
+            WHERE NOT EXISTS (SELECT 1 FROM t1 WHERE t1.k = s.k)
+            """
+        ).df()
+        problems = compare("merge", _snap_pdf(spark, t), expected)
+        assert not problems, (case["src_keys"], problems)
+
+    # change-feed replay: v0 + feed == head.  Replay must be applied
+    # PER COMMIT VERSION in order — a v2 pre-image describes a v1-state
+    # row, so a flat multiset union of all versions double-counts any
+    # row updated twice (hypothesis found exactly that with an
+    # everything-matches update followed by a matching merge).
+    head_v = V.latest_version(t)
+    feed = D.read_change_feed(spark, t, 0, head_v)
+    state = V.read_versioned(spark, t, version=0).select("k", "v", "s")
+    for ver in range(1, head_v + 1):
+        fv = feed.filter(F.col("_commit_version") == ver)
+        minus = fv.filter(
+            F.col("_change_type").isin("delete", "update_preimage")
+        ).select("k", "v", "s")
+        plus = fv.filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).select("k", "v", "s")
+        state = state.exceptAll(minus).unionByName(plus)
+    head = V.read_versioned(spark, t).select("k", "v", "s")
+    assert state.exceptAll(head).count() == 0
+    assert head.exceptAll(state).count() == 0
