@@ -332,6 +332,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dml_lifecycle_orders": LD.dml_lifecycle_orders,
         "dml_mor_delete_orders": LD.dml_mor_delete_orders,
         "dml_change_feed_orders": LD.dml_change_feed_orders,
+        "schema_evolution_orders": LD.schema_evolution_orders,
         "scd2_point_in_time": MG.scd2_point_in_time,
         # profiling / sampling / sketches
         "profile_orders": PF.profile_orders,
@@ -567,6 +568,7 @@ def oracle_sql() -> dict[str, str]:
         "dml_lifecycle_orders": LD.ORACLE_DML_LIFECYCLE,
         "dml_mor_delete_orders": LD.ORACLE_DML_MOR,
         "dml_change_feed_orders": LD.ORACLE_DML_CDF,
+        "schema_evolution_orders": LD.ORACLE_SCHEMA_EVOLUTION,
         "scd2_point_in_time": MG.ORACLE_SCD2_PIT,
         "profile_orders": PF.ORACLE_PROFILE_ORDERS,
         "sketch_summary": PF.ORACLE_SKETCH_SUMMARY,

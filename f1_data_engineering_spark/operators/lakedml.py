@@ -404,3 +404,92 @@ UNION ALL
 {_cdf_state_sql("v2_post", 2, "update_postimage")}
 ) ORDER BY commit_version, change_type
 """
+
+
+def schema_evolution_orders(
+    spark: SparkSession, sf_dir: str, work_dir: str | None = None
+) -> DataFrame:
+    """Additive schema evolution end-to-end: seed the lake WITHOUT
+    ``o_orderstatus`` (even keys), append the odd keys WITH it — the
+    log records the union schema and the v1 snapshot reads the old
+    files' new column as NULL — then backfill the NULL group with a
+    DML UPDATE over the evolved table (status ``'E'``).  One summary
+    row per (stage, status), where stage 01 is the post-evolution
+    snapshot read by TIME TRAVEL after the update committed — so the
+    oracle simultaneously checks evolution NULL-fill, DML over an
+    evolved schema, and schema-stable history.
+    """
+    tmp = work_dir or tempfile.mkdtemp(prefix="dml_evo_")
+    try:
+        t = os.path.join(tmp, "orders_lake")
+        orders = load_table(spark, sf_dir, "orders")
+        narrow = orders.filter("o_orderkey % 2 = 0").select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+        )
+        V.write_versioned(
+            narrow.repartitionByRange(4, "o_orderkey"), t, mode="overwrite"
+        )
+        wide = orders.filter("o_orderkey % 2 = 1").select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        V.write_versioned(wide, t, mode="append")  # additive evolution
+        D.update_where(
+            spark, t, "o_orderstatus IS NULL", {"o_orderstatus": "'E'"}
+        )
+        outs = [
+            _state_summary(
+                V.read_versioned(spark, t, version=v),
+                F.col("o_orderstatus"),
+                "o_orderstatus",
+            ).withColumn("stage", F.lit(name))
+            for name, v in (("01_evolved", 1), ("02_backfilled", 2))
+        ]
+        from functools import reduce
+
+        out = (
+            reduce(DataFrame.unionByName, outs)
+            .select("stage", "o_orderstatus", "n_rows", "checksum", "sum_price")
+            .orderBy("stage", F.col("o_orderstatus").asc_nulls_last())
+        )
+        return _pin(spark, out)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _evo_state_sql(rel: str, stage: str) -> str:
+    return f"""
+SELECT '{stage}' AS stage, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CAST(CAST(('0x' || substr(md5('dml#' || concat_ws(chr(31),
+    COALESCE(CAST(o_orderkey AS VARCHAR), chr(0) || 'null'),
+    COALESCE(CAST(o_custkey AS VARCHAR), chr(0) || 'null'),
+    COALESCE(CAST(o_orderstatus AS VARCHAR), chr(0) || 'null'),
+    COALESCE(CAST(o_orderpriority AS VARCHAR), chr(0) || 'null'))), 1, 15))
+    AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS checksum,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM {rel} GROUP BY o_orderstatus"""
+
+
+ORACLE_SCHEMA_EVOLUTION = f"""
+WITH v1 AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority,
+         CAST(NULL AS VARCHAR) AS o_orderstatus
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority, o_orderstatus
+  FROM orders WHERE o_orderkey % 2 = 1
+),
+v2 AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority,
+         COALESCE(o_orderstatus, 'E') AS o_orderstatus
+  FROM v1
+)
+SELECT * FROM (
+{_evo_state_sql("v1", "01_evolved")}
+UNION ALL
+{_evo_state_sql("v2", "02_backfilled")}
+) ORDER BY stage, o_orderstatus NULLS LAST
+"""

@@ -98,9 +98,9 @@ def _scan_with_file(spark: SparkSession, path: str, files: list[str]) -> DataFra
     a copy-on-write op over a table carrying MoR deletes must not
     resurrect them (the rewrite it commits materializes those deletes
     as a side effect)."""
-    from .versioned import _dv_files
+    from .versioned import _dv_files, _read_with_log_schema
 
-    df = spark.read.parquet(*[os.path.join(path, f) for f in files]).select(
+    df = _read_with_log_schema(spark, path, files, None).select(
         "*",
         F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
             "_dml_file"
@@ -609,4 +609,9 @@ def read_change_feed(
         return spark.createDataFrame([], schema)
     from functools import reduce
 
-    return reduce(DataFrame.unionByName, parts)
+    # allowMissingColumns: commits before an additive schema evolution
+    # recorded narrower change rows — the union fills them as NULL,
+    # mirroring how the snapshot reader treats the data files
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+    )

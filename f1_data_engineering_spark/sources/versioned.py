@@ -25,8 +25,12 @@ with nothing but parquet + JSON:
 
 Single-table, filesystem-atomic-rename semantics — the honest scope;
 log entries carry the writer schema and per-file column min/max stats
-(``read_versioned_pruned`` skips files from the log alone); a real
-format adds full schema evolution and a catalog on top.
+(``read_versioned_pruned`` skips files from the log alone) plus the
+merged table schema, which gives ADDITIVE schema evolution for free:
+appends may introduce or omit columns (conflicting dtypes raise
+``SchemaEvolutionError``), and readers scan under the log's union
+schema — older files surface newer columns as NULL with no
+mergeSchema footer sweep.  A real format adds a catalog on top.
 """
 
 from __future__ import annotations
@@ -50,6 +54,7 @@ LOG_DIR = "_log"
 _ENTRY_RE = re.compile(r"^\d{8}\.json$")
 
 __all__ = [
+    "SchemaEvolutionError",
     "write_versioned",
     "read_versioned",
     "table_history",
@@ -61,6 +66,33 @@ __all__ = [
     "compact_versioned",
     "read_versioned_pruned",
 ]
+
+
+class SchemaEvolutionError(ValueError):
+    """An append's schema conflicts with the table's (same column name,
+    different dtype).  Additive changes — new columns, omitted columns
+    — evolve the table; dtype changes need an explicit rewrite."""
+
+
+def _merge_schema(old, new):
+    """Union of the table schema and an append's schema, by name, old
+    columns first (additive evolution).  Raises
+    :class:`SchemaEvolutionError` on a dtype conflict."""
+    from pyspark.sql.types import StructType
+
+    by_name = {f.name: f for f in old.fields}
+    out = list(old.fields)
+    for f in new.fields:
+        prev = by_name.get(f.name)
+        if prev is None:
+            out.append(f)
+        elif prev.dataType != f.dataType:
+            raise SchemaEvolutionError(
+                f"column {f.name!r}: table has {prev.dataType.simpleString()}, "
+                f"append has {f.dataType.simpleString()} — additive evolution "
+                "only; rewrite the table to change a dtype"
+            )
+    return StructType(out)
 
 
 def _log_path(path: str) -> str:
@@ -184,6 +216,21 @@ def write_versioned(
         for e in _entries(path):
             if e.get("batch_id") == batch_id:
                 return e["version"]
+    # additive schema evolution: an append may introduce new columns
+    # (recorded in the log; old files read them as NULL) or omit
+    # existing ones (this commit's files read them as NULL) — but a
+    # dtype conflict is a hard error, never a silent cast.  The entry
+    # records the merged TABLE schema; overwrite resets it to df's.
+    if mode == "append" and _entries(path):
+        try:
+            current = _snapshot_schema(path, None)
+        except ValueError:  # legacy log without schemas
+            current = None
+        table_schema = (
+            _merge_schema(current, df.schema) if current is not None else df.schema
+        )
+    else:
+        table_schema = df.schema
     os.makedirs(_log_path(path), exist_ok=True)
     files, n_rows, stats = _stage_files(df, path)
     log = _log_path(path)
@@ -205,7 +252,7 @@ def write_versioned(
                 "action": mode,
                 "files": files,
                 "n_rows": n_rows,
-                "schema": df.schema.json(),
+                "schema": table_schema.json(),
                 "file_stats": stats,
             }
             if batch_id is not None:
@@ -297,8 +344,24 @@ def read_versioned(
     files = _snapshot_files(path, version)
     if not files:
         raise ValueError(f"no committed data in {path} at version {version}")
-    df = spark.read.parquet(*[os.path.join(path, f) for f in files])
+    df = _read_with_log_schema(spark, path, files, version)
     return _apply_dvs(spark, path, df, version)
+
+
+def _read_with_log_schema(
+    spark: SparkSession, path: str, files: list[str], version: int | None
+) -> DataFrame:
+    """Read snapshot files under the LOG-recorded table schema: files
+    written before an additive evolution surface the newer columns as
+    NULL (and vice versa) without a mergeSchema footer sweep — the log
+    already knows the union schema, so no extra IO.  Legacy logs
+    without a recorded schema fall back to parquet inference."""
+    paths = [os.path.join(path, f) for f in files]
+    try:
+        schema = _snapshot_schema(path, version)
+    except ValueError:
+        return spark.read.parquet(*paths)
+    return spark.read.schema(schema).parquet(*paths)
 
 
 def read_versioned_pruned(
@@ -343,10 +406,7 @@ def read_versioned_pruned(
         df = spark.createDataFrame([], _snapshot_schema(path, version))
     else:
         df = _apply_dvs(
-            spark,
-            path,
-            spark.read.parquet(*[os.path.join(path, f) for f in keep]),
-            version,
+            spark, path, _read_with_log_schema(spark, path, keep, version), version
         )
     return (
         df.filter((F.col(column) >= lo) & (F.col(column) <= hi)),
@@ -416,7 +476,7 @@ def read_version_delta(
                 schema = StructType.fromJson(json.loads(e["schema"]))
                 return spark.createDataFrame([], schema)
         return spark.range(0).selectExpr()  # legacy log without schemas
-    return spark.read.parquet(*[os.path.join(path, f) for f in files])
+    return _read_with_log_schema(spark, path, files, to_version)
 
 
 def vacuum(

@@ -333,3 +333,98 @@ def test_vacuum_retains_dv_and_cdf_sidecars(spark, lake):
     # the MoR view AND its change feed both survive the vacuum
     assert V.read_versioned(spark, lake).count() == 90
     assert D.read_change_feed(spark, lake, 0, 1).count() == 10
+
+
+# ---------------------------------------------------------------------------
+# Additive schema evolution (round 8)
+# ---------------------------------------------------------------------------
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    t = str(tmp_path / "evo")
+    V.write_versioned(
+        spark.createDataFrame([(1, 10)], "k long, v long"), t, mode="overwrite"
+    )
+    V.write_versioned(
+        spark.createDataFrame([(2, 20, "x")], "k long, v long, s string"),
+        t,
+        mode="append",
+    )
+    snap = V.read_versioned(spark, t)
+    assert dict(snap.dtypes) == {"k": "bigint", "v": "bigint", "s": "string"}
+    rows = {r["k"]: (r["v"], r["s"]) for r in snap.collect()}
+    assert rows == {1: (10, None), 2: (20, "x")}  # old file: s is NULL
+
+
+def test_schema_evolution_omitted_column(spark, tmp_path):
+    t = str(tmp_path / "evo2")
+    V.write_versioned(
+        spark.createDataFrame([(1, 10, "x")], "k long, v long, s string"),
+        t,
+        mode="overwrite",
+    )
+    V.write_versioned(
+        spark.createDataFrame([(2, 20)], "k long, v long"), t, mode="append"
+    )
+    rows = {r["k"]: r["s"] for r in V.read_versioned(spark, t).collect()}
+    assert rows == {1: "x", 2: None}  # narrow append: s fills NULL
+
+
+def test_schema_evolution_dtype_conflict_raises(spark, tmp_path):
+    t = str(tmp_path / "evo3")
+    V.write_versioned(
+        spark.createDataFrame([(1, 10)], "k long, v long"), t, mode="overwrite"
+    )
+    with pytest.raises(V.SchemaEvolutionError, match="dtype|evolution"):
+        V.write_versioned(
+            spark.createDataFrame([(2, "oops")], "k long, v string"),
+            t,
+            mode="append",
+        )
+    # the rejected append staged nothing visible
+    assert V.read_versioned(spark, t).count() == 1
+    assert V.latest_version(t) == 0
+
+
+def test_schema_evolution_overwrite_resets(spark, tmp_path):
+    t = str(tmp_path / "evo4")
+    V.write_versioned(
+        spark.createDataFrame([(1, 10, "x")], "k long, v long, s string"),
+        t,
+        mode="overwrite",
+    )
+    V.write_versioned(
+        spark.createDataFrame([(2, "narrow")], "k long, v string"),
+        t,
+        mode="overwrite",  # overwrite may change dtypes: fresh schema
+    )
+    snap = V.read_versioned(spark, t)
+    assert dict(snap.dtypes) == {"k": "bigint", "v": "string"}
+    # time travel still reads v0 under ITS schema
+    v0 = V.read_versioned(spark, t, version=0)
+    assert dict(v0.dtypes) == {"k": "bigint", "v": "bigint", "s": "string"}
+
+
+def test_schema_evolution_dml_and_time_travel(spark, tmp_path):
+    """DML over an evolved table: the update scan sees the union
+    schema (old files' new column = NULL) and the rewrite preserves
+    it; pruned reads and the delta reader use the log schema too."""
+    t = str(tmp_path / "evo5")
+    V.write_versioned(
+        spark.createDataFrame([(i, i * 2) for i in range(10)], "k long, v long"),
+        t,
+        mode="overwrite",
+    )
+    V.write_versioned(
+        spark.createDataFrame([(10, 20, "new")], "k long, v long, s string"),
+        t,
+        mode="append",
+    )
+    D.update_where(spark, t, "s IS NULL", {"s": "'backfilled'"})
+    snap = V.read_versioned(spark, t)
+    assert snap.filter("s = 'backfilled'").count() == 10
+    assert snap.filter("s = 'new'").count() == 1
+    # delta read of the evolution append carries the union schema
+    delta = V.read_version_delta(spark, t, 0, 1)
+    assert set(delta.columns) == {"k", "v", "s"}
+    assert delta.count() == 1
