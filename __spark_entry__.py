@@ -275,6 +275,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": DD.minhash_signatures,
         "minhash_lsh_pairs": DD.minhash_lsh_pairs,
         "simhash_64": DD.simhash_64,
+        "simhash_near_dup_pairs": DD.simhash_near_dup_pairs,
         "dedup_clusters": DD.dedup_clusters,  # iterative; recursive-CTE oracle
         "dedup_keep_first": DD.dedup_keep_first,
         "dedup_keep_canonical": DD.dedup_keep_canonical,
@@ -333,6 +334,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dml_mor_delete_orders": LD.dml_mor_delete_orders,
         "dml_change_feed_orders": LD.dml_change_feed_orders,
         "schema_evolution_orders": LD.schema_evolution_orders,
+        "cdc_apply_rollup_orders": LD.cdc_apply_rollup_orders,
         "scd2_point_in_time": MG.scd2_point_in_time,
         # profiling / sampling / sketches
         "profile_orders": PF.profile_orders,
@@ -528,6 +530,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": DD.ORACLE_MINHASH_SIG,
         "minhash_lsh_pairs": DD.ORACLE_MINHASH_LSH,
         "simhash_64": DD.ORACLE_SIMHASH,
+        "simhash_near_dup_pairs": DD.ORACLE_SIMHASH_PAIRS,
         "dedup_clusters": DD.ORACLE_CLUSTERS,
         "dedup_keep_first": DD.ORACLE_DEDUP_KEEP,
         "dedup_keep_canonical": DD.ORACLE_KEEP_CANONICAL,
@@ -569,6 +572,7 @@ def oracle_sql() -> dict[str, str]:
         "dml_mor_delete_orders": LD.ORACLE_DML_MOR,
         "dml_change_feed_orders": LD.ORACLE_DML_CDF,
         "schema_evolution_orders": LD.ORACLE_SCHEMA_EVOLUTION,
+        "cdc_apply_rollup_orders": LD.ORACLE_CDC_APPLY,
         "scd2_point_in_time": MG.ORACLE_SCD2_PIT,
         "profile_orders": PF.ORACLE_PROFILE_ORDERS,
         "sketch_summary": PF.ORACLE_SKETCH_SUMMARY,

@@ -202,6 +202,11 @@ BENCH_QUERIES = (
     # the MoR deletion-vector delete + compaction read-back
     "merge_upsert_orders",
     "dml_mor_delete_orders",
+    # round-8b: SimHash banded Hamming pair join (lossless banding);
+    # incremental view maintenance applying the change feed (cost ∝
+    # changes, never rescans the final snapshot)
+    "simhash_near_dup_pairs",
+    "cdc_apply_rollup_orders",
 )
 
 

@@ -589,6 +589,113 @@ FROM bits GROUP BY doc_id ORDER BY doc_id
 """
 
 
+#: Hamming-distance cap for SimHash near-dup pairs, and the band split
+#: that makes the candidate join LOSSLESS for it: 60 bits / 4 bands =
+#: 15 bits per band; <= 3 differing bits spread over 4 bands leave at
+#: least one band untouched (pigeonhole), so every qualifying pair
+#: collides in some band — no recall loss, unlike probabilistic
+#: MinHash banding.
+SIMHASH_HAM_MAX = 3
+SIMHASH_BANDS = 4
+_SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 15
+
+
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs: all document pairs whose 60-bit
+    SimHash signatures differ in at most ``SIMHASH_HAM_MAX`` bits.
+
+    Completes the SimHash family (``simhash_64`` computes signatures
+    only): the missing banded pair-generation step the reference-class
+    dedup pipeline needs.  Scale shape — the signature frame (one long
+    per doc) is banded into ``SIMHASH_BANDS`` 15-bit keys and
+    self-joined on (band, key): an EQUI-join Catalyst hash-partitions,
+    so only band collisions are ever materialized, never the n² pair
+    space.  By pigeonhole the banding is exhaustive for the Hamming
+    cap, which the DuckDB oracle PROVES by computing the same result
+    as a brute-force all-pairs filter: a single missed pair flips the
+    hash.  Empty documents (simhash 0 by convention) are excluded —
+    an all-zero signature carries no content evidence and would knot
+    every empty doc into one quadratic clique.
+    """
+    sigs = (
+        simhash_64(spark, sf_dir)
+        .filter(F.col("n_tokens") > 0)
+        .select("doc_id", "simhash")
+        # consumed by both join sides; one long per doc, so caching the
+        # signature pass (the expensive leg) is metadata-cheap
+        .localCheckpoint(eager=False)
+    )
+    mask = (1 << _SIMHASH_BAND_BITS) - 1
+    band_keys = F.expr(
+        "array("
+        + ", ".join(
+            f"shiftright(simhash, {i * _SIMHASH_BAND_BITS}) & {mask}"
+            for i in range(SIMHASH_BANDS)
+        )
+        + ")"
+    )
+    bands = sigs.select(
+        "doc_id", "simhash", F.posexplode(band_keys).alias("band", "key")
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.key") == F.col("b.key"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.simhash").alias("s1"),
+            F.col("b.simhash").alias("s2"),
+        )
+        # a pair closer than the cap collides in SEVERAL bands — dedupe
+        # before the (cheap) popcount filter
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(s1 ^ s2)").cast("bigint"))
+        .filter(F.col("hamming") <= SIMHASH_HAM_MAX)
+        .select("d1", "d2", "hamming")
+        .orderBy("d1", "d2")
+    )
+
+
+#: Brute-force all-pairs twin: same signature CTE as ORACLE_SIMHASH,
+#: then an O(n²) Hamming filter with no banding at all — a hash match
+#: certifies the banded join loses no pair.
+ORACLE_SIMHASH_PAIRS = f"""
+WITH t AS (
+  SELECT doc_id,
+    list_transform(list_distinct({_SQL_TOKS}),
+                   x -> {_sql_md5_int("'sh#'", "x")}) AS hs
+  FROM documents
+),
+bits AS (
+  SELECT doc_id, b,
+    CASE WHEN list_sum(list_transform(hs,
+        h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END AS bitval,
+    len(hs) AS n
+  FROM t CROSS JOIN (SELECT unnest(range({SIMHASH_BITS})) AS b)
+),
+s AS (
+  SELECT doc_id, CAST(SUM(bitval) AS BIGINT) AS simhash, MIN(n) AS n
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE a.n > 0 AND b.n > 0
+  AND bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAM_MAX}
+ORDER BY d1, d2
+"""
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the MinHash-LSH candidate-pair graph:
     every doc labeled with the min doc_id of its near-dup cluster —

@@ -493,3 +493,159 @@ UNION ALL
 {_evo_state_sql("v2", "02_backfilled")}
 ) ORDER BY stage, o_orderstatus NULLS LAST
 """
+
+
+# ---------------------------------------------------------------------------
+# CDC apply: incremental view maintenance from the change feed
+# ---------------------------------------------------------------------------
+
+
+def _signed_rollup(df: DataFrame, sign: F.Column) -> DataFrame:
+    """Per-priority rollup where every row contributes with ``sign``
+    (±1): additive in rows, checksum, and price — the algebraic form
+    that makes the rollup MAINTAINABLE from a change feed (a delete /
+    update-preimage is just the row re-aggregated at −1).
+
+    SUM over a NULLABLE measure is only maintainable alongside a count
+    of its NON-NULL contributions (``n_price``): the leaf sums
+    ``coalesce(price, 0)`` so NULL rows are sign-neutral, and the
+    combiner re-derives SQL's NULL-when-no-input semantics from
+    ``n_price`` — without it, a group whose last non-NULL price is
+    deleted would maintain to 0 where a recompute says NULL (the
+    textbook incremental-SUM pitfall)."""
+    p = F.coalesce(F.col("o_totalprice").cast("decimal(18,2)"), F.lit(0).cast("decimal(18,2)"))
+    notnull = F.col("o_totalprice").isNotNull().cast("long")
+    return df.groupBy("o_orderpriority").agg(
+        F.sum(sign).cast("long").alias("n_rows"),
+        # sign·hash stays within long range (hash < 2^60); the decimal
+        # cast happens on the signed value so the running sum is exact
+        F.sum((sign * _ck_hash()).cast("decimal(38,0)")).alias("ck"),
+        F.sum(F.when(sign < 0, -p).otherwise(p)).alias("price"),
+        F.sum(sign * notnull).cast("long").alias("n_price"),
+    )
+
+
+def cdc_apply_rollup_orders(
+    spark: SparkSession, sf_dir: str, work_dir: str | None = None
+) -> DataFrame:
+    """Incremental view maintenance: a downstream per-priority rollup
+    kept current by APPLYING the lake's row-level change feed instead
+    of rescanning the table.
+
+    The scenario crosses every change type: seed v0 (the one full scan,
+    pinned as the base rollup), then DELETE (v1), a GROUP-MIGRATING
+    UPDATE (v2 rewrites ``o_orderpriority`` itself, so pre-image and
+    post-image land in different groups — the case naive "recompute
+    changed groups" maintenance gets wrong), then APPEND (v3, whose
+    data files ARE the feed rows).  The maintained rollup is
+    base ⊎ signed-feed-deltas — the result NEVER reads the final
+    snapshot, so the oracle (which derives the end state declaratively
+    and rolls it up) certifies the maintenance algebra itself: a sign
+    error, a missed change type, or a mishandled group migration flips
+    count, checksum, or price.
+
+    Scale shape: per refresh the work is O(|changes|) + O(|rollup|) —
+    at 100 TB the feed for a day is GBs while the table is the 100 TB;
+    this is the consumer ``read_change_feed`` exists for.
+    """
+    tmp = work_dir or tempfile.mkdtemp(prefix="dml_ivm_")
+    try:
+        t = os.path.join(tmp, "orders_lake")
+        orders = load_table(spark, sf_dir, "orders")
+        V.write_versioned(
+            orders.repartitionByRange(6, "o_orderkey"), t, mode="overwrite"
+        )
+        base = _pin(
+            spark,
+            _signed_rollup(V.read_versioned(spark, t, version=0), F.lit(1)),
+        )
+        D.delete_where(
+            spark, t, "o_orderstatus = 'F' AND o_orderkey % 7 = 3",
+            capture_cdf=True,
+        )
+        D.update_where(
+            spark,
+            t,
+            "o_orderkey % 5 = 2",
+            {
+                "o_orderpriority": "concat('9-MOVED:', o_orderpriority)",
+                "o_totalprice": "o_totalprice + 10.0",
+            },
+            capture_cdf=True,
+        )
+        late = orders.filter("o_orderkey % 10 = 6").select(
+            (F.col("o_orderkey") + 900000000).alias("o_orderkey"),
+            "o_custkey",
+            F.lit("A").alias("o_orderstatus"),
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        )
+        V.write_versioned(late, t, mode="append")
+        feed = D.read_change_feed(spark, t, 0, 3)
+        sign = F.when(
+            F.col("_change_type").isin("delete", "update_preimage"), F.lit(-1)
+        ).otherwise(F.lit(1))
+        deltas = _pin(spark, _signed_rollup(feed, sign))
+        maintained = (
+            base.unionByName(deltas)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.sum("n_rows").cast("long").alias("n_rows"),
+                F.sum("ck").cast("decimal(38,0)").alias("ck"),
+                F.sum("price").alias("price"),
+                F.sum("n_price").cast("long").alias("n_price"),
+            )
+            .filter(F.col("n_rows") > 0)
+            .select(
+                "o_orderpriority",
+                "n_rows",
+                F.col("ck").cast("string").alias("checksum"),
+                F.when(F.col("n_price") > 0, F.col("price"))
+                .cast("double")
+                .alias("sum_price"),
+            )
+            .orderBy(F.col("o_orderpriority").asc_nulls_last())
+        )
+        return _pin(spark, maintained)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+ORACLE_CDC_APPLY = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+  FROM orders
+),
+after_delete AS (
+  SELECT * FROM base
+  WHERE NOT COALESCE(o_orderstatus = 'F' AND o_orderkey % 7 = 3, FALSE)
+),
+after_update AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+    CASE WHEN COALESCE(o_orderkey % 5 = 2, FALSE)
+      THEN o_totalprice + 10.0 ELSE o_totalprice END AS o_totalprice,
+    CASE WHEN COALESCE(o_orderkey % 5 = 2, FALSE)
+      THEN '9-MOVED:' || o_orderpriority ELSE o_orderpriority
+      END AS o_orderpriority
+  FROM after_delete
+),
+inserted AS (
+  SELECT o_orderkey + 900000000 AS o_orderkey, o_custkey,
+         'A' AS o_orderstatus, o_totalprice, o_orderpriority
+  FROM base WHERE COALESCE(o_orderkey % 10 = 6, FALSE)
+),
+final AS (
+  SELECT * FROM after_update UNION ALL SELECT * FROM inserted
+)
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CAST(CAST(('0x' || substr(md5('dml#' || concat_ws(chr(31),
+    COALESCE(CAST(o_orderkey AS VARCHAR), chr(0) || 'null'),
+    COALESCE(CAST(o_custkey AS VARCHAR), chr(0) || 'null'),
+    COALESCE(CAST(o_orderstatus AS VARCHAR), chr(0) || 'null'),
+    COALESCE(CAST(o_orderpriority AS VARCHAR), chr(0) || 'null'))), 1, 15))
+    AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS checksum,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM final GROUP BY o_orderpriority
+ORDER BY o_orderpriority NULLS LAST
+"""

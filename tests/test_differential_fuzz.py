@@ -503,6 +503,10 @@ EXTENDED_DOC_QUERIES = [
     "dsir_importance_weights", "decontaminate_ngrams",
     "contamination_summary", "minhash_signatures", "minhash_lsh_pairs",
     "simhash_64", "ngram_jaccard_pairs", "prefix_filter_jaccard",
+    # banded Hamming join vs the oracle's brute-force all-pairs filter:
+    # all-duplicate corpora (ham-0 cliques), empty docs (excluded by
+    # the n_tokens>0 gate on both engines)
+    "simhash_near_dup_pairs",
     "segment_dedup_clean", "cross_doc_ngram_dup", "dedup_keep_canonical",
     "top_ngrams", "tfidf_top_terms", "bm25_rank", "lm_perplexity",
     "repetition_stats", "pii_scrub_stats", "corpus_quality_gate",

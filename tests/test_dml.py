@@ -428,3 +428,58 @@ def test_schema_evolution_dml_and_time_travel(spark, tmp_path):
     delta = V.read_version_delta(spark, t, 0, 1)
     assert set(delta.columns) == {"k", "v", "s"}
     assert delta.count() == 1
+
+
+def test_cdc_apply_rollup_matches_snapshot_recompute(spark, tmp_path):
+    """The incrementally-maintained rollup (base ⊎ signed feed deltas,
+    never reading the final snapshot) must equal a direct recompute
+    over the final snapshot — including the group-migrating UPDATE
+    whose pre/post images land in different priority groups."""
+    from f1_data_engineering_spark.operators import lakedml as LD
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    work = str(tmp_path / "ivm")
+    maintained = LD.cdc_apply_rollup_orders(spark, sf_dir, work_dir=work)
+
+    # recompute: replay the same scenario, then roll up the snapshot
+    work2 = str(tmp_path / "replay")
+    os.makedirs(work2, exist_ok=True)
+    t = os.path.join(work2, "orders_lake")
+    from f1_data_engineering_spark.sources.registry import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    V.write_versioned(orders.repartitionByRange(6, "o_orderkey"), t, mode="overwrite")
+    D.delete_where(spark, t, "o_orderstatus = 'F' AND o_orderkey % 7 = 3")
+    D.update_where(
+        spark,
+        t,
+        "o_orderkey % 5 = 2",
+        {
+            "o_orderpriority": "concat('9-MOVED:', o_orderpriority)",
+            "o_totalprice": "o_totalprice + 10.0",
+        },
+    )
+    late = orders.filter("o_orderkey % 10 = 6").select(
+        (F.col("o_orderkey") + 900000000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("A").alias("o_orderstatus"),
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    V.write_versioned(late, t, mode="append")
+    direct = (
+        LD._signed_rollup(V.read_versioned(spark, t), F.lit(1))
+        .select(
+            "o_orderpriority",
+            "n_rows",
+            F.col("ck").cast("string").alias("checksum"),
+            F.when(F.col("n_price") > 0, F.col("price"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy(F.col("o_orderpriority").asc_nulls_last())
+    )
+    got = [tuple(r) for r in maintained.collect()]
+    want = [tuple(r) for r in direct.collect()]
+    assert got == want and len(got) > 0

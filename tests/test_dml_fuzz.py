@@ -245,3 +245,71 @@ def test_update_then_merge_oracle_and_feed_replay(spark, fuzz_dir, case):
     head = V.read_versioned(spark, t).select("k", "v", "s")
     assert state.exceptAll(head).count() == 0
     assert head.exceptAll(state).count() == 0
+
+
+@settings(
+    max_examples=_n_examples(6),
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=_dml_case())
+def test_feed_signed_rollup_maintenance(spark, fuzz_dir, case):
+    """Incremental-view-maintenance algebra under random DML: a
+    per-group rollup maintained as v0-rollup ⊎ FLAT signed feed deltas
+    must equal a recompute over the head snapshot.
+
+    Unlike multiset replay (which must apply per commit version — see
+    the test above), SIGNED AGGREGATION is valid flat: a row updated
+    twice telescopes (+v0 −pre1 +post1 −pre2 +post2 with pre2 == post1).
+    Also pins the nullable-SUM pitfall: ``v``-sums carry a non-null
+    contribution count, so a group whose last non-NULL v is deleted
+    maintains to NULL (SQL semantics), not 0."""
+    _run_counter[0] += 1
+    t = str(fuzz_dir / f"ivm{_run_counter[0]}" / "t")
+    _seed(spark, case, t)
+
+    D.delete_where(spark, t, case["pred_del"], capture_cdf=True)
+    D.update_where(spark, t, case["pred_upd"], case["assign"][0], capture_cdf=True)
+    src_rows = [(k, -1, "m") for k in case["src_keys"]]
+    if src_rows:
+        src = spark.createDataFrame(src_rows, "k long, v long, s string")
+        D.merge_into(
+            spark, t, src, on=["k"],
+            when_matched_update={"v": "s.v", "s": "s.s"},
+            capture_cdf=True,
+        )
+
+    def roll(df, sign):
+        vz = F.coalesce(F.col("v"), F.lit(0)).cast("long")
+        return df.groupBy("s").agg(
+            F.sum(sign).cast("long").alias("n"),
+            F.sum(sign * vz).cast("long").alias("vs"),
+            F.sum(sign * F.col("v").isNotNull().cast("long")).cast("long").alias("nv"),
+        )
+
+    def finish(df):
+        return (
+            df.groupBy("s")
+            .agg(
+                F.sum("n").cast("long").alias("n"),
+                F.sum("vs").cast("long").alias("vs"),
+                F.sum("nv").cast("long").alias("nv"),
+            )
+            .filter(F.col("n") > 0)
+            .select("s", "n", F.when(F.col("nv") > 0, F.col("vs")).alias("v_sum"))
+            .orderBy("s")
+        )
+
+    head_v = V.latest_version(t)
+    sign = F.when(
+        F.col("_change_type").isin("delete", "update_preimage"), F.lit(-1)
+    ).otherwise(F.lit(1))
+    maintained = finish(
+        roll(V.read_versioned(spark, t, version=0), F.lit(1)).unionByName(
+            roll(D.read_change_feed(spark, t, 0, head_v), sign)
+        )
+    )
+    direct = finish(roll(V.read_versioned(spark, t), F.lit(1)))
+    got = [tuple(r) for r in maintained.collect()]
+    want = [tuple(r) for r in direct.collect()]
+    assert got == want, (case, got, want)

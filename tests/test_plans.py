@@ -48,6 +48,14 @@ def test_lsh_join_is_equi(spark, sf_dir):
     assert_no_cartesian(DD.minhash_lsh_pairs(spark, sf_dir))
 
 
+def test_simhash_pair_join_is_equi(spark, sf_dir):
+    """The Hamming-banded self-join must compile to a hash equi-join on
+    (band, key) — a theta/nested-loop plan here is the n² pair space."""
+    df = DD.simhash_near_dup_pairs(spark, sf_dir)
+    assert_no_cartesian(df)
+    assert "Join" in physical_plan(df, "simple")
+
+
 def test_q1_single_shuffle(spark, sf_dir):
     """Scan → partial agg → ONE exchange on the group keys → final agg
     (+ the orderBy's range exchange on 6 rows)."""
