@@ -12,11 +12,19 @@ from .hll_stream import (
     hll_registers,
     write_stream_hll_ingest,
 )
+from .lake_stream import (
+    maintain_rollup_view,
+    present_rollup_view,
+    register as register_lake_cdf,
+)
 
 __all__ = [
     "events_file_stream",
     "hll_register_stream",
     "hll_registers",
+    "maintain_rollup_view",
+    "present_rollup_view",
+    "register_lake_cdf",
     "session_windows",
     "sliding_avg",
     "tumbling_rollup",

@@ -1,0 +1,185 @@
+"""The lake change-feed streaming source (streaming/lake_stream.py):
+source-vs-batch-feed parity, exactly-once maintained views, and
+incremental restarts."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from f1_data_engineering_spark.sources import dml as D
+from f1_data_engineering_spark.sources import versioned as V
+from f1_data_engineering_spark.streaming import lake_stream as LS
+
+
+@pytest.fixture()
+def lake(spark, tmp_path):
+    """Seed (v0) + DELETE (v1) + group-migrating UPDATE (v2) +
+    APPEND (v3) over a (k, g, v) table — every change type."""
+    t = str(tmp_path / "lake")
+    df = spark.range(0, 60).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("g"), (F.col("id") % 3).cast("string")).alias("g"),
+        F.when(F.col("id") % 7 == 0, F.lit(None)).otherwise(F.col("id") * 10).alias("v"),
+    )
+    V.write_versioned(df.repartition(3), t, mode="overwrite")
+    D.delete_where(spark, t, "k % 4 = 1", capture_cdf=True)
+    D.update_where(
+        spark, t, "k % 5 = 2",
+        {"g": "concat('m-', g)", "v": "v + 1"},
+        capture_cdf=True,
+    )
+    late = spark.range(100, 110).select(
+        F.col("id").alias("k"), F.lit("late").alias("g"), F.col("id").alias("v")
+    )
+    V.write_versioned(late, t, mode="append")
+    return t
+
+
+def _drain_to_memory(spark, lake_path, name, starting_version=-1):
+    LS.register(spark)
+    q = (
+        spark.readStream.format("lake_cdf")
+        .option("path", lake_path)
+        .option("starting_version", starting_version)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def test_stream_matches_batch_change_feed(spark, lake):
+    """Every row the streaming source emits (seed included via
+    starting_version=-1) must equal read_change_feed over the same
+    range — multiset equality on full rows."""
+    got = _drain_to_memory(spark, lake, "cdf_all")
+    want = D.read_change_feed(spark, lake, -1, V.latest_version(lake)).select(
+        *got.columns
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # sanity: all four change types crossed the stream
+    types = {r["_change_type"] for r in got.select("_change_type").distinct().collect()}
+    assert types == {"insert", "delete", "update_preimage", "update_postimage"}
+
+
+def test_stream_respects_starting_version(spark, lake):
+    got = _drain_to_memory(spark, lake, "cdf_tail", starting_version=1)
+    vs = sorted(r[0] for r in got.select("_commit_version").distinct().collect())
+    assert vs == [2, 3]
+
+
+def test_maintained_view_equals_recompute(spark, lake, tmp_path):
+    """availableNow drain: the maintained view must equal a rollup
+    recomputed from the head snapshot — incl. NULL measure_sum for
+    all-NULL groups if any."""
+    view = str(tmp_path / "view")
+    ckpt = str(tmp_path / "ckpt")
+    q = LS.maintain_rollup_view(spark, lake, view, ckpt, "g", "v")
+    q.awaitTermination()
+
+    got = [tuple(r) for r in LS.present_rollup_view(spark, view, "g").collect()]
+    head = V.read_versioned(spark, lake).withColumn(
+        "_change_type", F.lit("insert")
+    )
+    want = [
+        tuple(r)
+        for r in LS.signed_view_delta(head, "g", "v")
+        .select(
+            "g",
+            "n_rows",
+            F.when(F.col("n_measure") > 0, F.col("m_sum"))
+            .cast("double")
+            .alias("measure_sum"),
+        )
+        .orderBy(F.col("g").asc_nulls_last())
+        .collect()
+    ]
+    assert got == want and len(got) > 0
+
+
+def test_view_advances_incrementally_and_restart_is_exactly_once(
+    spark, lake, tmp_path
+):
+    """Second drain after new commits processes ONLY the new versions
+    (view advances by one version per micro-batch), and the result
+    still equals a recompute — the checkpoint + batch_id contract."""
+    view = str(tmp_path / "view2")
+    ckpt = str(tmp_path / "ckpt2")
+    LS.maintain_rollup_view(spark, lake, view, ckpt, "g", "v").awaitTermination()
+    v_after_first = V.latest_version(view)
+
+    # more DML, then resume from the same checkpoint
+    D.update_where(spark, lake, "g = 'late'", {"v": "v + 1000"}, capture_cdf=True)
+    D.delete_where(spark, lake, "k % 9 = 0", capture_cdf=True)
+    LS.maintain_rollup_view(spark, lake, view, ckpt, "g", "v").awaitTermination()
+
+    # one new micro-batch → exactly one new view version
+    assert V.latest_version(view) == v_after_first + 1
+
+    got = [tuple(r) for r in LS.present_rollup_view(spark, view, "g").collect()]
+    head = V.read_versioned(spark, lake).withColumn("_change_type", F.lit("insert"))
+    want = [
+        tuple(r)
+        for r in LS.signed_view_delta(head, "g", "v")
+        .select(
+            "g",
+            "n_rows",
+            F.when(F.col("n_measure") > 0, F.col("m_sum"))
+            .cast("double")
+            .alias("measure_sum"),
+        )
+        .orderBy(F.col("g").asc_nulls_last())
+        .collect()
+    ]
+    assert got == want
+
+    # a drain with NO new commits must not add a view version
+    LS.maintain_rollup_view(spark, lake, view, ckpt, "g", "v").awaitTermination()
+    assert V.latest_version(view) == v_after_first + 1
+
+
+def test_replayed_batch_is_noop(spark, lake, tmp_path):
+    """Simulated checkpoint loss: re-running the stream with a FRESH
+    checkpoint replays every batch; the view's batch_id log must make
+    the replay a no-op (no double-applied deltas, no new version)."""
+    view = str(tmp_path / "view3")
+    LS.maintain_rollup_view(
+        spark, lake, view, str(tmp_path / "c1"), "g", "v"
+    ).awaitTermination()
+    v1 = V.latest_version(view)
+    before = [tuple(r) for r in LS.present_rollup_view(spark, view, "g").collect()]
+
+    LS.maintain_rollup_view(
+        spark, lake, view, str(tmp_path / "c2"), "g", "v"
+    ).awaitTermination()
+    assert V.latest_version(view) == v1
+    after = [tuple(r) for r in LS.present_rollup_view(spark, view, "g").collect()]
+    assert after == before
+
+
+def test_overwrite_mid_stream_raises(spark, tmp_path):
+    t = str(tmp_path / "ow")
+    base = spark.range(5).select(
+        F.col("id").alias("k"), F.lit("g").alias("g"), F.col("id").alias("v")
+    )
+    V.write_versioned(base, t, mode="overwrite")
+    V.write_versioned(base, t, mode="overwrite")  # v1: non-seed overwrite
+    LS.register(spark)
+    q = (
+        spark.readStream.format("lake_cdf")
+        .option("path", t)
+        .load()
+        .writeStream.format("memory")
+        .queryName("ow_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="no incremental representation"):
+        q.awaitTermination()
