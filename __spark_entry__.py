@@ -361,6 +361,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_hops_trade": GR.bfs_hops_trade,
         "cc_star_contraction": GR.cc_star_contraction,
         "training_shard_manifest": TP.training_shard_manifest,
+        "epoch_shuffle_plan": TP.epoch_shuffle_plan,
         # round-4d: the composed curation pipeline (quality gate →
         # exact dedup → LSH near-dup prune → decontamination) as ONE
         # declarative plan with per-source stage survival counts
@@ -592,6 +593,7 @@ def oracle_sql() -> dict[str, str]:
         "bfs_hops_trade": GR.ORACLE_BFS,
         "cc_star_contraction": GR.ORACLE_CC_STAR,
         "training_shard_manifest": TP.ORACLE_SHARD_MANIFEST,
+        "epoch_shuffle_plan": TP.ORACLE_EPOCH_SHUFFLE,
         "curation_pipeline": CU.ORACLE_CURATION_PIPELINE,
         "kmeans_exact_lloyd": SIM.ORACLE_KMEANS_EXACT,
         "hll_distinct_users": A4.ORACLE_HLL,

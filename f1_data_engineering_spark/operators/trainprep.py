@@ -1007,3 +1007,58 @@ def write_training_shards(
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# epoch shuffle: deterministic per-epoch training order
+# ---------------------------------------------------------------------------
+
+#: Epoch the registered query plans (any value works; pinned so the
+#: oracle and the Spark side agree).
+SHUFFLE_EPOCH = 2
+
+
+def epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training shuffle: every document gets a
+    (shard, position) for epoch ``SHUFFLE_EPOCH``, derived purely from
+    ``md5('ep#<epoch>#' || doc_id)`` — a seeded hash permutation, the
+    standard trick for reshuffling a 100 TB corpus per epoch WITHOUT
+    materializing a permuted copy (the loader just reads its shard in
+    position order; a different epoch seed is a brand-new order, and
+    the same epoch is bit-reproducible for job restarts).
+
+    Scale shape: shard = hash % N (hash-balanced — no global rank, so
+    no single-partition window); position = row_number within the
+    shard, i.e. ONE shuffle on the shard key and a per-shard sort.
+    The (hash, doc_id) composite order key makes the plan total even
+    under hash collisions.  Contrast with a naive ORDER BY rand():
+    nondeterministic, unseeded per task, and a full global sort.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id",
+        _md5_int(f"ep#{SHUFFLE_EPOCH}#", F.col("doc_id").cast("string")).alias("h"),
+        token_count("text").alias("n_tokens"),
+    )
+    w = W.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        d.withColumn("shard", F.col("h") % N_SHARDS)
+        .withColumn("position", F.row_number().over(w).cast("long") - 1)
+        .select("doc_id", "shard", "position", "n_tokens")
+        .orderBy("shard", "position")
+    )
+
+
+ORACLE_EPOCH_SHUFFLE = f"""
+WITH d AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5('ep#{{epoch}}#' || CAST(doc_id AS VARCHAR)), 1, 15))
+      AS BIGINT) AS h,
+    len({_SQL_TOKENS}) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, h % {N_SHARDS} AS shard,
+  CAST(ROW_NUMBER() OVER (PARTITION BY h % {N_SHARDS} ORDER BY h, doc_id)
+    AS BIGINT) - 1 AS position,
+  CAST(n_tokens AS BIGINT) AS n_tokens
+FROM d ORDER BY shard, position
+""".replace("{epoch}", str(SHUFFLE_EPOCH))

@@ -501,6 +501,9 @@ EXTENDED_DOC_QUERIES = [
     "build_vocab", "bpe_merge_candidates", "pack_sequences",
     "dataset_splits", "chunk_documents", "token_budget_mix",
     "dsir_importance_weights", "decontaminate_ngrams",
+    # seeded-hash epoch permutation: single-doc and duplicate-text
+    # corpora (hash ties broken by doc_id on both engines)
+    "epoch_shuffle_plan",
     "contamination_summary", "minhash_signatures", "minhash_lsh_pairs",
     "simhash_64", "ngram_jaccard_pairs", "prefix_filter_jaccard",
     # banded Hamming join vs the oracle's brute-force all-pairs filter:

@@ -279,3 +279,33 @@ def test_write_training_shards_layout_and_manifest(spark, sf_dir, tmp_path):
             [(int(i),) for i in ids], "doc_id long"
         ).select(TP._shard_col()).distinct().collect()
         assert [r["shard"] for r in got] == [k]
+
+
+def test_epoch_shuffle_plan_invariants(spark, sf_dir):
+    """Seeded permutation properties: positions are a dense 0..n-1
+    sequence per shard; the same epoch is bit-reproducible; a
+    different epoch seed yields a genuinely different order; shards
+    are hash-balanced."""
+    import f1_data_engineering_spark.operators.trainprep as TP
+
+    a = TP.epoch_shuffle_plan(spark, sf_dir).collect()
+    b = TP.epoch_shuffle_plan(spark, sf_dir).collect()
+    assert a == b  # reproducible
+
+    by_shard: dict = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["position"])
+    for shard, pos in by_shard.items():
+        assert pos == list(range(len(pos)))  # dense per-shard order
+    sizes = [len(p) for p in by_shard.values()]
+    n = sum(sizes)
+    assert max(sizes) <= 3 * n // TP.N_SHARDS  # no degenerate skew
+
+    # different epoch = different permutation (flip the seed in place)
+    old = TP.SHUFFLE_EPOCH
+    try:
+        TP.SHUFFLE_EPOCH = old + 1
+        c = TP.epoch_shuffle_plan(spark, sf_dir).collect()
+    finally:
+        TP.SHUFFLE_EPOCH = old
+    assert [r["doc_id"] for r in c] != [r["doc_id"] for r in a]
