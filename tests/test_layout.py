@@ -207,3 +207,40 @@ def test_range_clustered_write_disjoint_footers(spark, sf_dir, tmp_path):
         if f.endswith(".parquet")
     )
     assert total == o.count()
+
+
+def test_zorder_versioned_prunes_both_dims(spark, tmp_path):
+    """OPTIMIZE ZORDER on the versioned lake: after the clustered
+    rewrite, manifest-level file skipping works on BOTH z-ordered
+    dimensions, data is bit-identical, and time travel still reads the
+    pre-optimize layout."""
+    from f1_data_engineering_spark.operators.layout import zorder_versioned
+    from f1_data_engineering_spark.sources import versioned as V
+
+    t = str(tmp_path / "zlake")
+    # 64×64 grid, seeded in a layout that correlates with NEITHER dim
+    # (hash-shuffled), so pre-optimize stats prune nothing
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    V.write_versioned(df.repartition(8, "payload"), t, mode="overwrite")
+
+    before_x = V.read_versioned_pruned(spark, t, "x", 0, 3)
+    assert before_x[1] == before_x[2]  # shuffled layout: nothing skips
+
+    v = zorder_versioned(spark, t, "x", "y", n_files=16)
+    assert v == 1
+
+    after_x, sx, tx = V.read_versioned_pruned(spark, t, "x", 0, 3)
+    after_y, sy, ty = V.read_versioned_pruned(spark, t, "y", 0, 3)
+    assert tx == ty == 16
+    assert sx <= tx // 2 and sy <= ty // 2  # skipping on BOTH dims
+    assert after_x.count() == 4 * 64 and after_y.count() == 4 * 64
+
+    # rewrite is data-identical and history-preserving
+    head = V.read_versioned(spark, t)
+    old = V.read_versioned(spark, t, version=0)
+    assert head.exceptAll(old).count() == 0
+    assert old.exceptAll(head).count() == 0
