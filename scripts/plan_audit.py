@@ -517,6 +517,25 @@ AUDIT += [
         "never a shuffle; compaction materializes the DVs away and the "
         "anti-join disappears from the plan entirely.",
     ),
+    (
+        "simhash_near_dup_pairs",
+        DD.simhash_near_dup_pairs,
+        "Banded Hamming join: the one-long-per-doc signature frame "
+        "explodes to 4 15-bit band keys and self-joins as a HASH EQUI "
+        "join on (band, key) — only band collisions materialize, never "
+        "the n² pair space; the popcount filter is scan-side on the "
+        "joined rows. Lossless for Hamming ≤ 3 by pigeonhole (the "
+        "brute-force oracle re-proves it per run).",
+    ),
+    (
+        "epoch_shuffle_plan",
+        TP.epoch_shuffle_plan,
+        "Seeded-hash epoch permutation: shard = hash % N evaluated "
+        "scan-side (hash-balanced, no global rank), position = "
+        "row_number over a shard-partitioned window — ONE exchange on "
+        "the shard key, per-shard sort only. No rand(), no global sort, "
+        "bit-reproducible per epoch.",
+    ),
 ]
 
 
