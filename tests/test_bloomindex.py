@@ -1,0 +1,110 @@
+"""Per-file Bloom index (sources/bloomindex.py): no false negatives,
+real file skipping on an unclustered key, incremental refresh across
+DML, and DV-correct pruned reads."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from f1_data_engineering_spark.sources import bloomindex as B
+from f1_data_engineering_spark.sources import dml as D
+from f1_data_engineering_spark.sources import versioned as V
+
+
+@pytest.fixture()
+def lake(spark, tmp_path):
+    """1000 rows in 8 files, HASH-shuffled so min/max stats on k are
+    useless (every file spans nearly the whole key range)."""
+    t = str(tmp_path / "tbl")
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 10).alias("g"),
+        (F.col("id") * 3).alias("v"),
+    )
+    V.write_versioned(df.repartition(8, "v"), t, mode="overwrite")
+    return t
+
+
+def test_bloom_prunes_and_never_false_negative(spark, lake):
+    r = B.build_bloom_index(spark, lake, "k")
+    assert r["indexed_now"] == 8
+    pruned_counts = []
+    for k in (0, 1, 137, 500, 999):
+        df, scanned, total = B.read_versioned_bloom_pruned(spark, lake, "k", k)
+        rows = df.collect()
+        assert [x["k"] for x in rows] == [k]  # exact result survives pruning
+        assert total == 8
+        pruned_counts.append(scanned)
+    # a point key lives in ONE file; with ~125 values/file at m=8192
+    # the FP rate is tiny — expect ~1 file scanned, allow FP slack
+    assert max(pruned_counts) <= 3
+    # a value NOT in the table: bloom proves absence almost everywhere
+    df, scanned, total = B.read_versioned_bloom_pruned(spark, lake, "k", 10**9)
+    assert df.count() == 0 and scanned <= 2
+
+
+def test_min_max_stats_cannot_prune_this_layout(spark, lake):
+    """The motivating contrast: on the hash-shuffled layout, manifest
+    [min, max] skipping scans everything for the same point lookup."""
+    _, scanned, total = V.read_versioned_pruned(spark, lake, "k", 137, 137)
+    assert scanned == total == 8
+
+
+def test_incremental_refresh_after_append_and_dml(spark, lake):
+    B.build_bloom_index(spark, lake, "k")
+    late = spark.range(2000, 2100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 10).alias("g"),
+        (F.col("id") * 3).alias("v"),
+    )
+    V.write_versioned(late, lake, mode="append")
+    D.update_where(spark, lake, "k % 100 = 7", {"v": "v + 1"})
+
+    # unindexed new/rewritten files are conservatively scanned but the
+    # result is still exact
+    df, scanned, total = B.read_versioned_bloom_pruned(spark, lake, "k", 2050)
+    assert [x["k"] for x in df.collect()] == [2050]
+    assert scanned < total  # old indexed files still prune
+
+    # refresh indexes ONLY the missing files
+    before = json.loads(open(B._index_path(lake, "k")).read())["files"]
+    r = B.build_bloom_index(spark, lake, "k")
+    after = json.loads(open(B._index_path(lake, "k")).read())["files"]
+    assert r["indexed_now"] > 0
+    assert all(after[f] == bm for f, bm in before.items())  # old untouched
+    df, scanned, total = B.read_versioned_bloom_pruned(spark, lake, "k", 2050)
+    assert [x["k"] for x in df.collect()] == [2050] and scanned <= 3
+
+    # updated row found through the rewritten (re-indexed) file
+    df, _, _ = B.read_versioned_bloom_pruned(spark, lake, "k", 107)
+    assert [(x["k"], x["v"]) for x in df.collect()] == [(107, 107 * 3 + 1)]
+
+
+def test_bloom_pruned_read_applies_deletion_vectors(spark, lake):
+    B.build_bloom_index(spark, lake, "k")
+    D.delete_where_mor(spark, lake, "k = 137")
+    df, scanned, total = B.read_versioned_bloom_pruned(spark, lake, "k", 137)
+    assert df.count() == 0  # DV applied even on the pruned scan
+    assert scanned <= 3  # and the bloom still pruned
+
+    # neighbors still found
+    df, _, _ = B.read_versioned_bloom_pruned(spark, lake, "k", 138)
+    assert df.count() == 1
+
+
+def test_string_keys_and_missing_index(spark, tmp_path):
+    t = str(tmp_path / "s")
+    df = spark.createDataFrame(
+        [(f"user-{i}", i) for i in range(200)], "u string, n long"
+    )
+    V.write_versioned(df.repartition(4, "n"), t, mode="overwrite")
+    # no index yet: scans all, still exact
+    got, scanned, total = B.read_versioned_bloom_pruned(spark, t, "u", "user-55")
+    assert got.count() == 1 and scanned == total == 4
+    B.build_bloom_index(spark, t, "u")
+    got, scanned, total = B.read_versioned_bloom_pruned(spark, t, "u", "user-55")
+    assert got.count() == 1 and scanned <= 2
