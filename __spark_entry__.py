@@ -56,6 +56,7 @@ from f1_data_engineering_spark.operators import analytics6 as A6
 from f1_data_engineering_spark.operators import curation_incremental as CI
 from f1_data_engineering_spark.operators import analytics7 as A7
 from f1_data_engineering_spark.operators import lakedml as LD
+from f1_data_engineering_spark.operators import lakeperf as LP
 from f1_data_engineering_spark.streaming import join_stream as JS
 
 
@@ -335,6 +336,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dml_change_feed_orders": LD.dml_change_feed_orders,
         "schema_evolution_orders": LD.schema_evolution_orders,
         "cdc_apply_rollup_orders": LD.cdc_apply_rollup_orders,
+        "bloom_point_lookup_orders": LP.bloom_point_lookup_orders,
+        "zorder_pruning_orders": LP.zorder_pruning_orders,
         "scd2_point_in_time": MG.scd2_point_in_time,
         # profiling / sampling / sketches
         "profile_orders": PF.profile_orders,
@@ -574,6 +577,8 @@ def oracle_sql() -> dict[str, str]:
         "dml_change_feed_orders": LD.ORACLE_DML_CDF,
         "schema_evolution_orders": LD.ORACLE_SCHEMA_EVOLUTION,
         "cdc_apply_rollup_orders": LD.ORACLE_CDC_APPLY,
+        "bloom_point_lookup_orders": LP.ORACLE_BLOOM_LOOKUP,
+        "zorder_pruning_orders": LP.ORACLE_ZORDER_PRUNING,
         "scd2_point_in_time": MG.ORACLE_SCD2_PIT,
         "profile_orders": PF.ORACLE_PROFILE_ORDERS,
         "sketch_summary": PF.ORACLE_SKETCH_SUMMARY,

@@ -207,6 +207,10 @@ BENCH_QUERIES = (
     # changes, never rescans the final snapshot)
     "simhash_near_dup_pairs",
     "cdc_apply_rollup_orders",
+    # round-8c: access paths — Bloom point lookups and z-order range
+    # pruning, each with the skip-path asserted inside the query
+    "bloom_point_lookup_orders",
+    "zorder_pruning_orders",
 )
 
 
