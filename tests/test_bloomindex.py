@@ -108,3 +108,51 @@ def test_string_keys_and_missing_index(spark, tmp_path):
     B.build_bloom_index(spark, t, "u")
     got, scanned, total = B.read_versioned_bloom_pruned(spark, t, "u", "user-55")
     assert got.count() == 1 and scanned <= 2
+
+
+# ---------------------------------------------------------------------------
+# property fuzz: no false negatives, exact results, for arbitrary tables
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+def _n_examples(default: int) -> int:
+    base = int(_os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "0"))
+    return max(1, round(base * default / 8)) if base else default
+
+
+_counter = [0]
+
+
+@settings(
+    max_examples=_n_examples(6),
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    keys=st.lists(
+        st.one_of(st.none(), st.integers(-50, 50)), min_size=1, max_size=60
+    ),
+    n_files=st.integers(1, 5),
+    probes=st.lists(st.integers(-60, 60), min_size=1, max_size=6),
+)
+def test_bloom_lookup_fuzz_exactness(spark, tmp_path_factory, keys, n_files, probes):
+    """For ANY table (NULL keys, duplicate keys, negative keys, single
+    file) and ANY probe (present, absent, never-inserted-range): the
+    bloom-pruned lookup must return exactly the full-scan filter's
+    rows.  False negatives — the one thing a Bloom filter must never
+    produce — would surface here as missing rows."""
+    _counter[0] += 1
+    t = str(tmp_path_factory.mktemp("bfz") / f"t{_counter[0]}")
+    rows = [(k, i) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(rows, "k long, rid long")
+    V.write_versioned(df.repartition(n_files), t, mode="overwrite")
+    B.build_bloom_index(spark, t, "k")
+    for p in probes:
+        got, scanned, total = B.read_versioned_bloom_pruned(spark, t, "k", p)
+        want = sorted(rid for k, rid in rows if k == p)
+        assert sorted(x["rid"] for x in got.collect()) == want
+        assert 0 <= scanned <= total
