@@ -108,20 +108,13 @@ MAX_GREEN_AGE_ROUNDS = 3
 
 #: Oracles whose TEXT changed this round — a green row under the old
 #: text does not attest the new one, so these re-enter the window right
-#: after the never-green block.  Rewrite per round.  Round 8:
-#: sketch_summary's oracle joins the HLL leg null-safely and pins NULLS
-#: LAST (advice r7 item 2); filtered_ann_topk's sim keys moved from
-#: native ROUND to the shortest-repr _oracle_round recipe (judge r7
-#: item 3); ann_topk_vectorized's registered shape moved to 500 queries
-#: with the BLAS path pinned (judge r7 item 4 — the new auto-dispatch
-#: would delegate the old 5-query shape to the exact fold, and 500 is
-#: the regime the operator exists for), so its oracle now scans
-#: vec_id < 500.
-CHANGED_ORACLES = {
-    "sketch_summary",
-    "filtered_ann_topk",
-    "ann_topk_vectorized",
-}
+#: after the never-green block.  Rewrite per round.  Round 9: no oracle
+#: text changed — the round is hardening (DML NULL-key merge guard,
+#: vacuum DV/CDF retention, bench isolation), none of which touches an
+#: oracle string, so the whole 50-slot window goes to the age-capped
+#: cohort (the 38 names last driver-verified in round 4, per VERDICT r8
+#: item 1, rank in automatically, oldest first).
+CHANGED_ORACLES: set[str] = set()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

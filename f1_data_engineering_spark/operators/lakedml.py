@@ -5,7 +5,8 @@ states so DuckDB can re-derive them declaratively.
 
 Reference parity: the reference has no table format — its closest
 shape is rewriting whole CSV trees per session
-(src/load/f1_dataLoader.py); these operators are the lakehouse-grade
+(src/transform/f1_dataTransformer.py:210-230); these operators are
+the lakehouse-grade
 replacement (VERDICT r7 "What's missing" item 3).
 
 Verification shape: the DML path commits actual rewrite versions

@@ -1,7 +1,8 @@
 """Row-level DML on the versioned lake: DELETE / UPDATE / MERGE as
 table mutations (copy-on-write), the piece a lakehouse user reaches
 for first beyond append/overwrite (reference has no table format at
-all — its "update" is rewriting CSV trees, src/load/f1_dataLoader.py;
+all — its "update" is rewriting whole CSV trees,
+src/transform/f1_dataTransformer.py:210-230;
 this is the engine-level replacement).
 
 Algorithm (the same shape Delta/Iceberg copy-on-write uses):

@@ -8,7 +8,8 @@ downstream consumer subscribes to a lake table and keeps a
 materialized aggregate current by applying row-level changes, never
 rescanning the table.  The reference has no table format at all — its
 closest shape is re-reading whole CSV trees per session
-(src/load/f1_dataLoader.py); this is the Delta-CDF-style replacement.
+(src/transform/f1_dataTransformer.py:210-230); this is the
+Delta-CDF-style replacement.
 
 Design, scale-first:
 
