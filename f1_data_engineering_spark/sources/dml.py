@@ -341,11 +341,14 @@ def merge_into(
     "files_rewritten", "files_total"}``.
 
     Source-cardinality guard: if more than one source row matches the
-    same target key the result would be nondeterministic, so the merge
-    raises — the same contract as Delta's
-    DELTA_MULTIPLE_SOURCE_ROW_MATCHING error.  NULL join keys never
-    match (SQL join semantics): such source rows insert, such target
-    rows pass through.
+    same TARGET row the matched action would be nondeterministic, so
+    the merge raises — the same contract as Delta's
+    DELTA_MULTIPLE_SOURCE_ROW_MATCHING error.  Like Delta's, the guard
+    fires only on keys that actually match a target row and only when
+    a matched action (update/delete) exists: NULL join keys never
+    match (SQL join semantics), so NULL-key source rows — even several
+    of them — simply insert; duplicate non-matching keys insert one
+    row each (MERGE does not dedupe inserts).
 
     Only files containing at least one matched key are rewritten; the
     match scan is ``target ⋉ source`` on the key columns — broadcast
@@ -354,14 +357,28 @@ def merge_into(
     """
     if when_matched_update and when_matched_delete:
         raise ValueError("choose ONE matched action: update or delete")
-    dup = source.groupBy(*on).count().filter(F.col("count") > 1).limit(1)
-    if dup.count() > 0:
-        raise ValueError(
-            "source has multiple rows per merge key — resolve (e.g. "
-            "latest-wins dedup) before merging"
-        )
     snap = _snapshot_files(path, None)
     df = _scan_with_file(spark, path, snap)
+    if when_matched_update or when_matched_delete:
+        # duplicate check over keys that MATCH a target row only: the
+        # inner semi-join drops NULL keys for free (equality join
+        # semantics), and duplicate never-matching keys are legal —
+        # they take the insert branch, where multiplicity is
+        # well-defined.  Cost: one semi-join of the (small) source
+        # against distinct target keys, same scan shape the touched-
+        # file probe below plans anyway.
+        dup = (
+            source.join(df.select(*on).distinct(), on, "left_semi")
+            .groupBy(*on)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+        )
+        if dup.count() > 0:
+            raise ValueError(
+                "source has multiple rows matching the same target merge "
+                "key — resolve (e.g. latest-wins dedup) before merging"
+            )
     tcols = [c for c in df.columns if c not in _META]
     types = dict(df.drop(*_META).dtypes)
     if when_matched_update is None and not when_matched_delete:

@@ -135,8 +135,44 @@ def test_merge_duplicate_source_keys_raise(spark, lake):
     src = spark.createDataFrame(
         [(50, 1, "a"), (50, 2, "b")], "k long, v long, s string"
     )
-    with pytest.raises(ValueError, match="multiple rows per merge key"):
+    with pytest.raises(ValueError, match="multiple rows matching"):
         D.merge_into(spark, lake, src, on=["k"], when_matched_update={"v": "s.v"})
+
+
+def test_merge_duplicate_nonmatching_keys_insert(spark, lake):
+    """The cardinality guard fires only on keys that MATCH a target
+    row (Delta semantics): duplicate NULL keys and duplicate
+    never-matching keys are legal merge sources — each row inserts."""
+    src = spark.createDataFrame(
+        [
+            (None, 1, "n"),
+            (None, 2, "n"),  # duplicate NULL keys: never match
+            (900, 3, "h"),
+            (900, 4, "h"),  # duplicate non-matching key: both insert
+            (50, 5, "m"),  # single matching key: updates
+        ],
+        "k long, v long, s string",
+    )
+    r = D.merge_into(spark, lake, src, on=["k"], when_matched_update={"v": "s.v"})
+    assert (r["n_updated"], r["n_inserted"]) == (1, 4)
+    snap = V.read_versioned(spark, lake)
+    assert snap.filter("k = 50").first()["v"] == 5
+    assert sorted(x["v"] for x in snap.filter("k = 900").collect()) == [3, 4]
+    assert snap.filter("k IS NULL").count() == 2
+
+
+def test_merge_insert_only_ignores_duplicate_matching_keys(spark, lake):
+    """With no matched action there is nothing nondeterministic about
+    duplicate matching keys (matched rows are untouched), so
+    insert-if-absent must not raise — also Delta's behavior."""
+    src = spark.createDataFrame(
+        [(50, 1, "a"), (50, 2, "b"), (901, 9, "i")], "k long, v long, s string"
+    )
+    r = D.merge_into(spark, lake, src, on=["k"])  # no matched action
+    assert (r["n_updated"], r["n_deleted"], r["n_inserted"]) == (0, 0, 1)
+    snap = V.read_versioned(spark, lake)
+    assert snap.filter("k = 50").first()["v"] == 100  # untouched
+    assert snap.filter("k = 901").count() == 1
 
 
 def test_merge_null_keys_never_match(spark, tmp_path):

@@ -95,13 +95,18 @@ def _dml_case(draw):
         "pred_del": draw(st.sampled_from(_PREDICATES)),
         "pred_upd": draw(st.sampled_from(_PREDICATES)),
         "assign": draw(st.sampled_from(_ASSIGNMENTS)),
-        # merge source keys: deduped (the cardinality guard is a
-        # documented raise, tested separately)
+        # merge source keys: match-able keys deduped (duplicate
+        # MATCHING keys are a documented raise, tested separately) —
+        # but duplicate NULL keys and duplicate never-matching keys
+        # (table keys stop at 20; 90+ never match) are LEGAL per the
+        # guard's Delta-aligned contract: each such row inserts
         "src_keys": sorted(
             set(draw(st.lists(st.one_of(st.none(), st.integers(0, 25)),
                               max_size=8))),
             key=lambda x: (x is None, x),
         ),
+        "src_extra_nulls": draw(st.integers(0, 2)),
+        "src_dup_high": draw(st.integers(0, 2)),
     }
 
 
@@ -190,8 +195,12 @@ def test_update_then_merge_oracle_and_feed_replay(spark, fuzz_dir, case):
     )
     assert not problems, (case["pred_upd"], assign_spark, problems)
 
-    # merge: source rows (k, -1, 'm') for the deduped key sample
+    # merge: source rows (k, -1, 'm') for the deduped key sample, plus
+    # duplicate NULL-key and duplicate never-matching rows (distinct v
+    # so the differential would catch a dropped or double-applied row)
     src_rows = [(k, -1, "m") for k in case["src_keys"]]
+    src_rows += [(None, -10 - i, "n") for i in range(case["src_extra_nulls"])]
+    src_rows += [(99, -20 - i, "h") for i in range(case["src_dup_high"])]
     if src_rows:
         src = spark.createDataFrame(src_rows, "k long, v long, s string")
         D.merge_into(
@@ -203,8 +212,8 @@ def test_update_then_merge_oracle_and_feed_replay(spark, fuzz_dir, case):
             capture_cdf=True,
         )
         vals = ",".join(
-            f"({'NULL' if k is None else k}, -1, 'm')"
-            for k in case["src_keys"]
+            f"({'NULL' if k is None else k}, {v}, '{s}')"
+            for k, v, s in src_rows
         )
         con.execute(
             "CREATE VIEW src AS SELECT CAST(k AS BIGINT) AS k, "
@@ -271,6 +280,8 @@ def test_feed_signed_rollup_maintenance(spark, fuzz_dir, case):
     D.delete_where(spark, t, case["pred_del"], capture_cdf=True)
     D.update_where(spark, t, case["pred_upd"], case["assign"][0], capture_cdf=True)
     src_rows = [(k, -1, "m") for k in case["src_keys"]]
+    src_rows += [(None, -10 - i, "n") for i in range(case["src_extra_nulls"])]
+    src_rows += [(99, -20 - i, "h") for i in range(case["src_dup_high"])]
     if src_rows:
         src = spark.createDataFrame(src_rows, "k long, v long, s string")
         D.merge_into(
