@@ -29,10 +29,13 @@ from ..sources.registry import load_table
 from .lakedml import _ck_hash, _pin, _state_summary
 from .layout import zorder_versioned
 
-#: Target rows per data file for the scratch lakes — keeps per-file
-#: distinct-key counts far below the Bloom bitmap capacity (m=2^13) at
-#: every SF, so the false-positive rate stays ~0-5% and the in-query
-#: pruning assertions hold with wide margins.
+#: Target rows per data file for the scratch lakes.  Worst case for
+#: the Bloom index is ~2000 DISTINCT keys/file (hash-shuffled orders
+#: at the larger SFs), which at m=2^14, k=6 is a ~2% false-positive
+#: rate ((1-e^(-kn/m))^k) — a ~25× margin under the scanned ≤ total/2
+#: sentinel assertions below.  (At the former m=2^13 the same load was
+#: ~20% FP — a real rate the 1/2 bound still absorbed, but with ~4×
+#: less headroom than the comments claimed; advice r8.)
 _ROWS_PER_FILE = 2000
 
 
@@ -54,7 +57,7 @@ def bloom_point_lookup_orders(
     probed key, incl. the sentinel's empty row); the query itself
     asserts the skip-path: the absent key's scan count is pure false
     positives and must stay under half the file count (at the sized
-    ~2000 rows/file the expected FP rate is ≈0-5%), which a saturated
+    ~2000 rows/file the expected FP rate is ≈2%), which a saturated
     bitmap, a hash mismatch between build and probe, or a manifest
     regression would all violate.
     """

@@ -286,6 +286,20 @@ def zorder_versioned(
         F.min(col_y).alias("miny"),
         F.max(col_y).alias("maxy"),
     ).first()
+    # min/max of an entirely-NULL (or zero-row) column is NULL — there
+    # is no z-space to quantize into, and silently proceeding would be
+    # a TypeError on None arithmetic below.  Fail with the column
+    # named; callers wanting a layout-only rewrite of such a table
+    # should use compact_versioned (advice r8).
+    all_null = [
+        c for c, lo in ((col_x, b["minx"]), (col_y, b["miny"])) if lo is None
+    ]
+    if all_null:
+        raise ValueError(
+            f"zorder_versioned: column(s) {all_null} have no non-NULL "
+            "values in the current snapshot — no z-order bounds exist; "
+            "use compact_versioned for a layout-only rewrite"
+        )
     n_buckets = F.lit(1 << bits).cast("long")
     qx = (
         (F.col(col_x) - F.lit(b["minx"]))

@@ -33,10 +33,16 @@ and by ``hashlib`` at probe time — identical by construction, which
 ``tests/test_bloomindex.py`` pins along with the no-false-negative
 property under appends, CoW rewrites, and MoR deletes.
 
-Sizing: m = 2^13 bits and k = 6 give a ~0.3% false-positive rate at
-~800 distinct values/file and ~1 KB/file of index — at 100 TB /
-1 GB files that is ~100 MB of manifest for the whole table, read once
-per lookup (or cached on the driver).
+Sizing: m = 2^14 bits and k = 6 give a false-positive rate of
+~0.03% at ~800 distinct values/file and ~2% at ~2000 (the standard
+(1 - e^(-kn/m))^k estimate; k = 6 is within rounding of the optimal
+(m/n)·ln 2 at n = 2000), at 2 KB/file of index — at 100 TB / 1 GB
+files that is ~200 MB of manifest for the whole table, read once per
+lookup (or cached on the driver).  The in-query pruning assertions in
+``operators/lakeperf.py`` bound an absent key's scan at HALF the
+files, so even the 2000-values/file regime carries a ~25× margin.
+An existing manifest built under a different (m, k) is detected and
+rebuilt from scratch (the sizes are stored per manifest).
 """
 
 from __future__ import annotations
@@ -56,7 +62,7 @@ from .versioned import (
 )
 
 #: Bits per file bitmap (power of two) and hash-function count.
-BLOOM_M = 1 << 13
+BLOOM_M = 1 << 14
 BLOOM_K = 6
 
 _WORDS = BLOOM_M // 64
@@ -146,6 +152,19 @@ def build_bloom_index(spark: SparkSession, path: str, column: str) -> dict:
             for p in by_file.get(f, []):
                 words[p // 64] |= 1 << (p % 64)
             man["files"][f] = words
+    # merge-then-publish: a concurrent builder (same column, different
+    # DML) may have published while we scanned — re-load and keep its
+    # entries for files we did not index ourselves, so last-writer-wins
+    # cannot silently drop them (advice r8).  Bitmaps for the SAME file
+    # are identical by construction (pure function of file contents),
+    # so ours win harmlessly; a racing publish between this re-load and
+    # the rename can still lose entries, but only back to the
+    # conservative scan-everything baseline — correctness never depends
+    # on the manifest.
+    fresh = _load_manifest(path, column)
+    if fresh and fresh["m"] == BLOOM_M and fresh["k"] == BLOOM_K:
+        for f, words in fresh["files"].items():
+            man["files"].setdefault(f, words)
     # atomic publish: tmp + rename (the manifest is advisory, but a
     # torn read must never look like a valid, emptier index)
     ip = _index_path(path, column)

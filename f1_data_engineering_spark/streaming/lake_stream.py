@@ -115,11 +115,30 @@ def _feed_slices(
 
 
 class LakeCDFStreamReader(DataSourceStreamReader):
-    """Change-feed stream reader: offsets are commit versions."""
+    """Change-feed stream reader: offsets are commit versions.
+
+    Two ways to bound the start, matching the two conventions in the
+    wild (advice r8): ``starting_version`` is INCLUSIVE — the stream's
+    first batch includes that commit, exactly like Delta's
+    ``startingVersion`` — while ``after_version`` is EXCLUSIVE (stream
+    strictly-newer commits; the natural form when the caller holds the
+    last version it already applied).  They are aliases related by
+    ``starting_version = after_version + 1``; passing both raises.
+    Default: everything from the seed commit (version 0) on.
+    """
 
     def __init__(self, options: dict) -> None:
         self.path = options["path"]
-        self.start_version = int(options.get("starting_version", -1))
+        if "starting_version" in options and "after_version" in options:
+            raise ValueError(
+                "pass either starting_version (inclusive) or "
+                "after_version (exclusive), not both"
+            )
+        if "starting_version" in options:
+            # Delta convention: the named version IS streamed
+            self.start_version = int(options["starting_version"]) - 1
+        else:
+            self.start_version = int(options.get("after_version", -1))
         # column ORDER is pinned at stream start from the log's union
         # schema; files from before an additive evolution surface the
         # missing columns as NULL (same contract as snapshot reads)

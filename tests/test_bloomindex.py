@@ -39,7 +39,7 @@ def test_bloom_prunes_and_never_false_negative(spark, lake):
         assert [x["k"] for x in rows] == [k]  # exact result survives pruning
         assert total == 8
         pruned_counts.append(scanned)
-    # a point key lives in ONE file; with ~125 values/file at m=8192
+    # a point key lives in ONE file; with ~125 values/file at m=2^14
     # the FP rate is tiny — expect ~1 file scanned, allow FP slack
     assert max(pruned_counts) <= 3
     # a value NOT in the table: bloom proves absence almost everywhere
@@ -156,3 +156,34 @@ def test_bloom_lookup_fuzz_exactness(spark, tmp_path_factory, keys, n_files, pro
         want = sorted(rid for k, rid in rows if k == p)
         assert sorted(x["rid"] for x in got.collect()) == want
         assert 0 <= scanned <= total
+
+
+def test_build_merges_concurrent_publish(spark, lake, monkeypatch):
+    """A manifest published by a concurrent builder between our
+    initial load and our publish must survive the merge-then-publish
+    step (advice r8): its entries for files we did not index ourselves
+    are kept, not last-writer-wins dropped."""
+    other = {
+        "column": "k",
+        "m": B.BLOOM_M,
+        "k": B.BLOOM_K,
+        "files": {"concurrent-writer.parquet": [0] * (B.BLOOM_M // 64)},
+    }
+    real_load = B._load_manifest
+    calls = {"n": 0}
+
+    def racing_load(path, column):
+        calls["n"] += 1
+        # 1st call (build start): nothing published yet; 2nd call
+        # (pre-publish re-load): the other builder has won the race
+        return None if calls["n"] == 1 else other
+    monkeypatch.setattr(B, "_load_manifest", racing_load)
+    B.build_bloom_index(spark, lake, "k")
+    monkeypatch.setattr(B, "_load_manifest", real_load)
+
+    man = B._load_manifest(lake, "k")
+    assert "concurrent-writer.parquet" in man["files"]
+    assert len(man["files"]) == 9  # 8 snapshot files + the merged one
+    # and the merged manifest still prunes / answers exactly
+    got, scanned, total = B.read_versioned_bloom_pruned(spark, lake, "k", 137)
+    assert [x["k"] for x in got.collect()] == [137]

@@ -38,13 +38,13 @@ def lake(spark, tmp_path):
     return t
 
 
-def _drain_to_memory(spark, lake_path, name, starting_version=-1):
+def _drain_to_memory(spark, lake_path, name, **opts):
     LS.register(spark)
+    reader = spark.readStream.format("lake_cdf").option("path", lake_path)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
     q = (
-        spark.readStream.format("lake_cdf")
-        .option("path", lake_path)
-        .option("starting_version", starting_version)
-        .load()
+        reader.load()
         .writeStream.format("memory")
         .queryName(name)
         .trigger(availableNow=True)
@@ -55,9 +55,9 @@ def _drain_to_memory(spark, lake_path, name, starting_version=-1):
 
 
 def test_stream_matches_batch_change_feed(spark, lake):
-    """Every row the streaming source emits (seed included via
-    starting_version=-1) must equal read_change_feed over the same
-    range — multiset equality on full rows."""
+    """Every row the streaming source emits (seed included by
+    default) must equal read_change_feed over the same range —
+    multiset equality on full rows."""
     got = _drain_to_memory(spark, lake, "cdf_all")
     want = D.read_change_feed(spark, lake, -1, V.latest_version(lake)).select(
         *got.columns
@@ -69,10 +69,37 @@ def test_stream_matches_batch_change_feed(spark, lake):
     assert types == {"insert", "delete", "update_preimage", "update_postimage"}
 
 
-def test_stream_respects_starting_version(spark, lake):
-    got = _drain_to_memory(spark, lake, "cdf_tail", starting_version=1)
+def test_stream_respects_after_version(spark, lake):
+    """after_version is EXCLUSIVE: stream strictly-newer commits."""
+    got = _drain_to_memory(spark, lake, "cdf_tail", after_version=1)
     vs = sorted(r[0] for r in got.select("_commit_version").distinct().collect())
     assert vs == [2, 3]
+
+
+def test_stream_starting_version_is_inclusive_like_delta(spark, lake):
+    """starting_version follows Delta's startingVersion convention:
+    the named commit itself IS streamed (advice r8 — callers porting
+    Delta habits must not silently drop one commit)."""
+    got = _drain_to_memory(spark, lake, "cdf_tail_incl", starting_version=2)
+    vs = sorted(r[0] for r in got.select("_commit_version").distinct().collect())
+    assert vs == [2, 3]
+
+
+def test_stream_both_start_options_raise(spark, lake):
+    LS.register(spark)
+    with pytest.raises(Exception, match="not both"):
+        (
+            spark.readStream.format("lake_cdf")
+            .option("path", lake)
+            .option("starting_version", 1)
+            .option("after_version", 1)
+            .load()
+            .writeStream.format("memory")
+            .queryName("cdf_both")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
 
 
 def test_maintained_view_equals_recompute(spark, lake, tmp_path):

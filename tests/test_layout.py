@@ -244,3 +244,24 @@ def test_zorder_versioned_prunes_both_dims(spark, tmp_path):
     old = V.read_versioned(spark, t, version=0)
     assert head.exceptAll(old).count() == 0
     assert old.exceptAll(head).count() == 0
+
+
+def test_zorder_versioned_all_null_column_raises(spark, tmp_path):
+    """An entirely-NULL z-order column has no bounds: the op must fail
+    with the column named (advice r8 — previously a TypeError on None
+    arithmetic), leaving the table unmodified."""
+    import pytest
+
+    from f1_data_engineering_spark.operators.layout import zorder_versioned
+    from f1_data_engineering_spark.sources import versioned as V
+
+    t = str(tmp_path / "znull")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("x"),
+        F.lit(None).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    V.write_versioned(df, t, mode="overwrite")
+    with pytest.raises(ValueError, match=r"\['y'\].*no z-order bounds"):
+        zorder_versioned(spark, t, "x", "y", n_files=4)
+    assert V.latest_version(t) == 0  # nothing was committed
