@@ -67,6 +67,7 @@ from .versioned import (
     _log_path,
     _snapshot_files,
     _stage_files,
+    _vacuum_tombstones,
     read_versioned,
 )
 
@@ -586,9 +587,26 @@ def read_change_feed(
     if to_version > hi:
         raise ValueError(f"version {to_version} does not exist (head={hi})")
     es = [e for e in all_es if from_version < e["version"] <= to_version]
+    dead = _vacuum_tombstones(path)
     parts: list[DataFrame] = []
     for e in es:
         v = e["version"]
+        # only the files this commit's feed actually reads: data files
+        # for append / the v0 seed (they ARE the insert rows), CDF
+        # sidecars for rewrite / dv (their data files may leave the
+        # retained snapshots without affecting feed readability)
+        needed = (
+            e.get("files", ())
+            if e["action"] in ("append", "overwrite")
+            else e.get("cdf_files", ())
+        )
+        gone = dead & set(needed)
+        if gone:
+            raise ValueError(
+                f"change feed for v{v} was vacuumed ({sorted(gone)[0]} "
+                "and possibly more removed) — re-run vacuum with a "
+                "larger retain_cdf_versions to keep feed history"
+            )
         if e["action"] == "overwrite":
             if v == 0 and e is all_es[0]:
                 # the seeding commit: every row is an insert

@@ -87,6 +87,7 @@ def _feed_slices(
     """Input partitions for commit range ``(lo, hi]`` — log metadata
     only, no data IO."""
     all_es = V._entries(path)
+    dead = V._vacuum_tombstones(path)
     parts: list[_FeedSlice] = []
     for e in all_es:
         v = e["version"]
@@ -109,6 +110,14 @@ def _feed_slices(
                     "capture_cdf=True — no change feed recorded"
                 )
             ct = None
+        gone = dead & set(files)
+        if gone:
+            raise ValueError(
+                f"change feed for v{v} was vacuumed ({sorted(gone)[0]} "
+                "and possibly more removed) — start the stream after "
+                "the vacuumed range or vacuum with a larger "
+                "retain_cdf_versions"
+            )
         for f in files:
             parts.append(_FeedSlice(os.path.join(path, f), ct, v, columns))
     return parts
