@@ -108,11 +108,12 @@ MAX_GREEN_AGE_ROUNDS = 3
 
 #: Oracles whose TEXT changed this round — a green row under the old
 #: text does not attest the new one, so these re-enter the window right
-#: after the never-green block.  Rewrite per round.  Round 9: no oracle
-#: text changed — the round is hardening (DML NULL-key merge guard,
-#: vacuum DV/CDF retention, bench isolation), none of which touches an
-#: oracle string, so the whole 50-slot window goes to the age-capped
-#: cohort (the 38 names last driver-verified in round 4, per VERDICT r8
+#: after the never-green block.  Rewrite per round.  Round 9: no
+#: EXISTING oracle text changed — the round is hardening (DML NULL-key
+#: merge guard, vacuum DV/CDF retention, bench isolation) plus one new
+#: query (lake_restore_orders, never-green so it ranks first anyway),
+#: so the rest of the 50-slot window goes to the age-capped cohort
+#: (the 38 names last driver-verified in round 4, per VERDICT r8
 #: item 1, rank in automatically, oldest first).
 CHANGED_ORACLES: set[str] = set()
 
@@ -331,6 +332,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply_rollup_orders": LD.cdc_apply_rollup_orders,
         "bloom_point_lookup_orders": LP.bloom_point_lookup_orders,
         "zorder_pruning_orders": LP.zorder_pruning_orders,
+        # round-9: RESTORE TABLE ... TO VERSION AS OF (log-arithmetic
+        # rollback, no data copied; in-query asserts by-reference)
+        "lake_restore_orders": LD.lake_restore_orders,
         "scd2_point_in_time": MG.scd2_point_in_time,
         # profiling / sampling / sketches
         "profile_orders": PF.profile_orders,
@@ -572,6 +576,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_apply_rollup_orders": LD.ORACLE_CDC_APPLY,
         "bloom_point_lookup_orders": LP.ORACLE_BLOOM_LOOKUP,
         "zorder_pruning_orders": LP.ORACLE_ZORDER_PRUNING,
+        "lake_restore_orders": LD.ORACLE_LAKE_RESTORE,
         "scd2_point_in_time": MG.ORACLE_SCD2_PIT,
         "profile_orders": PF.ORACLE_PROFILE_ORDERS,
         "sketch_summary": PF.ORACLE_SKETCH_SUMMARY,

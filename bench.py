@@ -218,6 +218,10 @@ BENCH_QUERIES = (
     # pruning, each with the skip-path asserted inside the query
     "bloom_point_lookup_orders",
     "zorder_pruning_orders",
+    # round-9: RESTORE TO VERSION AS OF (pure log arithmetic — the
+    # timing is ~all scratch seeding + the two DML commits; the
+    # restore itself is metadata-only)
+    "lake_restore_orders",
 )
 
 #: Scratch-lake builder queries (they seed a lake + run maintenance
@@ -233,6 +237,7 @@ LAKE_QUERIES = (
     "cdc_apply_rollup_orders",
     "bloom_point_lookup_orders",
     "zorder_pruning_orders",
+    "lake_restore_orders",
 )
 
 #: Access-path queries whose registered wall time is ~95% harness

@@ -650,3 +650,99 @@ SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_rows,
 FROM final GROUP BY o_orderpriority
 ORDER BY o_orderpriority NULLS LAST
 """
+
+
+def lake_restore_orders(
+    spark: SparkSession, sf_dir: str, work_dir: str | None = None
+) -> DataFrame:
+    """``RESTORE TABLE … TO VERSION AS OF`` end-to-end (round 9): seed
+    a versioned lake from ``orders`` (v0), ``DELETE WHERE o_orderkey %
+    6 = 3`` (v1), ``UPDATE SET o_totalprice += 5 WHERE o_orderkey % 4
+    = 0`` (v2 — the "bad backfill"), then RESTORE to v1 (v3) and emit
+    one summary row per observable state: the pre-restore head, the
+    restored head, and the still-time-travelable original.
+
+    The oracle re-derives all three states declaratively; the query
+    itself asserts the restore-specific properties the oracle cannot
+    see: the restored snapshot references v1's files BY NAME (no data
+    copied or rewritten — restore is pure log arithmetic) and commits
+    a real new version (history preserved, head == 3).
+    """
+    tmp = work_dir or tempfile.mkdtemp(prefix="dml_restore_")
+    try:
+        t = os.path.join(tmp, "orders_lake")
+        orders = load_table(spark, sf_dir, "orders")
+        V.write_versioned(
+            orders.repartitionByRange(6, "o_orderkey"), t, mode="overwrite"
+        )
+        D.delete_where(spark, t, "o_orderkey % 6 = 3")
+        D.update_where(
+            spark, t, "o_orderkey % 4 = 0", {"o_totalprice": "o_totalprice + 5"}
+        )
+        pre = _state_summary(
+            V.read_versioned(spark, t), F.lit("01_before_restore"), "stage"
+        )
+        pre = _pin(spark, pre)  # materialize BEFORE the head moves
+        new_v = V.restore_versioned(t, 1)
+        if new_v != 3 or V._snapshot_files(t, None) != V._snapshot_files(t, 1):
+            raise AssertionError(
+                "restore must commit v3 referencing v1's files by name"
+            )
+        outs = [
+            pre,
+            _pin(
+                spark,
+                _state_summary(
+                    V.read_versioned(spark, t), F.lit("02_after_restore"), "stage"
+                ),
+            ),
+            _pin(
+                spark,
+                _state_summary(
+                    V.read_versioned(spark, t, version=0),
+                    F.lit("03_original_v0"),
+                    "stage",
+                ),
+            ),
+        ]
+        from functools import reduce
+
+        return _pin(spark, reduce(DataFrame.unionByName, outs).orderBy("stage"))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_RESTORE_CK = """CAST(SUM(CAST(CAST(('0x' || substr(md5('dml#' || concat_ws(chr(31),
+    COALESCE(CAST(o_orderkey AS VARCHAR), chr(0) || 'null'),
+    COALESCE(CAST(o_custkey AS VARCHAR), chr(0) || 'null'),
+    COALESCE(CAST(o_orderstatus AS VARCHAR), chr(0) || 'null'),
+    COALESCE(CAST(o_orderpriority AS VARCHAR), chr(0) || 'null'))), 1, 15))
+    AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR)"""
+
+ORACLE_LAKE_RESTORE = f"""
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+  FROM orders
+),
+after_delete AS (
+  SELECT * FROM base WHERE NOT COALESCE(o_orderkey % 6 = 3, FALSE)
+),
+after_update AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+    CASE WHEN COALESCE(o_orderkey % 4 = 0, FALSE)
+      THEN o_totalprice + 5 ELSE o_totalprice END AS o_totalprice,
+    o_orderpriority
+  FROM after_delete
+),
+stages AS (
+  SELECT '01_before_restore' AS stage, * FROM after_update
+  UNION ALL
+  SELECT '02_after_restore' AS stage, * FROM after_delete
+  UNION ALL
+  SELECT '03_original_v0' AS stage, * FROM base
+)
+SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  {_RESTORE_CK} AS checksum,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM stages GROUP BY stage ORDER BY stage
+"""

@@ -607,6 +607,11 @@ def read_change_feed(
                 "and possibly more removed) — re-run vacuum with a "
                 "larger retain_cdf_versions to keep feed history"
             )
+        if e["action"] == "restore":
+            raise ValueError(
+                f"v{v} is a restore — no incremental representation; "
+                "rebuild downstream state from the restored snapshot"
+            )
         if e["action"] == "overwrite":
             if v == 0 and e is all_es[0]:
                 # the seeding commit: every row is an insert

@@ -62,6 +62,7 @@ __all__ = [
     "latest_version",
     "read_version_delta",
     "vacuum",
+    "restore_versioned",
     "write_stream_versioned",
     "publish_with_audit",
     "compact_versioned",
@@ -309,7 +310,9 @@ def _snapshot_files(path: str, version: int | None) -> list[str]:
         es = [e for e in es if e["version"] <= version]
     files: list[str] = []
     for e in es:
-        if e["action"] == "overwrite":
+        if e["action"] in ("overwrite", "restore"):
+            # restore: snapshot = the file list recorded from its
+            # target version (references, no data copied)
             files = list(e["files"])
         elif e["action"] == "rewrite":
             # row-level DML (sources/dml.py): drops the files it
@@ -324,20 +327,49 @@ def _snapshot_files(path: str, version: int | None) -> list[str]:
     return files
 
 
+def _dv_state(es: list[dict]) -> list[dict]:
+    """The deletion-vector entries IN EFFECT after replaying ``es``:
+    ``[{"files": [...], "applies_to": [...], "version": v}, ...]``.
+
+    An ``overwrite`` starts a DV-free snapshot (its data files are
+    new, so carrying older DVs forward would be wasted read-side work
+    — and after a RESTORE brings back the OLD file names, wrongly
+    applied deletes).  A ``restore`` resets the state to the one it
+    recorded from its target version.  ``rewrite`` entries keep the
+    state: DVs aimed at rewritten files are inert by name mismatch.
+    """
+    state: list[dict] = []
+    for e in es:
+        a = e["action"]
+        if a == "overwrite":
+            state = []
+        elif a == "restore":
+            state = list(e.get("dv_state", ()))
+        elif a == "dv":
+            state.append(
+                {
+                    "files": list(e["files"]),
+                    "applies_to": list(e.get("applies_to", ())),
+                    "version": e["version"],
+                }
+            )
+    return state
+
+
 def _dv_files(path: str, version: int | None) -> list[str]:
-    """Deletion-vector sidecar files in effect at ``version``: every
-    ``dv`` entry at or before it.  DVs whose target data files later
-    left the snapshot are harmlessly inert (their (file, row_index)
-    keys match nothing); DVs vacuum removed as provably dead are
-    excluded via the tombstone record — for every RETAINED snapshot
-    they were inert, which is exactly what made them collectable, so
-    skipping them cannot change a readable result.  A missing sidecar
-    NOT in the tombstones still fails the read loudly (corruption must
-    not silently resurrect rows)."""
+    """Deletion-vector sidecar files in effect at ``version``
+    (``_dv_state`` semantics).  DVs whose target data files left the
+    snapshot via a rewrite are harmlessly inert (their (file,
+    row_index) keys match nothing); DVs vacuum removed as provably
+    dead are excluded via the tombstone record — for every RETAINED
+    snapshot they were inert, which is exactly what made them
+    collectable, so skipping them cannot change a readable result.  A
+    missing sidecar NOT in the tombstones still fails the read loudly
+    (corruption must not silently resurrect rows)."""
     es = _entries(path)
     if version is not None:
         es = [e for e in es if e["version"] <= version]
-    out = [f for e in es if e["action"] == "dv" for f in e["files"]]
+    out = [f for s in _dv_state(es) for f in s["files"]]
     if out:
         dead = _vacuum_tombstones(path)
         out = [f for f in out if f not in dead]
@@ -488,7 +520,7 @@ def read_version_delta(
         raise ValueError(f"version {to_version} does not exist (head={hi})")
     es = [e for e in all_es if from_version < e["version"] <= to_version]
     for e in es:
-        if e["action"] in ("overwrite", "rewrite", "dv"):
+        if e["action"] in ("overwrite", "rewrite", "dv", "restore"):
             # a rewrite's files are REPLACEMENTS (DML over existing
             # rows) and a dv entry DELETES rows — neither is "new
             # rows", and returning either would corrupt a downstream
@@ -564,18 +596,12 @@ def vacuum(
     if retain_cdf_versions is None:
         retain_cdf_versions = retain_versions
     cdf_floor = head - retain_cdf_versions
+    es = _entries(path)
     sidecars: set[str] = set()  # every log-referenced sidecar name
-    for e in _entries(path):
+    for e in es:
         v = e["version"]
         if e["action"] == "dv":
             sidecars.update(e["files"])
-            targets = set(e.get("applies_to", ()))
-            # legacy entries without applies_to: conservative keep
-            live = not targets or any(
-                targets & snap_by_v[rv] for rv in retained if rv >= v
-            )
-            if live:
-                keep.update(e["files"])
         sidecars.update(e.get("cdf_files", ()))
         if v > cdf_floor:
             keep.update(e.get("cdf_files", ()))
@@ -585,6 +611,18 @@ def vacuum(
                 # read must find them even if a later rewrite dropped
                 # them from every retained snapshot
                 keep.update(e["files"])
+    # DV liveness per retained version, on the IN-EFFECT dv state (so
+    # a dv superseded by an overwrite/restore inside the window does
+    # not pin its sidecar): keep a DV iff some retained snapshot has
+    # it in effect AND still contains one of its target files —
+    # applies_to makes this pure log arithmetic, no file reads
+    for rv in retained:
+        snap = snap_by_v[rv]
+        for s in _dv_state([e for e in es if e["version"] <= rv]):
+            targets = set(s["applies_to"])
+            # entries without applies_to (legacy): conservative keep
+            if not targets or targets & snap:
+                keep.update(s["files"])
     cutoff = time.time() - min_age_seconds
 
     def _old(p: str) -> bool:
@@ -663,6 +701,82 @@ def publish_with_audit(
         _rollback(path, version)
         raise ValueError(f"audit rejected version {version} of {path}")
     return version
+
+
+def restore_versioned(path: str, version: int) -> int:
+    """``RESTORE TABLE <t> TO VERSION AS OF <version>`` — commit a new
+    HEAD whose snapshot (data files AND in-effect deletion vectors)
+    equals the snapshot at ``version``.  Pure log arithmetic: the new
+    entry references the old files by name, no data is copied or
+    rewritten, and history is preserved (the rolled-back versions stay
+    time-travelable; restore-of-a-restore works).  The undo button a
+    lakehouse user reaches for after a bad backfill — the reference
+    has no table format at all (its closest shape is re-generating a
+    CSV tree, src/transform/f1_dataTransformer.py:210-230).
+
+    Raises if ``version`` does not exist or if any file of that
+    snapshot has already been vacuumed (the restore would commit a
+    snapshot that cannot be read — same contract as Delta's RESTORE
+    after VACUUM).  Returns the new version number.
+
+    Incremental readers treat a restore like an overwrite: a version
+    range crossing it has no incremental representation
+    (``read_version_delta`` and the change-feed readers raise), so
+    downstream accumulators rebuild instead of silently drifting.
+    """
+    es = _entries(path)
+    if not es:
+        raise ValueError(f"no committed data in {path}")
+    head = es[-1]["version"]
+    if version > head or version < 0:
+        raise ValueError(f"version {version} does not exist (head={head})")
+    at = [e for e in es if e["version"] <= version]
+    files = _snapshot_files(path, version)
+    dv_state = _dv_state(at)
+    dead = _vacuum_tombstones(path)
+    missing = [
+        f
+        for f in files + [f for s in dv_state for f in s["files"]]
+        if f in dead or not os.path.isfile(os.path.join(path, f))
+    ]
+    if missing:
+        raise ValueError(
+            f"cannot restore {path} to v{version}: {len(missing)} "
+            f"file(s) of that snapshot were vacuumed (e.g. {missing[0]})"
+        )
+    schema = None
+    for e in reversed(at):
+        if "schema" in e:
+            schema = e["schema"]
+            break
+    log = _log_path(path)
+    tmp = os.path.join(log, f"_tmp_{uuid.uuid4().hex}.json")
+    try:
+        while True:  # same optimistic log race as write_versioned
+            new_v = (_entries(path)[-1]["version"]) + 1
+            entry = {
+                "version": new_v,
+                "action": "restore",
+                "files": files,
+                "dv_state": dv_state,
+                "restored_version": version,
+                "op": {"op": "restore", "restored_version": version},
+            }
+            if schema is not None:
+                entry["schema"] = schema
+            with open(tmp, "w") as f:
+                json.dump(entry, f)
+            target = os.path.join(log, f"{new_v:08d}.json")
+            try:
+                os.link(tmp, target)  # atomic: fails iff the version exists
+                return new_v
+            except FileExistsError:
+                continue  # lost the race — re-read head and retry
+    finally:
+        try:
+            os.remove(tmp)
+        except FileNotFoundError:
+            pass
 
 
 def _rollback(path: str, version: int) -> None:

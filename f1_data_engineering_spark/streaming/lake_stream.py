@@ -93,6 +93,11 @@ def _feed_slices(
         v = e["version"]
         if not (lo < v <= hi):
             continue
+        if e["action"] == "restore":
+            raise ValueError(
+                f"v{v} is a restore — no incremental representation; "
+                "restart the stream from after the restore"
+            )
         if e["action"] == "overwrite":
             if v == 0 and e is all_es[0]:
                 files, ct = e["files"], "insert"  # the seeding commit

@@ -377,13 +377,17 @@ def test_vacuum_collects_dead_dvs_after_compaction(spark, lake):
     provably inert — vacuum must collect it (judge r8 item 5), and
     every retained snapshot must read exactly as before."""
     D.delete_where_mor(spark, lake, "k % 10 = 0")  # v1: DV sidecar
-    V.compact_versioned(spark, lake, target_rows_per_file=1000)  # v2
     dv_names = V._dv_files(lake, None)
-    assert dv_names  # the DV exists pre-vacuum
+    assert dv_names  # the DV exists and is in effect at the MoR head
+    V.compact_versioned(spark, lake, target_rows_per_file=1000)  # v2
+    # the overwrite resets the in-effect DV state (compacted files
+    # need no anti-join), but v1's MoR read still applies it
+    assert V._dv_files(lake, None) == []
+    assert set(V._dv_files(lake, 1)) == set(dv_names)
     # retain v1..v2: v1 still NEEDS the DV (its targets are v1's data
     # files) — it must survive
     V.vacuum(lake, retain_versions=1, min_age_seconds=0.0)
-    assert set(V._dv_files(lake, None)) == set(dv_names)
+    assert set(V._dv_files(lake, 1)) == set(dv_names)
     assert V.read_versioned(spark, lake, version=1).count() == 90
     # retain head only: the DV's targets left the one retained
     # snapshot (v2 is compacted) — now it is dead weight
