@@ -212,3 +212,55 @@ def read_versioned_bloom_pruned(
             spark, path, _read_with_log_schema(spark, path, keep, None), None
         )
     return df.filter(F.col(column) == F.lit(value)), len(keep), len(files)
+
+
+def read_versioned_bloom_pruned_multi(
+    spark: SparkSession, path: str, column: str, values
+) -> tuple[DataFrame, int, int]:
+    """BATCHED point lookups: one snapshot read of the UNION of files
+    any of ``values`` may live in, filtered ``column IN values`` —
+    returns (frame, files_scanned, files_total).
+
+    This is the lookup-service shape: N per-key reads cost N Spark
+    jobs (fixed scheduling + footer overhead each — the dominant term
+    the bench phase split exposes for small probes), while the batch
+    plans ONE job over ``∪ possible(v)`` files.  The manifest
+    arithmetic stays driver-side and per-key, so pruning is exactly as
+    tight as N separate probes; at 10⁵ files and ~2% FP per key the
+    union is ~N·(1 + FP·files) files, still ≪ the table for
+    point-lookup-sized N.  Same exactness contract as the single-key
+    form: no false negatives, unindexed files conservatively scanned,
+    DVs + the exact IN predicate applied to whatever is read.
+    """
+    values = list(values)
+    if not values:
+        raise ValueError("values must be non-empty")
+    files = _snapshot_files(path, None)
+    if not files:
+        raise ValueError(f"no committed data in {path}")
+    man = _load_manifest(path, column)
+    if man is None:
+        keep = list(files)
+    else:
+        entries = man["files"]
+        probe_sets = [_positions_py(v) for v in values]
+
+        def may_contain_any(f: str) -> bool:
+            words = entries.get(f)
+            if words is None:
+                return True  # not indexed → must scan
+            return any(
+                all(words[p // 64] >> (p % 64) & 1 for p in probes)
+                for probes in probe_sets
+            )
+
+        keep = [f for f in files if may_contain_any(f)]
+    if not keep:
+        from .versioned import _snapshot_schema
+
+        df = spark.createDataFrame([], _snapshot_schema(path, None))
+    else:
+        df = _apply_dvs(
+            spark, path, _read_with_log_schema(spark, path, keep, None), None
+        )
+    return df.filter(F.col(column).isin(values)), len(keep), len(files)

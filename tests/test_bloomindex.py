@@ -187,3 +187,28 @@ def test_build_merges_concurrent_publish(spark, lake, monkeypatch):
     # and the merged manifest still prunes / answers exactly
     got, scanned, total = B.read_versioned_bloom_pruned(spark, lake, "k", 137)
     assert [x["k"] for x in got.collect()] == [137]
+
+
+def test_multi_key_lookup_matches_per_key_union(spark, lake):
+    """Batched lookup (round 9): one scan of the per-key-pruned file
+    UNION must return exactly the concatenation of the per-key
+    results, with a scan count no larger than the per-key total."""
+    B.build_bloom_index(spark, lake, "k")
+    keys = [0, 137, 500, 999, 10**9]  # four present + one absent
+    per_key_rows = []
+    per_key_scanned = 0
+    for k in keys:
+        df, scanned, total = B.read_versioned_bloom_pruned(spark, lake, "k", k)
+        per_key_rows += [tuple(r) for r in df.collect()]
+        per_key_scanned += scanned
+    got, scanned, total = B.read_versioned_bloom_pruned_multi(
+        spark, lake, "k", keys
+    )
+    assert sorted(tuple(r) for r in got.collect()) == sorted(per_key_rows)
+    assert total == 8
+    assert scanned <= min(per_key_scanned, total)  # union, never worse
+
+    import pytest
+
+    with pytest.raises(ValueError, match="non-empty"):
+        B.read_versioned_bloom_pruned_multi(spark, lake, "k", [])
