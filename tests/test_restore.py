@@ -1,15 +1,24 @@
 """RESTORE TABLE ... TO VERSION AS OF (sources/versioned.py
 restore_versioned): snapshot equality by reference, MoR-state
-restores, DV-reset interaction, incremental-reader refusal, and the
-vacuum guard."""
+restores, DV-reset interaction, incremental-reader refusal, the
+vacuum guard, and a differential fuzz (restore to EVERY version of a
+random DML history must reproduce the recorded state)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from f1_data_engineering_spark.sources import dml as D
 from f1_data_engineering_spark.sources import versioned as V
+
+
+def _n_examples(default: int) -> int:
+    base = int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "0"))
+    return max(1, round(base * default / 8)) if base else default
 
 
 @pytest.fixture()
@@ -96,3 +105,78 @@ def test_restore_guards(spark, lake):
     # head stays readable and un-advanced
     assert V.latest_version(lake) == 1
     assert V.read_versioned(spark, lake).count() == 50
+
+
+_counter = [0]
+
+_OPS = ["del_cow", "del_mor", "update", "append", "compact"]
+
+
+@settings(
+    max_examples=_n_examples(6),
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n_rows=st.integers(1, 40),
+    n_files=st.integers(1, 4),
+    ops=st.lists(st.sampled_from(_OPS), min_size=1, max_size=4),
+    data=st.data(),
+)
+def test_restore_every_version_fuzz(
+    spark, tmp_path_factory, n_rows, n_files, ops, data
+):
+    """For ANY history of CoW/MoR deletes, updates, appends and
+    compactions: restoring to each version v (in a random order, so
+    restore-of-restore chains are exercised) must make the head read
+    EXACTLY the state recorded at v — including MoR states, whose DVs
+    ride along with the restore."""
+    _counter[0] += 1
+    t = str(tmp_path_factory.mktemp("rfz") / f"t{_counter[0]}")
+    df = spark.range(0, n_rows).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    V.write_versioned(df.repartition(n_files), t, mode="overwrite")
+
+    def snap():
+        return sorted(
+            tuple(r) for r in V.read_versioned(spark, t).select("k", "v").collect()
+        )
+
+    states = {0: snap()}
+    for i, op in enumerate(ops):
+        mod = 2 + i  # varying predicates so states differ
+        if op == "del_cow":
+            D.delete_where(spark, t, f"k % {mod} = 0")
+        elif op == "del_mor":
+            D.delete_where_mor(spark, t, f"k % {mod} = 1")
+        elif op == "update":
+            D.update_where(spark, t, f"k % {mod} = 1", {"v": "v + 100"})
+        elif op == "append":
+            V.write_versioned(
+                spark.createDataFrame([(1000 + i, -i)], "k long, v long"),
+                t,
+                mode="append",
+            )
+        else:
+            V.compact_versioned(spark, t, target_rows_per_file=1000)
+        head_v = V.latest_version(t)
+        if head_v not in states:  # no-op DMLs don't commit a version
+            states[head_v] = snap()
+
+    versions = data.draw(
+        st.permutations(sorted(states)), label="restore_order"
+    )
+    for ver in versions:
+        V.restore_versioned(t, ver)
+        assert snap() == states[ver], (ops, ver)
+        # the restore itself is readable as history too
+        assert (
+            sorted(
+                tuple(r)
+                for r in V.read_versioned(spark, t, version=ver)
+                .select("k", "v")
+                .collect()
+            )
+            == states[ver]
+        )
