@@ -317,4 +317,6 @@ def zorder_versioned(
         .sortWithinPartitions("_z")
         .drop("_z")
     )
-    return write_versioned(clustered, path, mode="overwrite")
+    # layout-only commit: same rows, clustered files — incremental
+    # readers (delta / change feed / lake_cdf stream) skip it
+    return write_versioned(clustered, path, mode="overwrite", data_change=False)

@@ -591,6 +591,8 @@ def read_change_feed(
     parts: list[DataFrame] = []
     for e in es:
         v = e["version"]
+        if not e.get("data_change", True):
+            continue  # layout-only (compaction/ZORDER): same rows, no feed
         # only the files this commit's feed actually reads: data files
         # for append / the v0 seed (they ARE the insert rows), CDF
         # sidecars for rewrite / dv (their data files may leave the

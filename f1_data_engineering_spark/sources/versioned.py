@@ -66,6 +66,7 @@ __all__ = [
     "write_stream_versioned",
     "publish_with_audit",
     "compact_versioned",
+    "compact_small_files",
     "read_versioned_pruned",
 ]
 
@@ -213,6 +214,10 @@ def _stage_files(
         pf = pq.ParquetFile(os.path.join(path, f))
         n_rows += pf.metadata.num_rows
         stats[f] = _file_stats(pf)
+        # per-file row count under a reserved pseudo-column key, so
+        # maintenance ops (small-file compaction) can size files from
+        # the log alone — no footer sweep at 10⁵ files
+        stats[f]["::rows"] = [pf.metadata.num_rows, pf.metadata.num_rows]
     # clean the stage dir (success markers etc.)
     for f in os.listdir(stage):
         os.remove(os.path.join(stage, f))
@@ -221,9 +226,20 @@ def _stage_files(
 
 
 def write_versioned(
-    df: DataFrame, path: str, mode: str = "append", batch_id: int | None = None
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    batch_id: int | None = None,
+    data_change: bool = True,
 ) -> int:
     """Commit ``df`` as a new version; returns the committed version.
+
+    ``data_change=False`` marks a LAYOUT-ONLY commit (compaction,
+    ZORDER): the rows are identical to the previous version, only the
+    file layout changed, so incremental readers (`read_version_delta`,
+    the change feed, the ``lake_cdf`` stream) skip the version instead
+    of raising — maintenance never breaks a downstream consumer.
+    Callers are responsible for the rows actually being identical.
 
     ``append`` adds files to the current snapshot; ``overwrite`` starts
     a fresh snapshot (old files stay on disk for time travel until a
@@ -287,6 +303,11 @@ def write_versioned(
             }
             if batch_id is not None:
                 entry["batch_id"] = batch_id
+            if not data_change:
+                # layout-only commit (compaction / ZORDER): same rows,
+                # new files — incremental readers skip it (Delta's
+                # dataChange=false contract)
+                entry["data_change"] = False
             with open(tmp, "w") as f:
                 json.dump(entry, f)
             target = os.path.join(log, f"{version:08d}.json")
@@ -519,6 +540,7 @@ def read_version_delta(
     if to_version > hi:
         raise ValueError(f"version {to_version} does not exist (head={hi})")
     es = [e for e in all_es if from_version < e["version"] <= to_version]
+    es = [e for e in es if e.get("data_change", True)]  # layout-only: skip
     for e in es:
         if e["action"] in ("overwrite", "rewrite", "dv", "restore"):
             # a rewrite's files are REPLACEMENTS (DML over existing
@@ -813,4 +835,110 @@ def compact_versioned(
     snap = read_versioned(spark, path)
     n_rows = snap.count()
     n_files = max(1, -(-n_rows // target_rows_per_file))
-    return write_versioned(snap.repartition(n_files), path, mode="overwrite")
+    return write_versioned(
+        snap.repartition(n_files), path, mode="overwrite", data_change=False
+    )
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int = 1_000_000,
+    small_rows: int | None = None,
+) -> dict:
+    """SELECTIVE compaction: rewrite ONLY the snapshot files holding
+    fewer than ``small_rows`` rows (default target/2) into
+    target-sized files, carrying every other file by reference —
+    cost ∝ small-file mass, never table bytes.  This is the
+    steady-state OPTIMIZE a streaming-sink table runs on a schedule:
+    at 100 TB a full-snapshot ``compact_versioned`` is a table-sized
+    rewrite, while the per-minute micro-batch files it actually needs
+    to fold are a few GB.
+
+    File sizes come from the log alone (per-file ``::rows`` stats
+    recorded at write time; files from before that stat read one
+    footer each, driver-side).  Deletion vectors targeting the
+    compacted files are MATERIALIZED into the rewrite (their names
+    leave the snapshot, so the DV entries go inert for them); DVs on
+    untouched files keep applying.  Commits a ``rewrite`` entry with
+    ``data_change=False`` — same rows, new layout — so incremental
+    readers (delta, change feed, lake_cdf stream) skip it instead of
+    raising.  Returns ``{"version", "files_compacted", "files_out",
+    "files_total"}`` (version -1 = nothing to do).
+    """
+    import pyarrow.parquet as pq
+
+    if small_rows is None:
+        small_rows = target_rows_per_file // 2
+    es = _entries(path)
+    snap = _snapshot_files(path, None)
+    rows_by_file: dict[str, int] = {}
+    for e in es:
+        for f, st in (e.get("file_stats") or {}).items():
+            if "::rows" in st:
+                rows_by_file[f] = st["::rows"][0]
+    small = []
+    for f in snap:
+        n = rows_by_file.get(f)
+        if n is None:  # legacy entry without ::rows — one footer read
+            try:
+                n = pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            except OSError:
+                continue  # unreadable → leave it alone
+        if n < small_rows:
+            small.append(f)
+    if len(small) < 2:
+        return {
+            "version": -1,
+            "files_compacted": 0,
+            "files_out": 0,
+            "files_total": len(snap),
+        }
+    df = _apply_dvs(
+        spark, path, _read_with_log_schema(spark, path, small, None), None
+    )
+    n_rows = df.count()
+    n_out = max(1, -(-n_rows // target_rows_per_file))
+    files, _, stats = _stage_files(df.repartition(n_out), path)
+    log = _log_path(path)
+    tmp = os.path.join(log, f"_tmp_{uuid.uuid4().hex}.json")
+    try:
+        while True:  # optimistic commit, validating the read set
+            cur = _entries(path)
+            live = set(_snapshot_files(path, None))
+            if not set(small) <= live:
+                for fn in files:
+                    os.remove(os.path.join(path, fn))
+                raise ValueError(
+                    "concurrent commit replaced a file this compaction "
+                    "read — re-run against the new head"
+                )
+            version = cur[-1]["version"] + 1
+            entry = {
+                "version": version,
+                "action": "rewrite",
+                "files": files,
+                "removed": small,
+                "n_rows": n_rows,
+                "file_stats": stats,
+                "data_change": False,
+                "op": {"op": "compact_small", "files_compacted": len(small)},
+            }
+            with open(tmp, "w") as f:
+                json.dump(entry, f)
+            target = os.path.join(log, f"{version:08d}.json")
+            try:
+                os.link(tmp, target)
+                return {
+                    "version": version,
+                    "files_compacted": len(small),
+                    "files_out": len(files),
+                    "files_total": len(snap),
+                }
+            except FileExistsError:
+                continue
+    finally:
+        try:
+            os.remove(tmp)
+        except FileNotFoundError:
+            pass

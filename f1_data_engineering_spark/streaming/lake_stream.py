@@ -93,6 +93,8 @@ def _feed_slices(
         v = e["version"]
         if not (lo < v <= hi):
             continue
+        if not e.get("data_change", True):
+            continue  # layout-only (compaction/ZORDER): same rows, no feed
         if e["action"] == "restore":
             raise ValueError(
                 f"v{v} is a restore — no incremental representation; "

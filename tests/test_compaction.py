@@ -1,0 +1,137 @@
+"""Selective small-file compaction (versioned.compact_small_files)
+and the dataChange=false contract: layout-only commits are invisible
+to every incremental reader."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from f1_data_engineering_spark.sources import dml as D
+from f1_data_engineering_spark.sources import versioned as V
+
+
+@pytest.fixture()
+def lake(spark, tmp_path):
+    """2 big files (500 rows each) + 3 one-row appended files — the
+    streaming-sink small-file shape."""
+    t = str(tmp_path / "tbl")
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    V.write_versioned(df.repartition(2), t, mode="overwrite")
+    for i in range(3):
+        V.write_versioned(
+            spark.createDataFrame([(2000 + i, -i)], "k long, v long"),
+            t,
+            mode="append",
+        )
+    return t
+
+
+def test_compact_small_rewrites_only_small_files(spark, lake):
+    before = set(V._snapshot_files(lake, None))
+    r = V.compact_small_files(
+        spark, lake, target_rows_per_file=1000, small_rows=100
+    )
+    # 6 = 3 one-row files + the 3 empty part files the single-row
+    # appends also committed — all of them are exactly the small-file
+    # debris this op exists to fold
+    assert r["files_compacted"] == 6 and r["files_out"] == 1
+    after = set(V._snapshot_files(lake, None))
+    # the 2 big files carried BY REFERENCE (names unchanged — no IO)
+    assert len(before & after) == 2
+    snap = V.read_versioned(spark, lake)
+    assert snap.count() == 1003
+    assert snap.filter("k >= 2000").count() == 3
+    # time travel to the pre-compaction layout still works
+    assert V.read_versioned(spark, lake, version=3).count() == 1003
+
+
+def test_compact_small_noop_below_two_files(spark, lake):
+    V.compact_small_files(spark, lake, target_rows_per_file=1000, small_rows=100)
+    head = V.latest_version(lake)
+    r = V.compact_small_files(
+        spark, lake, target_rows_per_file=1000, small_rows=100
+    )
+    assert r["version"] == -1 and r["files_compacted"] == 0
+    assert V.latest_version(lake) == head  # no empty commit
+
+
+def test_compact_small_materializes_dvs_of_small_files(spark, lake):
+    D.delete_where_mor(spark, lake, "k = 2001")  # DV on a small file
+    V.compact_small_files(spark, lake, target_rows_per_file=1000, small_rows=100)
+    snap = V.read_versioned(spark, lake)
+    assert snap.count() == 1002
+    assert snap.filter("k = 2001").count() == 0
+    # the small files left the snapshot, so the DV entry went inert;
+    # big-file rows are untouched
+    assert snap.filter("k < 1000").count() == 1000
+
+
+def test_layout_commits_are_invisible_to_incremental_readers(spark, lake):
+    """dataChange=false: append → compact → append must read as ONLY
+    the two appends through read_version_delta AND the change feed —
+    previously any rewrite/overwrite in the range raised."""
+    V.compact_small_files(spark, lake, target_rows_per_file=1000, small_rows=100)  # v4
+    V.write_versioned(
+        spark.createDataFrame([(3000, 7)], "k long, v long"), lake, mode="append"
+    )  # v5
+    delta = V.read_version_delta(spark, lake, 0, 5)  # crosses the rewrite
+    assert sorted(r["k"] for r in delta.collect()) == [2000, 2001, 2002, 3000]
+    feed = D.read_change_feed(spark, lake, 0, 5)
+    assert sorted(r["k"] for r in feed.collect()) == [2000, 2001, 2002, 3000]
+    assert set(r["_change_type"] for r in feed.collect()) == {"insert"}
+    # full-snapshot compaction and ZORDER carry the same contract
+    V.compact_versioned(spark, lake, target_rows_per_file=2000)  # v6
+    from f1_data_engineering_spark.operators.layout import zorder_versioned
+
+    zorder_versioned(spark, lake, "k", "v", n_files=2)  # v7
+    assert V.read_version_delta(spark, lake, 5, 7).count() == 0
+    assert D.read_change_feed(spark, lake, 5, 7).count() == 0
+
+
+def test_maintained_view_survives_midstream_compaction(spark, tmp_path):
+    """The operational point of dataChange=false: a streaming
+    maintained view keeps running across OPTIMIZE instead of dying on
+    'no incremental representation', and stays equal to a recompute."""
+    from f1_data_engineering_spark.streaming import lake_stream as LS
+
+    t = str(tmp_path / "lk")
+    view = str(tmp_path / "view")
+    ckpt = str(tmp_path / "ckpt")
+    df = spark.range(0, 60).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("g"), (F.col("id") % 3).cast("string")).alias("g"),
+        (F.col("id") * 10).alias("v"),
+    )
+    V.write_versioned(df.repartition(4), t, mode="overwrite")
+    LS.maintain_rollup_view(spark, t, view, ckpt, "g", "v").awaitTermination()
+
+    # maintenance + real changes interleave
+    V.write_versioned(
+        spark.createDataFrame([(100, "g0", 5)], "k long, g string, v long"),
+        t,
+        mode="append",
+    )
+    V.compact_small_files(spark, t, target_rows_per_file=1000, small_rows=50)
+    D.delete_where(spark, t, "k % 5 = 0", capture_cdf=True)
+    V.compact_versioned(spark, t, target_rows_per_file=1000)
+    LS.maintain_rollup_view(spark, t, view, ckpt, "g", "v").awaitTermination()
+
+    got = [tuple(r) for r in LS.present_rollup_view(spark, view, "g").collect()]
+    head = V.read_versioned(spark, t).withColumn("_change_type", F.lit("insert"))
+    want = [
+        tuple(r)
+        for r in LS.signed_view_delta(head, "g", "v")
+        .select(
+            "g",
+            "n_rows",
+            F.when(F.col("n_measure") > 0, F.col("m_sum"))
+            .cast("double")
+            .alias("measure_sum"),
+        )
+        .orderBy(F.col("g").asc_nulls_last())
+        .collect()
+    ]
+    assert got == want and len(got) == 3
