@@ -335,6 +335,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-9: RESTORE TABLE ... TO VERSION AS OF (log-arithmetic
         # rollback, no data copied; in-query asserts by-reference)
         "lake_restore_orders": LD.lake_restore_orders,
+        # round-9b: selective small-file compaction, dataChange=false
+        # (feed leg proves the layout commit is invisible to CDC)
+        "small_compaction_orders": LD.small_compaction_orders,
         "scd2_point_in_time": MG.scd2_point_in_time,
         # profiling / sampling / sketches
         "profile_orders": PF.profile_orders,
@@ -577,6 +580,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_point_lookup_orders": LP.ORACLE_BLOOM_LOOKUP,
         "zorder_pruning_orders": LP.ORACLE_ZORDER_PRUNING,
         "lake_restore_orders": LD.ORACLE_LAKE_RESTORE,
+        "small_compaction_orders": LD.ORACLE_SMALL_COMPACTION,
         "scd2_point_in_time": MG.ORACLE_SCD2_PIT,
         "profile_orders": PF.ORACLE_PROFILE_ORDERS,
         "sketch_summary": PF.ORACLE_SKETCH_SUMMARY,

@@ -222,6 +222,8 @@ BENCH_QUERIES = (
     # timing is ~all scratch seeding + the two DML commits; the
     # restore itself is metadata-only)
     "lake_restore_orders",
+    # round-9b: selective small-file compaction under live CDC
+    "small_compaction_orders",
 )
 
 #: Scratch-lake builder queries (they seed a lake + run maintenance
@@ -238,6 +240,7 @@ LAKE_QUERIES = (
     "bloom_point_lookup_orders",
     "zorder_pruning_orders",
     "lake_restore_orders",
+    "small_compaction_orders",
 )
 
 #: Access-path queries whose registered wall time is ~95% harness

@@ -746,3 +746,130 @@ SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_rows,
   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
 FROM stages GROUP BY stage ORDER BY stage
 """
+
+
+def small_compaction_orders(
+    spark: SparkSession, sf_dir: str, work_dir: str | None = None
+) -> DataFrame:
+    """Selective small-file compaction end-to-end (round 9): seed a
+    lake with ``orders`` split into a FEW big files (o_orderkey % 4
+    != 0, 4 files) plus MANY small appended files (% 4 = 0, one file
+    per o_orderkey % 32 slice), MoR-delete a stripe
+    (o_orderkey % 8 = 4 — landing in the small files), then
+    ``compact_small_files`` and summarize the head per
+    ``o_orderstatus`` ALONGSIDE an incremental leg: the change feed
+    read ACROSS the compaction (which must contain exactly the seed-
+    and append-era inserts plus the delete rows — the layout commit is
+    dataChange=false and therefore invisible).
+
+    In-query assertions (invisible to the oracle): the big files carry
+    by reference, only small files are rewritten, and the compaction
+    committed data_change=false.
+    """
+    tmp = work_dir or tempfile.mkdtemp(prefix="dml_smallcpt_")
+    try:
+        t = os.path.join(tmp, "orders_lake")
+        orders = load_table(spark, sf_dir, "orders")
+        big = orders.filter("o_orderkey % 4 != 0").repartitionByRange(
+            4, "o_orderkey"
+        )
+        V.write_versioned(big, t, mode="overwrite")
+        small = orders.filter("o_orderkey % 4 = 0").repartition(
+            32, (F.col("o_orderkey") % 32)
+        )
+        V.write_versioned(small, t, mode="append")
+        D.delete_where_mor(spark, t, "o_orderkey % 8 = 4", capture_cdf=True)
+        before = set(V._snapshot_files(t, None))
+        n_total = orders.count()
+        # threshold sized between the small files (~n/128 rows each)
+        # and the big ones (~3n/16): big files must NOT qualify
+        r = V.compact_small_files(
+            spark,
+            t,
+            target_rows_per_file=max(1, n_total),
+            small_rows=max(2, n_total // 10),
+        )
+        after = set(V._snapshot_files(t, None))
+        entry = V._entries(t)[-1]
+        if (
+            r["files_compacted"] == 0
+            or entry.get("data_change", True)
+            or not ({f for f in before if f in after} >= set(V._snapshot_files(t, 0)))
+        ):
+            raise AssertionError(
+                "selective compaction must rewrite only the small files "
+                "(big files carried by reference) as a data_change=false "
+                "commit"
+            )
+        head = _state_summary(
+            V.read_versioned(spark, t), F.col("o_orderstatus"), "o_orderstatus"
+        ).withColumn("leg", F.lit("1_head"))
+        feed = D.read_change_feed(spark, t, -1, V.latest_version(t))
+        feed_leg = (
+            feed.withColumn(
+                "w",
+                F.when(F.col("_change_type") == "delete", F.lit(-1)).otherwise(
+                    F.lit(1)
+                ),
+            )
+            .groupBy("o_orderstatus")
+            .agg(
+                F.sum("w").cast("long").alias("n_rows"),
+                F.sum(F.col("w") * _ck_hash().cast("decimal(38,0)"))
+                .cast("string")
+                .alias("checksum"),
+                F.sum(
+                    F.col("w").cast("decimal(18,2)")
+                    * F.col("o_totalprice").cast("decimal(18,2)")
+                )
+                .cast("double")
+                .alias("sum_price"),
+            )
+            .withColumn("leg", F.lit("2_feed_signed"))
+        )
+        out = (
+            head.unionByName(feed_leg)
+            .select("leg", "o_orderstatus", "n_rows", "checksum", "sum_price")
+            .orderBy("leg", "o_orderstatus")
+        )
+        return _pin(spark, out)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_SMALLCPT_CK = """CAST(SUM(w * CAST(CAST(('0x' || substr(md5('dml#' || concat_ws(chr(31),
+    COALESCE(CAST(o_orderkey AS VARCHAR), chr(0) || 'null'),
+    COALESCE(CAST(o_custkey AS VARCHAR), chr(0) || 'null'),
+    COALESCE(CAST(o_orderstatus AS VARCHAR), chr(0) || 'null'),
+    COALESCE(CAST(o_orderpriority AS VARCHAR), chr(0) || 'null'))), 1, 15))
+    AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR)"""
+
+ORACLE_SMALL_COMPACTION = f"""
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         o_orderpriority
+  FROM orders
+),
+head AS (
+  SELECT 1 AS w, * FROM base WHERE NOT COALESCE(o_orderkey % 8 = 4, FALSE)
+),
+feed AS (
+  -- seed + append inserts (= every orders row once) at +1, the MoR
+  -- delete's rows at -1; the compaction contributes NOTHING
+  SELECT 1 AS w, * FROM base
+  UNION ALL
+  SELECT -1 AS w, * FROM base WHERE COALESCE(o_orderkey % 8 = 4, FALSE)
+),
+legs AS (
+  SELECT '1_head' AS leg, w, o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice, o_orderpriority FROM head
+  UNION ALL
+  SELECT '2_feed_signed' AS leg, w, o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice, o_orderpriority FROM feed
+)
+SELECT leg, o_orderstatus, CAST(SUM(w) AS BIGINT) AS n_rows,
+  {_SMALLCPT_CK} AS checksum,
+  CAST(SUM(CAST(w AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2)))
+       AS DOUBLE) AS sum_price
+FROM legs GROUP BY leg, o_orderstatus ORDER BY leg, o_orderstatus
+"""

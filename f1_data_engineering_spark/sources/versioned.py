@@ -810,6 +810,9 @@ def _rollback(path: str, version: int) -> None:
         raise ValueError(f"can only roll back the head version, not {version}")
     entry = es[-1]
     os.remove(os.path.join(_log_path(path), f"{version:08d}.json"))
+    if entry["action"] == "restore":
+        return  # a restore introduces no files — the references it
+        # holds belong to older versions and must survive
     for fn in entry["files"]:
         try:
             os.remove(os.path.join(path, fn))

@@ -180,3 +180,12 @@ def test_restore_every_version_fuzz(
             )
             == states[ver]
         )
+
+
+def test_rollback_of_restore_keeps_referenced_files(spark, lake):
+    """_rollback on a restore head must remove only the log entry —
+    the files it references belong to older versions."""
+    V.restore_versioned(lake, 0)  # v1
+    V._rollback(lake, 1)
+    assert V.latest_version(lake) == 0
+    assert V.read_versioned(spark, lake).count() == 100  # v0 intact
