@@ -185,33 +185,9 @@ def read_versioned_bloom_pruned(
     is skipped only when some probe bit is unset, which an inserted
     value would have set.  Unindexed files (post-DML, pre-refresh) are
     conservatively scanned; deletion vectors and the exact predicate
-    are applied to whatever is read."""
-    files = _snapshot_files(path, None)
-    if not files:
-        raise ValueError(f"no committed data in {path}")
-    man = _load_manifest(path, column)
-    if man is None:
-        keep = list(files)
-    else:
-        probes = _positions_py(value)
-        entries = man["files"]
-
-        def may_contain(f: str) -> bool:
-            words = entries.get(f)
-            if words is None:
-                return True  # not indexed → must scan
-            return all(words[p // 64] >> (p % 64) & 1 for p in probes)
-
-        keep = [f for f in files if may_contain(f)]
-    if not keep:
-        from .versioned import _snapshot_schema
-
-        df = spark.createDataFrame([], _snapshot_schema(path, None))
-    else:
-        df = _apply_dvs(
-            spark, path, _read_with_log_schema(spark, path, keep, None), None
-        )
-    return df.filter(F.col(column) == F.lit(value)), len(keep), len(files)
+    are applied to whatever is read.  Thin wrapper over the batched
+    form — one pruning implementation, two call shapes."""
+    return read_versioned_bloom_pruned_multi(spark, path, column, [value])
 
 
 def read_versioned_bloom_pruned_multi(

@@ -619,12 +619,8 @@ def vacuum(
         retain_cdf_versions = retain_versions
     cdf_floor = head - retain_cdf_versions
     es = _entries(path)
-    sidecars: set[str] = set()  # every log-referenced sidecar name
     for e in es:
         v = e["version"]
-        if e["action"] == "dv":
-            sidecars.update(e["files"])
-        sidecars.update(e.get("cdf_files", ()))
         if v > cdf_floor:
             keep.update(e.get("cdf_files", ()))
             if e["action"] == "append" or (v == 0 and e["action"] == "overwrite"):
@@ -664,7 +660,12 @@ def vacuum(
             # (_temporary/... committer layout) — rmtree, not unlink
             shutil.rmtree(full, ignore_errors=True)
             deleted.append(f)
-    _record_tombstones(path, set(deleted) & sidecars)
+    # tombstone EVERY vacuumed parquet (data files included, not just
+    # sidecars): append/seed data files double as their commit's
+    # change feed, so a feed read over a vacuumed range must find the
+    # name in the tombstones to raise the clear vacuumed-range error
+    # rather than a raw missing-file failure
+    _record_tombstones(path, {f for f in deleted if f.endswith(".parquet")})
     log = _log_path(path)
     if os.path.isdir(log):
         for f in os.listdir(log):
@@ -897,6 +898,21 @@ def compact_small_files(
             "files_out": 0,
             "files_total": len(snap),
         }
+
+    def _dv_fingerprint(entries) -> list:
+        """The in-effect DV state RELEVANT TO the files being
+        compacted — a concurrent MoR delete on one of them would make
+        the staged rewrite resurrect the deleted rows (the DV goes
+        inert by name once the rewrite lands), so the commit loop must
+        detect any change to this, not just to the live file set."""
+        sm = set(small)
+        return [
+            (s["version"], tuple(sorted(s["files"])))
+            for s in _dv_state(entries)
+            if not s["applies_to"] or set(s["applies_to"]) & sm
+        ]
+
+    read_dvs = _dv_fingerprint(es)
     df = _apply_dvs(
         spark, path, _read_with_log_schema(spark, path, small, None), None
     )
@@ -909,11 +925,12 @@ def compact_small_files(
         while True:  # optimistic commit, validating the read set
             cur = _entries(path)
             live = set(_snapshot_files(path, None))
-            if not set(small) <= live:
+            if not set(small) <= live or _dv_fingerprint(cur) != read_dvs:
                 for fn in files:
                     os.remove(os.path.join(path, fn))
                 raise ValueError(
-                    "concurrent commit replaced a file this compaction "
+                    "concurrent commit replaced a file (or changed the "
+                    "deletion-vector state of a file) this compaction "
                     "read — re-run against the new head"
                 )
             version = cur[-1]["version"] + 1

@@ -135,3 +135,54 @@ def test_maintained_view_survives_midstream_compaction(spark, tmp_path):
         .collect()
     ]
     assert got == want and len(got) == 3
+
+
+def test_compact_small_detects_concurrent_mor_delete(spark, lake, monkeypatch):
+    """Review finding (r9): a MoR delete landing between the
+    compaction's read and its commit targets a file the compaction is
+    about to drop — committing anyway would resurrect the deleted
+    rows (the DV goes inert by name).  The commit loop must detect
+    the DV-state change and refuse."""
+    real_stage = V._stage_files
+
+    def racing_stage(df, path, prefix="data-"):
+        out = real_stage(df, path, prefix)
+        # the race: a concurrent DELETE commits while the compaction
+        # has already staged its (pre-delete) rewrite
+        D.delete_where_mor(spark, lake, "k = 2001")
+        return out
+
+    monkeypatch.setattr(V, "_stage_files", racing_stage)
+    with pytest.raises(ValueError, match="deletion-vector state"):
+        V.compact_small_files(
+            spark, lake, target_rows_per_file=1000, small_rows=100
+        )
+    monkeypatch.undo()
+    # the user's DELETE survives; nothing was resurrected
+    snap = V.read_versioned(spark, lake)
+    assert snap.filter("k = 2001").count() == 0
+    assert snap.count() == 1002
+    # and a re-run against the new head succeeds
+    r = V.compact_small_files(
+        spark, lake, target_rows_per_file=1000, small_rows=100
+    )
+    assert r["files_compacted"] > 0
+    assert V.read_versioned(spark, lake).filter("k = 2001").count() == 0
+
+
+def test_vacuumed_append_feed_raises_clear_error(spark, tmp_path):
+    """Review finding (r9): data files of an append double as its
+    change feed — once vacuum collects them, a feed read over that
+    range must raise the clear vacuumed-range error, not a raw
+    missing-file failure (requires data files in the tombstones)."""
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 1)], "k long, v long")
+    V.write_versioned(df, t, mode="overwrite")  # v0
+    V.write_versioned(
+        spark.createDataFrame([(2, 2)], "k long, v long"), t, mode="append"
+    )  # v1
+    V.write_versioned(df, t, mode="overwrite")  # v2
+    deleted = V.vacuum(t, retain_versions=0, min_age_seconds=0.0)
+    assert deleted  # v0+v1 files collected
+    with pytest.raises(ValueError, match="vacuumed"):
+        D.read_change_feed(spark, t, 0, 1)
