@@ -65,6 +65,7 @@ from pyspark.sql import functions as F
 from .versioned import (
     _entries,
     _log_path,
+    _next_ts,
     _snapshot_files,
     _stage_files,
     _vacuum_tombstones,
@@ -166,7 +167,7 @@ def _commit(
                     f"left the snapshot of {path} mid-transaction"
                 )
             version = head + 1
-            entry = {"version": version, **entry_base}
+            entry = {"version": version, "ts": _next_ts(es), **entry_base}
             with open(tmp, "w") as f:
                 json.dump(entry, f)
             target = os.path.join(log, f"{version:08d}.json")

@@ -64,6 +64,7 @@ __all__ = [
     "vacuum",
     "restore_versioned",
     "write_stream_versioned",
+    "version_at_timestamp",
     "publish_with_audit",
     "compact_versioned",
     "compact_small_files",
@@ -102,15 +103,41 @@ def _log_path(path: str) -> str:
     return os.path.join(path, LOG_DIR)
 
 
+#: Parsed-entry cache.  Committed log entries are IMMUTABLE (created
+#: by an atomic os.link and never rewritten), so re-parsing every
+#: entry on every read makes log replay O(versions) JSON parses —
+#: measurable on read-heavy paths (every snapshot read, DV resolve,
+#: and DML replays the log).  Keyed by (absolute path, mtime_ns,
+#: size) so a hand-replaced entry (tests, manual repair) re-parses.
+#: Values are shared dicts — log readers must treat entries as
+#: read-only, which they all do.
+_ENTRY_CACHE: dict[str, tuple[tuple[int, int], dict]] = {}
+
+
 def _entries(path: str) -> list[dict]:
     log = _log_path(path)
     if not os.path.isdir(log):
         return []
     out = []
     for name in sorted(os.listdir(log)):
-        if _ENTRY_RE.match(name):
-            with open(os.path.join(log, name)) as f:
-                out.append(json.load(f))
+        if not _ENTRY_RE.match(name):
+            continue
+        full = os.path.join(log, name)
+        try:
+            st = os.stat(full)
+            key = (st.st_mtime_ns, st.st_size)
+        except FileNotFoundError:
+            continue  # raced a (manual) delete — entry gone
+        hit = _ENTRY_CACHE.get(full)
+        if hit is not None and hit[0] == key:
+            out.append(hit[1])
+            continue
+        with open(full) as f:
+            entry = json.load(f)
+        if len(_ENTRY_CACHE) >= 8192:  # bound driver memory; a cache
+            _ENTRY_CACHE.clear()  # miss only costs a re-parse
+        _ENTRY_CACHE[full] = (key, entry)
+        out.append(entry)
     return out
 
 
@@ -120,7 +147,94 @@ def latest_version(path: str) -> int:
     return es[-1]["version"] if es else -1
 
 
-_TOMBSTONE_FILE = "_vacuumed.json"
+def _next_ts(es: list[dict]) -> float:
+    """Commit timestamp for the next version: wall clock, forced
+    STRICTLY ABOVE the previous commit's so ``TIMESTAMP AS OF``
+    resolution is total even when two commits land within clock
+    resolution (or the clock steps back) — the same monotonicity
+    fix-up Delta applies to commit file times."""
+    now = time.time()
+    prev = es[-1].get("ts") if es else None
+    if prev is not None and now <= prev:
+        return prev + 1e-6
+    return now
+
+
+def _coerce_ts(timestamp) -> float:
+    """Accept epoch seconds (int/float), a datetime, or an ISO-8601
+    string; returns epoch seconds.  Naive datetimes/strings are taken
+    as local time (what a user typing a wall-clock timestamp means)."""
+    import datetime
+
+    if isinstance(timestamp, (int, float)) and not isinstance(timestamp, bool):
+        return float(timestamp)
+    if isinstance(timestamp, str):
+        timestamp = datetime.datetime.fromisoformat(timestamp)
+    if isinstance(timestamp, datetime.datetime):
+        return timestamp.timestamp()
+    raise TypeError(
+        f"timestamp must be epoch seconds, datetime, or ISO string, "
+        f"got {type(timestamp).__name__}"
+    )
+
+
+def version_at_timestamp(path: str, timestamp) -> int:
+    """``TIMESTAMP AS OF`` resolution: the latest version whose commit
+    timestamp is ≤ ``timestamp`` (Delta semantics).  Refuses a
+    timestamp before the first commit or after the head commit — a
+    future timestamp silently resolving to HEAD would hide that the
+    caller's clock and the table's history disagree.  Commit
+    timestamps are recorded per log entry (strictly monotonic, see
+    ``_next_ts``); logs from before they existed raise."""
+    ts = _coerce_ts(timestamp)
+    es = _entries(path)
+    if not es:
+        raise ValueError(f"no committed data in {path}")
+    unstamped = [e["version"] for e in es if "ts" not in e]
+    if unstamped:
+        raise ValueError(
+            f"log of {path} predates commit timestamps (e.g. "
+            f"v{unstamped[0]}) — resolve by version number instead"
+        )
+    if ts < es[0]["ts"]:
+        raise ValueError(
+            f"timestamp {ts} is before the earliest version "
+            f"(v{es[0]['version']} at {es[0]['ts']}) of {path}"
+        )
+    if ts > es[-1]["ts"]:
+        raise ValueError(
+            f"timestamp {ts} is after the latest commit "
+            f"(v{es[-1]['version']} at {es[-1]['ts']}) of {path} — "
+            "read the head snapshot by omitting the timestamp"
+        )
+    return max(e["version"] for e in es if e["ts"] <= ts)
+
+
+_TOMBSTONE_FILE = "_vacuumed.json"  # legacy single-file record (read-only)
+_TOMBSTONE_RE = re.compile(r"^_vacuumed-[0-9a-f]{32}\.json$")
+
+#: Parsed-tombstone cache, keyed like _ENTRY_CACHE.  Fragments are
+#: write-once (unique names, atomic rename), so each is parsed once
+#: per process; re-checking is one os.stat per fragment.  Without
+#: this, every DV-bearing snapshot read re-parses the record
+#: (round-9 added the per-read tombstone consult — the cache keeps
+#: that consult out of the hot path).
+_TOMBSTONE_CACHE: dict[str, tuple[tuple[int, int], frozenset]] = {}
+
+
+def _read_tombstone_file(full: str) -> frozenset:
+    try:
+        st = os.stat(full)
+        key = (st.st_mtime_ns, st.st_size)
+    except FileNotFoundError:
+        return frozenset()
+    hit = _TOMBSTONE_CACHE.get(full)
+    if hit is not None and hit[0] == key:
+        return hit[1]
+    with open(full) as fh:
+        names = frozenset(json.load(fh))
+    _TOMBSTONE_CACHE[full] = (key, names)
+    return names
 
 
 def _vacuum_tombstones(path: str) -> set[str]:
@@ -128,24 +242,33 @@ def _vacuum_tombstones(path: str) -> set[str]:
     only exact way a reader can distinguish 'this sidecar was vacuumed
     as provably dead / aged out' from 'this sidecar is missing —
     corruption' is a record of what vacuum removed.  Kept next to the
-    log, merged on every vacuum, tiny (names only)."""
-    p = os.path.join(_log_path(path), _TOMBSTONE_FILE)
-    if not os.path.isfile(p):
+    log as per-vacuum FRAGMENT files (``_vacuumed-<uuid>.json``) whose
+    union is the record: concurrent vacuums write distinct fragments,
+    so neither can clobber the other's names (a read-merge-rewrite of
+    one shared file could — advice r9).  The legacy single
+    ``_vacuumed.json`` is still read, never rewritten.  Tiny (names
+    only); parsed fragments are cached per (path, mtime, size)."""
+    log = _log_path(path)
+    if not os.path.isdir(log):
         return set()
-    with open(p) as fh:
-        return set(json.load(fh))
+    out: set[str] = set()
+    for name in os.listdir(log):
+        if name == _TOMBSTONE_FILE or _TOMBSTONE_RE.match(name):
+            out |= _read_tombstone_file(os.path.join(log, name))
+    return out
 
 
 def _record_tombstones(path: str, names: set[str]) -> None:
     if not names:
         return
-    merged = sorted(_vacuum_tombstones(path) | names)
     log = _log_path(path)
     os.makedirs(log, exist_ok=True)
+    # unique fragment per vacuum, atomic rename: concurrent vacuums
+    # union instead of last-writer-wins
     fd, tmp = tempfile.mkstemp(dir=log, prefix="_tmp_", suffix=".json")
     with os.fdopen(fd, "w") as fh:
-        json.dump(merged, fh)
-    os.replace(tmp, os.path.join(log, _TOMBSTONE_FILE))
+        json.dump(sorted(names), fh)
+    os.replace(tmp, os.path.join(log, f"_vacuumed-{uuid.uuid4().hex}.json"))
 
 
 def table_history(path: str) -> list[dict]:
@@ -295,6 +418,7 @@ def write_versioned(
             version = (es[-1]["version"] if es else -1) + 1
             entry = {
                 "version": version,
+                "ts": _next_ts(es),
                 "action": mode,
                 "files": files,
                 "n_rows": n_rows,
@@ -381,20 +505,44 @@ def _dv_files(path: str, version: int | None) -> list[str]:
     """Deletion-vector sidecar files in effect at ``version``
     (``_dv_state`` semantics).  DVs whose target data files left the
     snapshot via a rewrite are harmlessly inert (their (file,
-    row_index) keys match nothing); DVs vacuum removed as provably
-    dead are excluded via the tombstone record — for every RETAINED
-    snapshot they were inert, which is exactly what made them
-    collectable, so skipping them cannot change a readable result.  A
-    missing sidecar NOT in the tombstones still fails the read loudly
-    (corruption must not silently resurrect rows)."""
+    row_index) keys match nothing).  DVs vacuum removed are skipped
+    ONLY when provably inert for THIS snapshot (none of their target
+    files is in it) — vacuum proves inertness for the snapshots it
+    RETAINS, but time travel can request an older version where the
+    DV still bit, and silently skipping it there would resurrect the
+    deleted rows (advice r9).  Such a read raises instead: the DV
+    history for that version is gone.  A missing sidecar NOT in the
+    tombstones still fails the read loudly (corruption must not
+    silently resurrect rows)."""
     es = _entries(path)
     if version is not None:
         es = [e for e in es if e["version"] <= version]
-    out = [f for s in _dv_state(es) for f in s["files"]]
-    if out:
-        dead = _vacuum_tombstones(path)
-        out = [f for f in out if f not in dead]
-    return out
+    state = _dv_state(es)
+    out = [f for s in state for f in s["files"]]
+    if not out:
+        return out
+    dead = _vacuum_tombstones(path)
+    if not dead.intersection(out):
+        return out
+    snap = set(_snapshot_files(path, version))
+    kept: list[str] = []
+    for s in state:
+        gone = [f for f in s["files"] if f in dead]
+        if gone:
+            # applies_to makes inertness pure log arithmetic; entries
+            # without it (legacy) cannot be proven inert → raise too
+            targets = set(s.get("applies_to", ()))
+            if not targets or targets & snap:
+                raise ValueError(
+                    f"deletion-vector sidecar {gone[0]} (commit "
+                    f"v{s['version']}) was vacuumed but still applies to "
+                    f"the snapshot at version "
+                    f"{'HEAD' if version is None else version} of {path} — "
+                    "DV history vacuumed; this version is not "
+                    "reconstructible"
+                )
+        kept.extend(f for f in s["files"] if f not in dead)
+    return kept
 
 
 def _apply_dvs(
@@ -427,11 +575,21 @@ def _apply_dvs(
 
 
 def read_versioned(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    timestamp=None,
 ) -> DataFrame:
-    """Snapshot read: latest by default, or time travel to ``version``.
+    """Snapshot read: latest by default, or time travel to ``version``
+    (``VERSION AS OF``) or to the latest version committed at or
+    before ``timestamp`` (``TIMESTAMP AS OF`` — epoch seconds,
+    datetime, or ISO string; see :func:`version_at_timestamp`).
     Resolves the file list from the log, so concurrent in-flight writes
     and orphaned data files are never read."""
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        version = version_at_timestamp(path, timestamp)
     files = _snapshot_files(path, version)
     if not files:
         raise ValueError(f"no committed data in {path} at version {version}")
@@ -555,6 +713,20 @@ def read_version_delta(
                 "snapshot or consume the change feed"
             )
     files = [f for e in es for f in e["files"]]
+    if files:
+        # same vacuumed-vs-missing distinction as the change-feed
+        # readers: an append whose data files were vacuumed (range
+        # older than the CDF retention window) must raise the clear
+        # retention error, not a raw Spark missing-file failure
+        gone = _vacuum_tombstones(path).intersection(files)
+        if gone:
+            raise ValueError(
+                f"delta range ({from_version}, {to_version}] reads "
+                f"{sorted(gone)[0]} (and possibly more) which vacuum "
+                "removed — re-run vacuum with a larger "
+                "retain_cdf_versions to keep incremental history, or "
+                "rebuild from the snapshot"
+            )
     if not files:
         # Empty delta must still carry the TABLE SCHEMA: downstream
         # incremental maintenance selects typed columns from it, and a
@@ -726,8 +898,12 @@ def publish_with_audit(
     return version
 
 
-def restore_versioned(path: str, version: int) -> int:
-    """``RESTORE TABLE <t> TO VERSION AS OF <version>`` — commit a new
+def restore_versioned(
+    path: str, version: int | None = None, timestamp=None
+) -> int:
+    """``RESTORE TABLE <t> TO VERSION AS OF <version>`` (or ``TO
+    TIMESTAMP AS OF`` via ``timestamp=`` — resolved by
+    :func:`version_at_timestamp`) — commit a new
     HEAD whose snapshot (data files AND in-effect deletion vectors)
     equals the snapshot at ``version``.  Pure log arithmetic: the new
     entry references the old files by name, no data is copied or
@@ -747,6 +923,12 @@ def restore_versioned(path: str, version: int) -> int:
     (``read_version_delta`` and the change-feed readers raise), so
     downstream accumulators rebuild instead of silently drifting.
     """
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        version = version_at_timestamp(path, timestamp)
+    if version is None:
+        raise ValueError("restore_versioned needs a version or timestamp")
     es = _entries(path)
     if not es:
         raise ValueError(f"no committed data in {path}")
@@ -776,9 +958,11 @@ def restore_versioned(path: str, version: int) -> int:
     tmp = os.path.join(log, f"_tmp_{uuid.uuid4().hex}.json")
     try:
         while True:  # same optimistic log race as write_versioned
-            new_v = (_entries(path)[-1]["version"]) + 1
+            cur = _entries(path)
+            new_v = cur[-1]["version"] + 1
             entry = {
                 "version": new_v,
+                "ts": _next_ts(cur),
                 "action": "restore",
                 "files": files,
                 "dv_state": dv_state,
@@ -860,8 +1044,10 @@ def compact_small_files(
     to fold are a few GB.
 
     File sizes come from the log alone (per-file ``::rows`` stats
-    recorded at write time; files from before that stat read one
-    footer each, driver-side).  Deletion vectors targeting the
+    recorded at write time; files from before that stat are counted in
+    ONE batched Spark metadata job — never a per-file driver loop,
+    which on a large pre-existing table would serially stat every
+    legacy file).  Deletion vectors targeting the
     compacted files are MATERIALIZED into the rewrite (their names
     leave the snapshot, so the DV entries go inert for them); DVs on
     untouched files keep applying.  Commits a ``rewrite`` entry with
@@ -870,8 +1056,6 @@ def compact_small_files(
     raising.  Returns ``{"version", "files_compacted", "files_out",
     "files_total"}`` (version -1 = nothing to do).
     """
-    import pyarrow.parquet as pq
-
     if small_rows is None:
         small_rows = target_rows_per_file // 2
     es = _entries(path)
@@ -881,16 +1065,32 @@ def compact_small_files(
         for f, st in (e.get("file_stats") or {}).items():
             if "::rows" in st:
                 rows_by_file[f] = st["::rows"][0]
-    small = []
-    for f in snap:
-        n = rows_by_file.get(f)
-        if n is None:  # legacy entry without ::rows — one footer read
-            try:
-                n = pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
-            except OSError:
-                continue  # unreadable → leave it alone
-        if n < small_rows:
-            small.append(f)
+    unstatted = [f for f in snap if f not in rows_by_file]
+    if unstatted:
+        # legacy entries without ::rows — one Spark job counts rows
+        # per file across ALL of them (metadata-column scan, no data
+        # columns), instead of a serial driver-side footer read each
+        try:
+            counted = (
+                _read_with_log_schema(spark, path, unstatted, None)
+                .groupBy(
+                    F.element_at(
+                        F.split(F.col("_metadata.file_path"), "/"), -1
+                    ).alias("_f")
+                )
+                .count()
+                .collect()
+            )
+            rows_by_file.update({r["_f"]: r["count"] for r in counted})
+            # a zero-row file produces no groups — it is still small
+            rows_by_file.update(
+                {f: 0 for f in unstatted if f not in rows_by_file}
+            )
+        except Exception:
+            pass  # unreadable legacy files → leave them alone
+    small = [
+        f for f in snap if f in rows_by_file and rows_by_file[f] < small_rows
+    ]
     if len(small) < 2:
         return {
             "version": -1,
@@ -936,6 +1136,7 @@ def compact_small_files(
             version = cur[-1]["version"] + 1
             entry = {
                 "version": version,
+                "ts": _next_ts(cur),
                 "action": "rewrite",
                 "files": files,
                 "removed": small,
