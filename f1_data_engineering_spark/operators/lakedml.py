@@ -533,17 +533,24 @@ def cdc_apply_rollup_orders(
     kept current by APPLYING the lake's row-level change feed instead
     of rescanning the table.
 
-    The scenario crosses every change type: seed v0 (the one full scan,
-    pinned as the base rollup), then DELETE (v1), a GROUP-MIGRATING
-    UPDATE (v2 rewrites ``o_orderpriority`` itself, so pre-image and
+    The scenario crosses every change type — DELETE, a GROUP-MIGRATING
+    UPDATE (it rewrites ``o_orderpriority`` itself, so pre-image and
     post-image land in different groups — the case naive "recompute
-    changed groups" maintenance gets wrong), then APPEND (v3, whose
-    data files ARE the feed rows).  The maintained rollup is
+    changed groups" maintenance gets wrong), and INSERT — applied as
+    ONE native multi-clause conditional MERGE (round 10): an op-tagged
+    CDC source with an ordered ``WHEN MATCHED AND s._op='delete' THEN
+    DELETE / WHEN MATCHED AND s._op='update' THEN UPDATE / WHEN NOT
+    MATCHED AND s._op='insert' THEN INSERT`` chain, replacing the
+    hand-composed delete_where + update_where + append sequence (the
+    append-files-ARE-the-feed path stays covered by
+    ``dml_change_feed_orders``).  Op priority delete > update in the
+    source reproduces the sequential semantics (a row matching both
+    predicates is deleted).  The maintained rollup is
     base ⊎ signed-feed-deltas — the result NEVER reads the final
     snapshot, so the oracle (which derives the end state declaratively
     and rolls it up) certifies the maintenance algebra itself: a sign
-    error, a missed change type, or a mishandled group migration flips
-    count, checksum, or price.
+    error, a missed change type, a mishandled group migration, or a
+    wrong clause resolution flips count, checksum, or price.
 
     Scale shape: per refresh the work is O(|changes|) + O(|rollup|) —
     at 100 TB the feed for a day is GBs while the table is the 100 TB;
@@ -560,20 +567,23 @@ def cdc_apply_rollup_orders(
             spark,
             _signed_rollup(V.read_versioned(spark, t, version=0), F.lit(1)),
         )
-        D.delete_where(
-            spark, t, "o_orderstatus = 'F' AND o_orderkey % 7 = 3",
-            capture_cdf=True,
-        )
-        D.update_where(
-            spark,
-            t,
-            "o_orderkey % 5 = 2",
-            {
-                "o_orderpriority": "concat('9-MOVED:', o_orderpriority)",
-                "o_totalprice": "o_totalprice + 10.0",
-            },
-            capture_cdf=True,
-        )
+        cols = [
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        ]
+        matched_ops = orders.select(
+            *cols,
+            F.when(
+                F.expr("o_orderstatus = 'F' AND o_orderkey % 7 = 3"),
+                F.lit("delete"),
+            )
+            .when(F.expr("o_orderkey % 5 = 2"), F.lit("update"))
+            .alias("_op"),
+        ).filter(F.col("_op").isNotNull())
         late = orders.filter("o_orderkey % 10 = 6").select(
             (F.col("o_orderkey") + 900000000).alias("o_orderkey"),
             "o_custkey",
@@ -581,9 +591,30 @@ def cdc_apply_rollup_orders(
             "o_totalprice",
             "o_orderdate",
             "o_orderpriority",
+            F.lit("insert").alias("_op"),
         )
-        V.write_versioned(late, t, mode="append")
-        feed = D.read_change_feed(spark, t, 0, 3)
+        r = D.merge_into(
+            spark,
+            t,
+            matched_ops.unionByName(late),
+            on=["o_orderkey"],
+            when_matched=[
+                {"action": "delete", "condition": "s._op = 'delete'"},
+                {
+                    "action": "update",
+                    "condition": "s._op = 'update'",
+                    "set": {
+                        "o_orderpriority": (
+                            "concat('9-MOVED:', t.o_orderpriority)"
+                        ),
+                        "o_totalprice": "t.o_totalprice + 10.0",
+                    },
+                },
+            ],
+            insert_condition="_op = 'insert'",
+            capture_cdf=True,
+        )
+        feed = D.read_change_feed(spark, t, 0, r["version"])
         sign = F.when(
             F.col("_change_type").isin("delete", "update_preimage"), F.lit(-1)
         ).otherwise(F.lit(1))

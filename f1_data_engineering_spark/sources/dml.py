@@ -333,35 +333,80 @@ def merge_into(
     when_matched_delete: bool = False,
     when_not_matched_insert: bool = True,
     capture_cdf: bool = False,
+    when_matched: list[dict] | None = None,
+    insert_condition: str | Column | None = None,
 ) -> dict:
     """``MERGE INTO <table> t USING source s ON t.k = s.k …`` —
-    copy-on-write upsert.  Matched target rows are updated (assignment
-    expressions may reference source columns as ``s.<col>`` and target
-    columns bare) or deleted; not-matched source rows are inserted
-    (projected onto the target schema by name).  Returns
-    ``{"version", "n_updated", "n_deleted", "n_inserted",
-    "files_rewritten", "files_total"}``.
+    copy-on-write upsert.  Matched target rows are updated or deleted;
+    not-matched source rows are inserted (projected onto the target
+    schema by name).  Returns ``{"version", "n_updated", "n_deleted",
+    "n_inserted", "files_rewritten", "files_total"}``.
+
+    **Matched actions** come in two call shapes:
+
+    * legacy single clause: ``when_matched_update={col: expr, …}`` OR
+      ``when_matched_delete=True`` (still exactly one, unconditional);
+    * ``when_matched=[{"action": "update"|"delete",
+      "condition": <expr|None>, "set": {col: expr, …}}, …]`` — the
+      Delta-style ORDERED clause chain ``WHEN MATCHED AND c1 THEN
+      UPDATE … WHEN MATCHED AND c2 THEN DELETE … WHEN MATCHED THEN
+      …``: for each matched row the FIRST clause whose condition is
+      TRUE applies (NULL counts as false, like SQL WHERE); a matched
+      row satisfying no clause passes through unchanged.  This is the
+      standard CDC-apply idiom (``s._op = 'delete'`` → delete clause,
+      otherwise update) that previously had to be hand-composed from
+      separate DELETE/UPDATE/MERGE commits.
+
+    Conditions and assignment expressions see the join row: reference
+    source columns as ``s.<col>`` and target columns as ``t.<col>``
+    (bare names work when unambiguous).  ``insert_condition``
+    restricts the not-matched insert (``WHEN NOT MATCHED AND cond
+    THEN INSERT``); it sees the source row (bare columns).
 
     Source-cardinality guard: if more than one source row matches the
     same TARGET row the matched action would be nondeterministic, so
     the merge raises — the same contract as Delta's
     DELTA_MULTIPLE_SOURCE_ROW_MATCHING error.  Like Delta's, the guard
     fires only on keys that actually match a target row and only when
-    a matched action (update/delete) exists: NULL join keys never
-    match (SQL join semantics), so NULL-key source rows — even several
-    of them — simply insert; duplicate non-matching keys insert one
-    row each (MERGE does not dedupe inserts).
+    a matched clause exists (conditional clauses included — which
+    duplicate wins the clause chain would still be nondeterministic):
+    NULL join keys never match (SQL join semantics), so NULL-key
+    source rows — even several of them — simply insert; duplicate
+    non-matching keys insert one row each (MERGE does not dedupe
+    inserts).
 
-    Only files containing at least one matched key are rewritten; the
-    match scan is ``target ⋉ source`` on the key columns — broadcast
-    the source below the threshold, shuffle equi-join above, never a
-    full-table rewrite.
+    Only files containing at least one row a matched clause APPLIES to
+    are rewritten (with conditional clauses, a file whose matched rows
+    all fail every condition carries over by reference); the match
+    scan is one equi-join of ``target ⋉ source`` on the key columns —
+    broadcast the source below the threshold, shuffle equi-join above,
+    never a full-table rewrite.
     """
+    if when_matched is not None and (when_matched_update or when_matched_delete):
+        raise ValueError(
+            "pass when_matched clauses OR the legacy "
+            "when_matched_update/when_matched_delete, not both"
+        )
     if when_matched_update and when_matched_delete:
         raise ValueError("choose ONE matched action: update or delete")
+    if when_matched is not None:
+        clauses = list(when_matched)
+    elif when_matched_update is not None:
+        clauses = [{"action": "update", "set": when_matched_update}]
+    elif when_matched_delete:
+        clauses = [{"action": "delete"}]
+    else:
+        clauses = []
+    for cl in clauses:
+        if cl.get("action") not in ("update", "delete"):
+            raise ValueError(f"clause action must be update|delete: {cl!r}")
+        if cl["action"] == "update" and not cl.get("set"):
+            raise ValueError(f"update clause needs a non-empty set: {cl!r}")
+        if cl["action"] == "delete" and cl.get("set"):
+            raise ValueError(f"delete clause cannot set columns: {cl!r}")
     snap = _snapshot_files(path, None)
     df = _scan_with_file(spark, path, snap)
-    if when_matched_update or when_matched_delete:
+    if clauses:
         # duplicate check over keys that MATCH a target row only: the
         # inner semi-join drops NULL keys for free (equality join
         # semantics), and duplicate never-matching keys are legal —
@@ -383,18 +428,46 @@ def merge_into(
             )
     tcols = [c for c in df.columns if c not in _META]
     types = dict(df.drop(*_META).dtypes)
-    if when_matched_update is None and not when_matched_delete:
+
+    def _clause_idx(matched: Column) -> Column:
+        """First-match-wins clause index (NULL = no clause applies) —
+        F.when chains evaluate in order, which IS the clause order."""
+        expr = F
+        for i, cl in enumerate(clauses):
+            cond = cl.get("condition")
+            c = (
+                F.lit(True)
+                if cond is None
+                else F.coalesce(_to_cond(cond), F.lit(False))
+            )
+            expr = expr.when(matched & c, F.lit(i))
+        return expr.otherwise(F.lit(None))
+
+    upd_idx = [i for i, cl in enumerate(clauses) if cl["action"] == "update"]
+    del_idx = [i for i, cl in enumerate(clauses) if cl["action"] == "delete"]
+
+    if not clauses:
         touched = []  # insert-if-absent: matched rows are untouched
     else:
-        skeys = source.select(*on).distinct()
-        matched_rows = df.join(skeys, on, "left_semi")
+        # touched = files holding at least one row some clause APPLIES
+        # to (an inner join probe: matched rows only; conditions can
+        # reference t./s. columns)
+        probe = df.alias("t").join(
+            source.alias("s"),
+            [F.col(f"t.{k}") == F.col(f"s.{k}") for k in on],
+            "inner",
+        )
+        hit = probe.filter(_clause_idx(F.lit(True)).isNotNull())
         touched = [
-            r["_dml_file"]
-            for r in matched_rows.select("_dml_file").distinct().collect()
+            r["f"]
+            for r in hit.select(F.col("t._dml_file").alias("f"))
+            .distinct()
+            .collect()
         ]
 
-    # rewrite touched files: unmatched rows pass through; matched rows
-    # update or delete.  eqNullSafe is NOT used — NULL keys never match.
+    # rewrite touched files: unmatched rows (and matched rows no clause
+    # applies to) pass through; clause-hit rows update or delete.
+    # eqNullSafe is NOT used — NULL keys never match.
     n_updated = n_deleted = 0
     rewritten = None
     cdf: list[tuple[DataFrame, str]] = []
@@ -405,34 +478,46 @@ def merge_into(
             s, [F.col(f"t.{k}") == F.col(f"s.{k}") for k in on], "left"
         )
         is_matched = F.col(f"s.{on[0]}").isNotNull()
-        n_matched = joined.filter(is_matched).count()
+        joined = joined.withColumn("_dml_ci", _clause_idx(is_matched))
+        ci = F.col("_dml_ci")
+        counts = {
+            r["_dml_ci"]: r["count"]
+            for r in joined.filter(ci.isNotNull())
+            .groupBy("_dml_ci")
+            .count()
+            .collect()
+        }
+        n_updated = sum(counts.get(i, 0) for i in upd_idx)
+        n_deleted = sum(counts.get(i, 0) for i in del_idx)
         t_row = [F.col(f"t.{c}").alias(c) for c in tcols]
-        if when_matched_delete:
-            n_deleted = n_matched
-            rewritten = joined.filter(~is_matched).select(*t_row)
-            if capture_cdf:
-                cdf.append((joined.filter(is_matched).select(*t_row), "delete"))
-        else:
-            n_updated = n_matched if when_matched_update else 0
-            out = []
-            for c in tcols:
-                if when_matched_update and c in when_matched_update:
-                    new = _to_cond(when_matched_update[c]).cast(types[c])
-                    out.append(
-                        F.when(is_matched, new)
-                        .otherwise(F.col(f"t.{c}"))
-                        .alias(c)
-                    )
-                else:
-                    out.append(F.col(f"t.{c}").alias(c))
-            rewritten = joined.select(*out)
-            if capture_cdf and n_updated:
+        out = []
+        for c in tcols:
+            e = F
+            branched = False
+            for i in upd_idx:
+                st = clauses[i]["set"]
+                if c in st:
+                    e = e.when(ci == i, _to_cond(st[c]).cast(types[c]))
+                    branched = True
+            out.append(
+                (e.otherwise(F.col(f"t.{c}")) if branched else F.col(f"t.{c}"))
+                .alias(c)
+            )
+        survivors = (
+            joined.filter(~ci.isin(del_idx) | ci.isNull())
+            if del_idx
+            else joined
+        )
+        rewritten = survivors.select(*out)
+        if capture_cdf:
+            if del_idx and n_deleted:
                 cdf.append(
-                    (joined.filter(is_matched).select(*t_row), "update_preimage")
+                    (joined.filter(ci.isin(del_idx)).select(*t_row), "delete")
                 )
-                cdf.append(
-                    (joined.filter(is_matched).select(*out), "update_postimage")
-                )
+            if upd_idx and n_updated:
+                upd = joined.filter(ci.isin(upd_idx))
+                cdf.append((upd.select(*t_row), "update_preimage"))
+                cdf.append((upd.select(*out), "update_postimage"))
 
     inserts = None
     n_inserted = 0
@@ -442,6 +527,10 @@ def merge_into(
         # anti-joining the touched scope — use the full snapshot keys
         # for clarity (it is the same scan the semi-join planned)
         unmatched = source.join(df.select(*on), on, "left_anti")
+        if insert_condition is not None:
+            unmatched = unmatched.filter(
+                F.coalesce(_to_cond(insert_condition), F.lit(False))
+            )
         n_inserted = unmatched.count()
         if n_inserted:
             inserts = unmatched.select(

@@ -324,3 +324,166 @@ def test_feed_signed_rollup_maintenance(spark, fuzz_dir, case):
     got = [tuple(r) for r in maintained.collect()]
     want = [tuple(r) for r in direct.collect()]
     assert got == want, (case, got, want)
+
+
+#: (spark condition, duckdb condition) over join aliases t/s — kept
+#: textually identical where both engines agree, paired otherwise.
+_CLAUSE_CONDS = [
+    ("s.v > t.v", "s.v > t.v"),
+    ("t.v % 2 = 0", "t.v % 2 = 0"),
+    ("s.s = 'm'", "s.s = 'm'"),
+    ("t.k > 10", "t.k > 10"),
+    ("s.v IS NULL", "s.v IS NULL"),
+    (None, None),  # unconditional clause
+]
+
+#: (spark set dict, duckdb per-col expr dict)
+_CLAUSE_SETS = [
+    ({"v": "s.v"}, {"v": "s.v"}),
+    ({"v": "t.v + s.v"}, {"v": "t.v + s.v"}),
+    ({"s": "concat(t.s, s.s)"}, {"s": "t.s || s.s"}),
+    ({"v": "s.v", "s": "'w'"}, {"v": "s.v", "s": "'w'"}),
+]
+
+_INSERT_CONDS = [
+    (None, None),
+    ("v >= 0", "s.v >= 0"),
+    ("s = 'm'", "s.s = 'm'"),
+]
+
+
+@st.composite
+def _clause_case(draw):
+    n = draw(st.integers(1, 3))
+    clauses = []
+    for _ in range(n):
+        action = draw(st.sampled_from(["update", "delete"]))
+        cond = draw(st.sampled_from(_CLAUSE_CONDS))
+        cl = {"action": action, "cond": cond}
+        if action == "update":
+            cl["set"] = draw(st.sampled_from(_CLAUSE_SETS))
+        clauses.append(cl)
+    return {
+        "rows": draw(_table()),
+        "n_files": draw(st.integers(1, 4)),
+        "clauses": clauses,
+        "insert_cond": draw(st.sampled_from(_INSERT_CONDS)),
+        "src_keys": sorted(
+            set(draw(st.lists(st.one_of(st.none(), st.integers(0, 25)),
+                              max_size=8))),
+            key=lambda x: (x is None, x),
+        ),
+        "src_vals": draw(st.lists(_maybe_long, min_size=12, max_size=12)),
+    }
+
+
+@settings(
+    max_examples=_n_examples(8),
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=_clause_case())
+def test_multi_clause_merge_oracle(spark, fuzz_dir, case):
+    """Random ORDERED conditional clause chains (round 10
+    ``when_matched=[...]``) differenced against a DuckDB twin that
+    resolves the same first-match-wins CASE: clause order, NULL
+    conditions (count as false), per-clause update sets, delete
+    clauses, and conditional inserts all in one state equality."""
+    _run_counter[0] += 1
+    t = str(fuzz_dir / f"cl{_run_counter[0]}" / "t")
+    _seed(spark, case, t)
+    con = _duck(t)
+
+    src_rows = [
+        (k, case["src_vals"][i], ["m", "n", None][i % 3])
+        for i, k in enumerate(case["src_keys"])
+    ]
+    if not src_rows:
+        src_rows = [(None, 0, "m")]
+    src = spark.createDataFrame(src_rows, "k long, v long, s string")
+    vals = ",".join(
+        f"({'NULL' if k is None else k}, {'NULL' if v is None else v}, "
+        f"{'NULL' if s is None else repr(s)})"
+        for k, v, s in src_rows
+    )
+    con.execute(
+        "CREATE VIEW src AS SELECT CAST(k AS BIGINT) AS k, "
+        "CAST(v AS BIGINT) AS v, CAST(s AS VARCHAR) AS s "
+        f"FROM (VALUES {vals}) AS t(k, v, s)"
+    )
+
+    spark_clauses = []
+    for cl in case["clauses"]:
+        out = {"action": cl["action"], "condition": cl["cond"][0]}
+        if cl["action"] == "update":
+            out["set"] = cl["set"][0]
+        spark_clauses.append(out)
+    ins_spark, ins_duck = case["insert_cond"]
+    D.merge_into(
+        spark, t, src, on=["k"],
+        when_matched=spark_clauses,
+        insert_condition=ins_spark,
+        capture_cdf=True,
+    )
+
+    # DuckDB twin: first-match-wins clause index as an ordered CASE
+    ci_branches = []
+    for i, cl in enumerate(case["clauses"]):
+        c = cl["cond"][1]
+        c_sql = "TRUE" if c is None else f"COALESCE({c}, FALSE)"
+        ci_branches.append(f"WHEN s.k IS NOT NULL AND {c_sql} THEN {i}")
+    ci_sql = "CASE " + " ".join(ci_branches) + " ELSE NULL END"
+    del_idx = [
+        i for i, cl in enumerate(case["clauses"]) if cl["action"] == "delete"
+    ]
+    cols = []
+    for c in ("k", "v", "s"):
+        branches = [
+            f"WHEN ({ci_sql}) = {i} THEN ({cl['set'][1][c]})"
+            for i, cl in enumerate(case["clauses"])
+            if cl["action"] == "update" and c in cl["set"][1]
+        ]
+        if branches:
+            cols.append(f"CASE {' '.join(branches)} ELSE t.{c} END AS {c}")
+        else:
+            cols.append(f"t.{c} AS {c}")
+    keep = (
+        f"(({ci_sql}) IS NULL OR ({ci_sql}) NOT IN "
+        f"({', '.join(map(str, del_idx))}))"
+        if del_idx
+        else "TRUE"
+    )
+    ins_where = "TRUE" if ins_duck is None else f"COALESCE({ins_duck}, FALSE)"
+    expected = con.execute(
+        f"""
+        SELECT {', '.join(cols)}
+        FROM t0 t LEFT JOIN src s ON t.k = s.k
+        WHERE {keep}
+        UNION ALL
+        SELECT s.k, s.v, s.s FROM src s
+        WHERE NOT EXISTS (SELECT 1 FROM t0 WHERE t0.k = s.k)
+          AND {ins_where}
+        """
+    ).df()
+    problems = compare("merge_clauses", _snap_pdf(spark, t), expected)
+    assert not problems, (case["clauses"], case["insert_cond"], problems)
+
+    # and the captured feed still replays v0 into the head exactly
+    head_v = V.latest_version(t)
+    if head_v >= 1:
+        feed = D.read_change_feed(spark, t, 0, head_v)
+        minus = feed.filter(
+            F.col("_change_type").isin("delete", "update_preimage")
+        ).select("k", "v", "s")
+        plus = feed.filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).select("k", "v", "s")
+        state = (
+            V.read_versioned(spark, t, version=0)
+            .select("k", "v", "s")
+            .exceptAll(minus)
+            .unionByName(plus)
+        )
+        head = V.read_versioned(spark, t).select("k", "v", "s")
+        assert state.exceptAll(head).count() == 0
+        assert head.exceptAll(state).count() == 0
