@@ -320,3 +320,115 @@ def zorder_versioned(
     # layout-only commit: same rows, clustered files — incremental
     # readers (delta / change feed / lake_cdf stream) skip it
     return write_versioned(clustered, path, mode="overwrite", data_change=False)
+
+
+def zorder_versioned_scoped(
+    spark: SparkSession,
+    path: str,
+    col_x: str,
+    col_y: str,
+    scope_col: str,
+    lo,
+    hi,
+    n_files: int,
+    bits: int = Z_BITS,
+) -> dict:
+    """SCOPED ``OPTIMIZE <table> WHERE scope_col BETWEEN lo AND hi
+    ZORDER BY (col_x, col_y)``: rewrite ONLY the snapshot files whose
+    logged [min, max] for ``scope_col`` can intersect [lo, hi],
+    carrying every other file by reference — the steady-state shape of
+    OPTIMIZE at scale, where the full-snapshot :func:`zorder_versioned`
+    is a table-sized rewrite but the region that actually accumulated
+    new unclustered files (yesterday's date partition, one tenant's
+    key range) is a sliver of it.  Files without logged stats for the
+    column are conservatively INCLUDED (they may hold scope rows).
+
+    Row-preserving by construction: the intersecting files are
+    rewritten WHOLE (rows outside [lo, hi] that share those files are
+    re-laid-out too, never dropped), z-clustered on (col_x, col_y)
+    bounds computed over the rewritten subset.  Commits through
+    ``rewrite_subset_layout`` — the shared selective-maintenance
+    machinery — so deletion vectors on the subset are materialized
+    with read-set validation (a concurrent MoR delete aborts the
+    rewrite), the commit is ``data_change=False`` (incremental readers
+    skip it), and time travel across it keeps working.  Returns
+    ``{"version", "files_rewritten", "files_out", "files_total"}``
+    (version -1 = nothing in scope).
+    """
+    from ..sources import versioned as V
+
+    es = V._entries(path)
+    stats: dict[str, dict] = {}
+    for e in es:
+        stats.update(e.get("file_stats") or {})
+    snap = V._snapshot_files(path, None)
+
+    def may_intersect(f: str) -> bool:
+        s = stats.get(f, {}).get(scope_col)
+        if not s:
+            return True  # unknown → may hold scope rows → rewrite
+        fmin, fmax = s
+        return not (fmax < lo or fmin > hi)
+
+    subset = [f for f in snap if may_intersect(f)]
+    if not subset:
+        return {
+            "version": -1,
+            "files_rewritten": 0,
+            "files_out": 0,
+            "files_total": len(snap),
+        }
+
+    def shape(df: DataFrame, n_rows: int) -> DataFrame:
+        b = df.agg(
+            F.min(col_x).alias("minx"),
+            F.max(col_x).alias("maxx"),
+            F.min(col_y).alias("miny"),
+            F.max(col_y).alias("maxy"),
+        ).first()
+        all_null = [
+            c
+            for c, v in ((col_x, b["minx"]), (col_y, b["miny"]))
+            if v is None
+        ]
+        if all_null:
+            raise ValueError(
+                f"zorder_versioned_scoped: column(s) {all_null} have no "
+                "non-NULL values in the scoped files — no z-order bounds "
+                "exist; use compact_small_files for a layout-only rewrite"
+            )
+        n_buckets = F.lit(1 << bits).cast("long")
+        qx = (
+            (F.col(col_x) - F.lit(b["minx"]))
+            * n_buckets
+            / F.greatest(F.lit(b["maxx"] - b["minx"] + 1), F.lit(1))
+        ).cast("long")
+        qy = (
+            (F.col(col_y) - F.lit(b["miny"]))
+            * n_buckets
+            / F.greatest(F.lit(b["maxy"] - b["miny"] + 1), F.lit(1))
+        ).cast("long")
+        return (
+            df.withColumn("_z", zorder_key(qx, qy, bits))
+            .repartitionByRange(n_files, F.col("_z"))
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+
+    r = V.rewrite_subset_layout(
+        spark,
+        path,
+        subset,
+        shape,
+        {
+            "op": "zorder_scoped",
+            "scope": [scope_col, lo, hi],
+            "zorder_by": [col_x, col_y],
+        },
+    )
+    return {
+        "version": r["version"],
+        "files_rewritten": len(subset),
+        "files_out": r["files_out"],
+        "files_total": len(snap),
+    }

@@ -68,6 +68,7 @@ __all__ = [
     "publish_with_audit",
     "compact_versioned",
     "compact_small_files",
+    "rewrite_subset_layout",
     "read_versioned_pruned",
 ]
 
@@ -1099,13 +1100,52 @@ def compact_small_files(
             "files_total": len(snap),
         }
 
+    r = rewrite_subset_layout(
+        spark,
+        path,
+        small,
+        lambda df, n_rows: df.repartition(
+            max(1, -(-n_rows // target_rows_per_file))
+        ),
+        {"op": "compact_small", "files_compacted": len(small)},
+    )
+    return {
+        "version": r["version"],
+        "files_compacted": len(small),
+        "files_out": r["files_out"],
+        "files_total": len(snap),
+    }
+
+
+def rewrite_subset_layout(
+    spark: SparkSession,
+    path: str,
+    subset: list[str],
+    shape,
+    op: dict,
+) -> dict:
+    """Shared machinery for SELECTIVE layout maintenance (small-file
+    compaction, scoped ZORDER): read ``subset`` of the current
+    snapshot with in-effect deletion vectors applied, let
+    ``shape(df, n_rows) -> DataFrame`` lay the same rows out anew, and
+    commit a ``rewrite`` entry (``data_change=False``) dropping
+    ``subset`` and adding the staged files — every other file carries
+    by reference, so cost ∝ subset bytes, never table bytes.
+
+    The optimistic commit validates the READ SET on every attempt:
+    all of ``subset`` must still be live AND the deletion-vector state
+    relevant to it unchanged — a concurrent MoR delete on a subset
+    file would otherwise be silently materialized away (the DV goes
+    inert by name once the rewrite lands), resurrecting deleted rows.
+    Raises ``ValueError`` on conflict; the caller re-runs against the
+    new head.  ``shape`` must be row-preserving — incremental readers
+    SKIP dataChange=false commits, so changing rows here would corrupt
+    them silently.
+    """
+    es = _entries(path)
+
     def _dv_fingerprint(entries) -> list:
-        """The in-effect DV state RELEVANT TO the files being
-        compacted — a concurrent MoR delete on one of them would make
-        the staged rewrite resurrect the deleted rows (the DV goes
-        inert by name once the rewrite lands), so the commit loop must
-        detect any change to this, not just to the live file set."""
-        sm = set(small)
+        sm = set(subset)
         return [
             (s["version"], tuple(sorted(s["files"])))
             for s in _dv_state(entries)
@@ -1114,23 +1154,22 @@ def compact_small_files(
 
     read_dvs = _dv_fingerprint(es)
     df = _apply_dvs(
-        spark, path, _read_with_log_schema(spark, path, small, None), None
+        spark, path, _read_with_log_schema(spark, path, subset, None), None
     )
     n_rows = df.count()
-    n_out = max(1, -(-n_rows // target_rows_per_file))
-    files, _, stats = _stage_files(df.repartition(n_out), path)
+    files, _, stats = _stage_files(shape(df, n_rows), path)
     log = _log_path(path)
     tmp = os.path.join(log, f"_tmp_{uuid.uuid4().hex}.json")
     try:
         while True:  # optimistic commit, validating the read set
             cur = _entries(path)
             live = set(_snapshot_files(path, None))
-            if not set(small) <= live or _dv_fingerprint(cur) != read_dvs:
+            if not set(subset) <= live or _dv_fingerprint(cur) != read_dvs:
                 for fn in files:
                     os.remove(os.path.join(path, fn))
                 raise ValueError(
                     "concurrent commit replaced a file (or changed the "
-                    "deletion-vector state of a file) this compaction "
+                    "deletion-vector state of a file) this layout rewrite "
                     "read — re-run against the new head"
                 )
             version = cur[-1]["version"] + 1
@@ -1139,11 +1178,11 @@ def compact_small_files(
                 "ts": _next_ts(cur),
                 "action": "rewrite",
                 "files": files,
-                "removed": small,
+                "removed": list(subset),
                 "n_rows": n_rows,
                 "file_stats": stats,
                 "data_change": False,
-                "op": {"op": "compact_small", "files_compacted": len(small)},
+                "op": op,
             }
             with open(tmp, "w") as f:
                 json.dump(entry, f)
@@ -1152,9 +1191,8 @@ def compact_small_files(
                 os.link(tmp, target)
                 return {
                     "version": version,
-                    "files_compacted": len(small),
                     "files_out": len(files),
-                    "files_total": len(snap),
+                    "n_rows": n_rows,
                 }
             except FileExistsError:
                 continue
