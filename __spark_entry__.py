@@ -108,13 +108,17 @@ MAX_GREEN_AGE_ROUNDS = 3
 
 #: Oracles whose TEXT changed this round — a green row under the old
 #: text does not attest the new one, so these re-enter the window right
-#: after the never-green block.  Rewrite per round.  Round 9: no
-#: EXISTING oracle text changed — the round is hardening (DML NULL-key
-#: merge guard, vacuum DV/CDF retention, bench isolation) plus one new
-#: query (lake_restore_orders, never-green so it ranks first anyway),
-#: so the rest of the 50-slot window goes to the age-capped cohort
-#: (the 38 names last driver-verified in round 4, per VERDICT r8
-#: item 1, rank in automatically, oldest first).
+#: after the never-green block.  Rewrite per round.  Round 10: no
+#: oracle text changed and no query was added or removed — the round
+#: is lake hardening (DV-vacuum time-travel guard, tombstone
+#: fragments, TIMESTAMP AS OF, multi-clause MERGE, Bloom manifest
+#: sharding, scoped ZORDER), all pytest-pinned, so the whole 50-slot
+#: window goes to the age-capped cohort: the 7 names last green in
+#: round 5 plus the 43 last green in round 6 (VERDICT r9 item 1) rank
+#: in automatically, oldest first — exactly 50.  One implementation
+#: note: cdc_apply_rollup_orders was REWRITTEN on the native
+#: multi-clause merge (oracle text unchanged, re-verified against the
+#: unchanged oracle this round via scripts/oracle_check.py).
 CHANGED_ORACLES: set[str] = set()
 
 
