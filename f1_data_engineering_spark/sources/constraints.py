@@ -1,0 +1,150 @@
+"""CHECK constraints for the versioned lake: declarative write-time
+data-quality gates, enforced on EVERY path that lands rows (append,
+overwrite, streaming sink micro-batches, CoW DML rewrites, merge
+inserts) — the Delta `ALTER TABLE ADD CONSTRAINT` surface for the
+mini-format (the reference has no table format at all; its closest
+shape is ad-hoc dropna/astype scattered through
+src/transform/f1_dataTransformer.py).
+
+Semantics (SQL CHECK, like Delta):
+
+* a row VIOLATES a constraint iff the expression evaluates to FALSE —
+  NULL satisfies (unknown ≠ failed; use ``col IS NOT NULL`` for
+  NOT-NULL gates);
+* ``add_constraint`` validates the EXISTING snapshot first — a
+  constraint that current data already violates is refused, so a
+  reader can trust that every live row of a constrained table
+  satisfies every constraint in effect;
+* constraint state is carried in the transaction log as metadata-only
+  commits (``set_constraint`` / ``drop_constraint``: no files,
+  ``data_change=False``) — versioned like everything else, so time
+  travel shows the constraint set of the era, and incremental readers
+  skip the commits entirely;
+* enforcement cost is ONE extra validation pass over the rows being
+  written (all constraints folded into a single OR-of-violations
+  filter + limited collect), zero when no constraints exist; the
+  staged files are never published on violation, so a failed write
+  leaves no new version and no visible garbage.
+
+Concurrency note: a write validates against the constraint set read
+at its start; a constraint added concurrently with an in-flight write
+may miss that write's rows (the same window real formats close with
+full transaction conflict detection — out of scope for the
+single-table mini-format, documented here).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .versioned import _entries, _log_path, _next_ts, read_versioned
+
+__all__ = [
+    "ConstraintViolationError",
+    "add_constraint",
+    "drop_constraint",
+    "table_constraints",
+    "validate_constraints",
+]
+
+
+class ConstraintViolationError(ValueError):
+    """Rows being written (or already live, for ``add_constraint``)
+    evaluate a CHECK constraint to FALSE."""
+
+
+def table_constraints(path: str, version: int | None = None) -> dict[str, str]:
+    """Constraint name → expression in effect at ``version`` (default
+    head), replayed from the log's set/drop metadata commits."""
+    es = _entries(path)
+    if version is not None:
+        es = [e for e in es if e["version"] <= version]
+    out: dict[str, str] = {}
+    for e in es:
+        if e["action"] == "set_constraint":
+            out[e["constraint"]["name"]] = e["constraint"]["expr"]
+        elif e["action"] == "drop_constraint":
+            out.pop(e["constraint"]["name"], None)
+    return out
+
+
+def validate_constraints(df: DataFrame, constraints: dict[str, str]) -> None:
+    """Raise :class:`ConstraintViolationError` if any row of ``df``
+    evaluates any constraint to FALSE (NULL satisfies — SQL CHECK).
+    One job: all constraints fold into a single OR-of-violations
+    filter; the collect is capped at one example row."""
+    if not constraints:
+        return
+    violated = None
+    for expr in constraints.values():
+        v = ~F.coalesce(F.expr(expr), F.lit(True))
+        violated = v if violated is None else (violated | v)
+    bad = df.filter(violated).limit(1).collect()
+    if bad:
+        raise ConstraintViolationError(
+            f"CHECK constraint violated by written data "
+            f"(constraints: {constraints}; example row: {bad[0].asDict()})"
+        )
+
+
+def _commit_meta(path: str, action: str, constraint: dict) -> int:
+    """Metadata-only commit (no files, data_change=False) through the
+    same optimistic log race as every other writer."""
+    log = _log_path(path)
+    os.makedirs(log, exist_ok=True)
+    tmp = os.path.join(log, f"_tmp_{uuid.uuid4().hex}.json")
+    try:
+        while True:
+            es = _entries(path)
+            version = (es[-1]["version"] if es else -1) + 1
+            entry = {
+                "version": version,
+                "ts": _next_ts(es),
+                "action": action,
+                "files": [],
+                "n_rows": 0,
+                "data_change": False,
+                "constraint": constraint,
+                "op": {"op": action, **constraint},
+            }
+            with open(tmp, "w") as f:
+                json.dump(entry, f)
+            target = os.path.join(log, f"{version:08d}.json")
+            try:
+                os.link(tmp, target)
+                return version
+            except FileExistsError:
+                continue
+    finally:
+        try:
+            os.remove(tmp)
+        except FileNotFoundError:
+            pass
+
+
+def add_constraint(
+    spark: SparkSession, path: str, name: str, expr: str
+) -> int:
+    """``ALTER TABLE <t> ADD CONSTRAINT <name> CHECK (<expr>)``:
+    validates the CURRENT snapshot (a constraint existing data already
+    violates is refused — Delta semantics), then commits the
+    constraint as a metadata-only version.  Returns the version."""
+    if name in table_constraints(path):
+        raise ValueError(
+            f"constraint {name!r} already exists on {path}; drop it first"
+        )
+    validate_constraints(read_versioned(spark, path), {name: expr})
+    return _commit_meta(path, "set_constraint", {"name": name, "expr": expr})
+
+
+def drop_constraint(path: str, name: str) -> int:
+    """``ALTER TABLE <t> DROP CONSTRAINT <name>``; returns the new
+    version.  Raises if the constraint does not exist (typo safety)."""
+    if name not in table_constraints(path):
+        raise ValueError(f"no constraint {name!r} on {path}")
+    return _commit_meta(path, "drop_constraint", {"name": name})

@@ -209,8 +209,13 @@ def _commit_rewrite(
     cdf: list[tuple[DataFrame, str]] | None = None,
 ) -> int:
     """Stage ``df_new`` (None → removal-only) and commit a ``rewrite``
-    entry, plus optional change-feed sidecars."""
+    entry, plus optional change-feed sidecars.  CHECK constraints are
+    validated over the full rewritten frame before staging — updated
+    rows and merge inserts must satisfy them like any other write."""
     if df_new is not None:
+        from .constraints import table_constraints, validate_constraints
+
+        validate_constraints(df_new, table_constraints(path))
         files, n_rows, stats = _stage_files(df_new, path)
         schema_json = df_new.schema.json()
     else:

@@ -277,11 +277,44 @@ def table_history(path: str) -> list[dict]:
     return _entries(path)
 
 
+#: Cap logged string bounds: at 100 TB a documents-style table would
+#: otherwise carry the FULL min/max text of every column in every log
+#: entry (KBs per file per column — the log becomes a second copy of
+#: the corpus tails).  Same fix as Iceberg/Delta: truncate, keeping
+#: bound VALIDITY — a prefix is already a lower bound for the min; the
+#: max prefix must be incremented to stay an upper bound.
+_STATS_MAX_STR = 64
+
+
+def _truncate_bounds(lo: str, hi: str) -> list[str] | None:
+    """[lo', hi'] with both ≤ _STATS_MAX_STR chars such that
+    lo' ≤ lo and hi' ≥ hi (pruning stays false-negative-free), or
+    None when no valid short upper bound exists (all chars of the
+    truncated max are already U+10FFFF — drop the stat, readers scan
+    conservatively)."""
+    if len(lo) <= _STATS_MAX_STR and len(hi) <= _STATS_MAX_STR:
+        return [lo, hi]
+    lo2 = lo[:_STATS_MAX_STR]  # prefix ≤ original: valid lower bound
+    if len(hi) <= _STATS_MAX_STR:
+        return [lo2, hi]
+    cut = hi[:_STATS_MAX_STR]
+    # increment the last incrementable char and drop everything after
+    # it: the result compares strictly greater than any string with
+    # the original prefix (Iceberg's truncateStringMax)
+    for i in range(len(cut) - 1, -1, -1):
+        cp = ord(cut[i])
+        if cp < 0x10FFFF:
+            return [lo2, cut[:i] + chr(cp + 1)]
+    return None
+
+
 def _file_stats(pf) -> dict:
     """Per-column [min, max] from a parquet file's row-group footers —
     JSON-serializable scalars only (numeric/bool/str), NULL-only and
-    exotic types skipped.  This is what real formats put in their
-    manifests so readers can skip files without opening them."""
+    exotic types skipped; long string bounds truncated (validity-
+    preserving, see ``_truncate_bounds``).  This is what real formats
+    put in their manifests so readers can skip files without opening
+    them."""
     import datetime
 
     mins: dict = {}
@@ -308,7 +341,16 @@ def _file_stats(pf) -> dict:
                 continue
             mins[name] = lo if name not in mins else min(mins[name], lo)
             maxs[name] = hi if name not in maxs else max(maxs[name], hi)
-    return {c: [mins[c], maxs[c]] for c in mins}
+    out = {}
+    for c in mins:
+        lo, hi = mins[c], maxs[c]
+        if isinstance(lo, str):
+            b = _truncate_bounds(lo, hi)
+            if b is None:
+                continue  # no short upper bound → stat dropped
+            lo, hi = b
+        out[c] = [lo, hi]
+    return out
 
 
 def _stage_files(
@@ -401,6 +443,14 @@ def write_versioned(
         )
     else:
         table_schema = df.schema
+    if _entries(path):
+        # CHECK constraints gate every row-landing path (this covers
+        # appends, overwrites, and the streaming sink's micro-batches);
+        # zero cost when none exist.  Validated BEFORE staging so a
+        # refused write leaves nothing on disk.
+        from .constraints import table_constraints, validate_constraints
+
+        validate_constraints(df, table_constraints(path))
     os.makedirs(_log_path(path), exist_ok=True)
     files, n_rows, stats = _stage_files(df, path)
     log = _log_path(path)

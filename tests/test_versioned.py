@@ -303,3 +303,49 @@ def test_pruned_read_skips_files_from_log_stats(spark, tmp_path):
     df4, scanned4, _ = V.read_versioned_pruned(spark, t, "tag", "t2", "t2")
     assert scanned4 == 1
     assert df4.count() == 100
+
+
+def test_long_string_stats_truncated_but_valid(spark, tmp_path):
+    """Logged string bounds are capped (a documents table must not
+    copy its text tails into every log entry) while staying VALID for
+    pruning: truncated min ≤ true min, truncated max ≥ true max, so
+    read_versioned_pruned keeps the no-false-negative property."""
+    t = str(tmp_path / "docs")
+    rows = [
+        ("aaa" + "x" * 200, 1),
+        ("mmm" + "y" * 200, 2),
+        ("zzz" + "z" * 200, 3),
+    ]
+    df = spark.createDataFrame(rows, "text string, n long")
+    V.write_versioned(df.repartition(1), t, mode="overwrite")
+    es = V.table_history(t)
+    st = next(iter(es[-1]["file_stats"].values()))
+    lo, hi = st["text"]
+    assert len(lo) <= V._STATS_MAX_STR and len(hi) <= V._STATS_MAX_STR
+    assert lo <= rows[0][0] and hi >= rows[2][0]  # validity
+    # a probe for the FULL long string must still scan the file
+    got, scanned, total = V.read_versioned_pruned(
+        spark, t, "text", rows[2][0], rows[2][0]
+    )
+    assert scanned == 1 and got.count() == 1
+    # and a probe clearly outside the range prunes
+    got, scanned, total = V.read_versioned_pruned(
+        spark, t, "text", "AAAA", "AAAB"
+    )
+    assert scanned == 0 and got.count() == 0
+
+
+def test_truncate_bounds_unit():
+    tb = V._truncate_bounds
+    assert tb("a", "b") == ["a", "b"]  # short: untouched
+    lo, hi = tb("a" * 100, "b" * 100)
+    assert len(lo) == len(hi) == V._STATS_MAX_STR
+    assert lo == "a" * 64 and hi == "b" * 63 + "c"
+    assert lo <= "a" * 100 and hi >= "b" * 100
+    # max whose truncated tail is already U+10FFFF: increment an
+    # earlier char and drop the rest
+    hi_in = "q" + chr(0x10FFFF) * 100
+    lo2, hi2 = tb("a", hi_in)
+    assert hi2 == "r" and hi2 >= hi_in
+    # no incrementable char at all → stat dropped
+    assert tb("a", chr(0x10FFFF) * 100) is None
