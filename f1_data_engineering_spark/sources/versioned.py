@@ -63,6 +63,7 @@ __all__ = [
     "read_version_delta",
     "vacuum",
     "restore_versioned",
+    "clone_versioned",
     "write_stream_versioned",
     "version_at_timestamp",
     "publish_with_audit",
@@ -1035,6 +1036,113 @@ def restore_versioned(
             os.remove(tmp)
         except FileNotFoundError:
             pass
+
+
+def clone_versioned(
+    path: str, target: str, version: int | None = None, timestamp=None
+) -> int:
+    """``CREATE TABLE <target> CLONE <path> [VERSION/TIMESTAMP AS OF]``
+    — a zero-copy clone: ``target`` gets its own transaction log whose
+    v0 snapshot equals the source's snapshot at ``version`` (default
+    head) or ``timestamp``, with the data and deletion-vector files
+    HARDLINKED into the clone (no bytes copied; cross-filesystem
+    targets fall back to a real copy).  The dev/test-branch operation:
+    experiment with DML, compaction, constraints on the clone while
+    the production table is untouched.
+
+    Safer than Delta's shallow clone, whose pointers break when the
+    SOURCE vacuums: hardlinked bytes stay alive until both tables drop
+    them, so source maintenance can never invalidate a clone (and vice
+    versa), while writes after the clone diverge freely (UUID file
+    names never collide).  In-effect MoR deletion vectors are carried
+    as clone state (the clone reads exactly what the source read);
+    CHECK constraints in effect at the cloned version are re-declared
+    on the clone; Bloom sidecars are NOT carried (advisory — rebuilt
+    on demand).  Raises if any needed file of the source snapshot was
+    vacuumed, or if ``target`` already has a log.  Returns the clone's
+    version (0).
+    """
+    import shutil as _sh
+
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version OR timestamp, not both")
+        version = version_at_timestamp(path, timestamp)
+    es = _entries(path)
+    if not es:
+        raise ValueError(f"no committed data in {path}")
+    head = es[-1]["version"]
+    if version is None:
+        version = head
+    if version > head or version < 0:
+        raise ValueError(f"version {version} does not exist (head={head})")
+    if _entries(target):
+        raise ValueError(f"clone target {target} already has a table log")
+    at = [e for e in es if e["version"] <= version]
+    files = _snapshot_files(path, version)
+    dv_state = _dv_state(at)
+    dead = _vacuum_tombstones(path)
+    needed = files + [f for s in dv_state for f in s["files"]]
+    missing = [
+        f
+        for f in needed
+        if f in dead or not os.path.isfile(os.path.join(path, f))
+    ]
+    if missing:
+        raise ValueError(
+            f"cannot clone {path} at v{version}: {len(missing)} file(s) "
+            f"of that snapshot were vacuumed (e.g. {missing[0]})"
+        )
+    schema = None
+    for e in reversed(at):
+        if "schema" in e:
+            schema = e["schema"]
+            break
+    os.makedirs(target, exist_ok=True)
+    for f in needed:
+        src, dst = os.path.join(path, f), os.path.join(target, f)
+        try:
+            os.link(src, dst)  # zero-copy; content outlives either unlink
+        except FileExistsError:
+            pass  # idempotent retry after a crashed clone
+        except OSError:
+            _sh.copy2(src, dst)  # cross-device: fall back to a copy
+    # the clone's seed entry reuses the `restore` shape: snapshot = the
+    # recorded file list, DV state = the recorded list — both already
+    # understood by every reader (and a feed read across it correctly
+    # refuses: a clone seed has no incremental representation)
+    log = _log_path(target)
+    os.makedirs(log, exist_ok=True)
+    entry = {
+        "version": 0,
+        "ts": _next_ts([]),
+        "action": "restore",
+        "files": files,
+        "dv_state": dv_state,
+        "n_rows": None,
+        "op": {"op": "clone", "source": path, "source_version": version},
+    }
+    if schema is not None:
+        entry["schema"] = schema
+    tmp = os.path.join(log, f"_tmp_{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as fh:
+        json.dump(entry, fh)
+    try:
+        os.link(tmp, os.path.join(log, "00000000.json"))
+    except FileExistsError:
+        raise ValueError(
+            f"clone target {target} gained a log concurrently"
+        ) from None
+    finally:
+        try:
+            os.remove(tmp)
+        except FileNotFoundError:
+            pass
+    from .constraints import _commit_meta, table_constraints
+
+    for name, expr in table_constraints(path, version).items():
+        _commit_meta(target, "set_constraint", {"name": name, "expr": expr})
+    return 0
 
 
 def _rollback(path: str, version: int) -> None:
