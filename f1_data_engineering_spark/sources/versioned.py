@@ -60,6 +60,7 @@ __all__ = [
     "read_versioned",
     "table_history",
     "latest_version",
+    "describe_detail",
     "read_version_delta",
     "vacuum",
     "restore_versioned",
@@ -800,9 +801,13 @@ def vacuum(
     retain_versions: int = 0,
     min_age_seconds: float = 3600.0,
     retain_cdf_versions: int | None = None,
+    dry_run: bool = False,
 ) -> list[str]:
     """Remove data files unreachable from the last ``retain_versions+1``
     snapshots (head always retained); returns the deleted names.
+    ``dry_run=True`` returns what WOULD be deleted without touching
+    anything (``VACUUM ... DRY RUN`` — the sanity check an operator
+    runs before an irreversible collection).
     Time travel older than the retained window stops working — the
     same contract as a real format's VACUUM.
 
@@ -877,27 +882,94 @@ def vacuum(
     for f in os.listdir(path):
         full = os.path.join(path, f)
         if f.endswith(".parquet") and f not in keep and _old(full):
-            os.remove(full)
+            if not dry_run:
+                os.remove(full)
             deleted.append(f)
         elif f.startswith("_stage_") and os.path.isdir(full) and _old(full):
             # a writer killed inside df.write leaves nested dirs
             # (_temporary/... committer layout) — rmtree, not unlink
-            shutil.rmtree(full, ignore_errors=True)
+            if not dry_run:
+                shutil.rmtree(full, ignore_errors=True)
             deleted.append(f)
     # tombstone EVERY vacuumed parquet (data files included, not just
     # sidecars): append/seed data files double as their commit's
     # change feed, so a feed read over a vacuumed range must find the
     # name in the tombstones to raise the clear vacuumed-range error
     # rather than a raw missing-file failure
-    _record_tombstones(path, {f for f in deleted if f.endswith(".parquet")})
+    if not dry_run:
+        _record_tombstones(path, {f for f in deleted if f.endswith(".parquet")})
     log = _log_path(path)
     if os.path.isdir(log):
         for f in os.listdir(log):
             full = os.path.join(log, f)
             if f.startswith("_tmp_") and _old(full):
-                os.remove(full)
+                if not dry_run:
+                    os.remove(full)
                 deleted.append(f)
     return sorted(deleted)
+
+
+def describe_detail(path: str) -> dict:
+    """``DESCRIBE DETAIL <table>`` — operational summary from the log
+    alone (no data IO): head version and commit time, live file count
+    and row count (from per-file ``::rows`` stats where recorded),
+    in-effect deletion-vector sidecars and MoR-deleted row count,
+    change-feed sidecar count, constraints in effect, table schema
+    column names, and on-disk byte totals for live vs time-travel-only
+    files (one directory stat pass, no file contents read)."""
+    es = _entries(path)
+    if not es:
+        raise ValueError(f"no committed data in {path}")
+    head = es[-1]
+    live = _snapshot_files(path, None)
+    live_set = set(live)
+    stats: dict[str, dict] = {}
+    for e in es:
+        stats.update(e.get("file_stats") or {})
+    rows = [stats.get(f, {}).get("::rows") for f in live]
+    n_rows = sum(r[0] for r in rows if r) if any(rows) else None
+    dv_state = _dv_state(es)
+    dv_files = [f for s in dv_state for f in s["files"]]
+    in_effect = {s["version"] for s in dv_state}
+    mor_deleted = sum(
+        e.get("n_rows") or 0
+        for e in es
+        if e["action"] == "dv" and e["version"] in in_effect
+    )
+    cdf_files = [f for e in es for f in e.get("cdf_files", ())]
+    live_bytes = retained_bytes = 0
+    for f in os.listdir(path):
+        if not f.endswith(".parquet"):
+            continue
+        try:
+            sz = os.path.getsize(os.path.join(path, f))
+        except FileNotFoundError:
+            continue
+        if f in live_set:
+            live_bytes += sz
+        else:
+            retained_bytes += sz
+    from .constraints import table_constraints
+
+    schema_cols = None
+    try:
+        schema_cols = [f.name for f in _snapshot_schema(path, None).fields]
+    except ValueError:
+        pass
+    return {
+        "version": head["version"],
+        "last_commit_ts": head.get("ts"),
+        "num_files": len(live),
+        "num_rows": n_rows,
+        "size_bytes": live_bytes,
+        "retained_non_live_bytes": retained_bytes,
+        "dv_sidecars": len(dv_files),
+        "mor_deleted_rows": mor_deleted,
+        "cdf_sidecars": len(cdf_files),
+        "constraints": table_constraints(path),
+        "columns": schema_cols,
+        "vacuum_tombstones": len(_vacuum_tombstones(path)),
+    }
 
 
 def write_stream_versioned(df: DataFrame, path: str):

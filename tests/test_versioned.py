@@ -349,3 +349,33 @@ def test_truncate_bounds_unit():
     assert hi2 == "r" and hi2 >= hi_in
     # no incrementable char at all → stat dropped
     assert tb("a", chr(0x10FFFF) * 100) is None
+
+
+def test_vacuum_dry_run_deletes_nothing(spark, tmp_path):
+    t = str(tmp_path / "dry")
+    V.write_versioned(_df(spark, 0, 5, "a"), t, "overwrite")
+    V.write_versioned(_df(spark, 0, 2, "b"), t, "overwrite")
+    would = V.vacuum(t, retain_versions=0, min_age_seconds=0.0, dry_run=True)
+    assert would  # v0's files are collectable
+    # nothing actually deleted, no tombstones recorded
+    assert V.read_versioned(spark, t, version=0).count() == 5
+    assert V._vacuum_tombstones(t) == set()
+    # the real vacuum then deletes exactly the predicted set
+    assert V.vacuum(t, retain_versions=0, min_age_seconds=0.0) == would
+
+
+def test_describe_detail(spark, tmp_path):
+    from f1_data_engineering_spark.sources import constraints as C
+    from f1_data_engineering_spark.sources import dml as D
+
+    t = str(tmp_path / "detail")
+    V.write_versioned(_df(spark, 0, 10, "a").repartition(2), t, "overwrite")
+    D.delete_where_mor(spark, t, "id < 2")
+    C.add_constraint(spark, t, "id_nonneg", "id >= 0")
+    d = V.describe_detail(t)
+    assert d["version"] == 2 and d["num_files"] == 2
+    assert d["num_rows"] == 10  # physical rows (MoR deletes at read)
+    assert d["mor_deleted_rows"] == 2 and d["dv_sidecars"] >= 1
+    assert d["constraints"] == {"id_nonneg": "id >= 0"}
+    assert d["columns"] == ["id", "tag"]
+    assert d["size_bytes"] > 0 and d["last_commit_ts"] is not None
