@@ -302,21 +302,33 @@ def build_bloom_index(spark: SparkSession, path: str, column: str) -> dict:
 
 
 def read_versioned_bloom_pruned(
-    spark: SparkSession, path: str, column: str, value
+    spark: SparkSession,
+    path: str,
+    column: str,
+    value,
+    version: int | None = None,
 ) -> tuple[DataFrame, int, int]:
     """Point-lookup snapshot read that skips files whose Bloom bitmap
     proves ``column = value`` cannot match; returns
     (frame, files_scanned, files_total).  No false negatives: a file
     is skipped only when some probe bit is unset, which an inserted
-    value would have set.  Unindexed files (post-DML, pre-refresh) are
-    conservatively scanned; deletion vectors and the exact predicate
-    are applied to whatever is read.  Thin wrapper over the batched
-    form — one pruning implementation, two call shapes."""
-    return read_versioned_bloom_pruned_multi(spark, path, column, [value])
+    value would have set.  Unindexed files (post-DML, pre-refresh —
+    or belonging to a TIME-TRAVELED snapshot whose entries were folded
+    out of the manifest) are conservatively scanned; deletion vectors
+    and the exact predicate are applied to whatever is read.  Thin
+    wrapper over the batched form — one pruning implementation, two
+    call shapes."""
+    return read_versioned_bloom_pruned_multi(
+        spark, path, column, [value], version=version
+    )
 
 
 def read_versioned_bloom_pruned_multi(
-    spark: SparkSession, path: str, column: str, values
+    spark: SparkSession,
+    path: str,
+    column: str,
+    values,
+    version: int | None = None,
 ) -> tuple[DataFrame, int, int]:
     """BATCHED point lookups: one snapshot read of the UNION of files
     any of ``values`` may live in, filtered ``column IN values`` —
@@ -336,7 +348,7 @@ def read_versioned_bloom_pruned_multi(
     values = list(values)
     if not values:
         raise ValueError("values must be non-empty")
-    files = _snapshot_files(path, None)
+    files = _snapshot_files(path, version)
     if not files:
         raise ValueError(f"no committed data in {path}")
     man = _load_manifest(path, column)
@@ -359,9 +371,12 @@ def read_versioned_bloom_pruned_multi(
     if not keep:
         from .versioned import _snapshot_schema
 
-        df = spark.createDataFrame([], _snapshot_schema(path, None))
+        df = spark.createDataFrame([], _snapshot_schema(path, version))
     else:
         df = _apply_dvs(
-            spark, path, _read_with_log_schema(spark, path, keep, None), None
+            spark,
+            path,
+            _read_with_log_schema(spark, path, keep, version),
+            version,
         )
     return df.filter(F.col(column).isin(values)), len(keep), len(files)

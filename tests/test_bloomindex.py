@@ -294,3 +294,22 @@ def test_multi_key_lookup_matches_per_key_union(spark, lake):
 
     with pytest.raises(ValueError, match="non-empty"):
         B.read_versioned_bloom_pruned_multi(spark, lake, "k", [])
+
+
+def test_time_traveled_bloom_probe(spark, lake):
+    """version= probes read the OLD snapshot under the same exactness
+    contract: indexed old files still prune; old files folded out of
+    the manifest (or never indexed) scan conservatively."""
+    B.build_bloom_index(spark, lake, "k")
+    D.delete_where(spark, lake, "k = 137")  # v1 rewrites 137's file
+    B.build_bloom_index(spark, lake, "k")
+    # head: the key is gone
+    got, _, _ = B.read_versioned_bloom_pruned(spark, lake, "k", 137)
+    assert got.count() == 0
+    # v0: the key exists and the probe still prunes (v0's files are
+    # all still indexed — the rewrite only ADDED entries)
+    got, scanned, total = B.read_versioned_bloom_pruned(
+        spark, lake, "k", 137, version=0
+    )
+    assert [x["k"] for x in got.collect()] == [137]
+    assert total == 8 and scanned <= 3
