@@ -58,6 +58,79 @@ def zorder_key(qx: Column, qy: Column, bits: int = Z_BITS) -> Column:
     return z
 
 
+def zorder_key_n(qs: list[Column], bits: int = Z_BITS) -> Column:
+    """N-way bit interleave: bit i of the j-th quantized column lands
+    at position ``i*len(qs) + j`` — the general Morton code
+    :func:`zorder_key` is the 2-column case of.  ``len(qs)·bits`` must
+    fit a long (≤ 62); pure integer shifts/masks, whole-stage
+    codegen'd."""
+    k = len(qs)
+    if k < 2:
+        raise ValueError("zorder needs at least 2 columns")
+    if k * bits > 62:
+        raise ValueError(f"{k} columns × {bits} bits exceeds a long")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, q in enumerate(qs):
+            z = z + F.shiftleft(
+                F.shiftright(q, i).bitwiseAND(F.lit(1)), i * k + j
+            )
+    return z
+
+
+def zorder_versioned_multi(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    n_files: int,
+    bits: int | None = None,
+) -> int:
+    """``OPTIMIZE <table> ZORDER BY (c1, …, cK)`` for ANY number of
+    numeric columns (the 2-column :func:`zorder_versioned` is the
+    K = 2 case): one 1-row bounds aggregate, scan-side quantization,
+    N-way Morton interleave (:func:`zorder_key_n`), ONE range shuffle
+    — after which ``read_versioned_pruned`` skips files on EVERY one
+    of the K dimensions, because each output file covers a narrow
+    z-hyper-rectangle.  ``bits`` defaults to the most precision that
+    fits a long for K columns (62 // K, capped at Z_BITS).  Commits a
+    layout-only overwrite (data bit-identical, incremental readers
+    skip); raises with the columns named if any has no non-NULL
+    values (no z-space exists)."""
+    from ..sources.versioned import read_versioned, write_versioned
+
+    if bits is None:
+        bits = min(Z_BITS, 62 // max(2, len(cols)))
+    snap = read_versioned(spark, path)
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    b = snap.agg(*aggs).first()
+    all_null = [c for c in cols if b[f"min_{c}"] is None]
+    if all_null:
+        raise ValueError(
+            f"zorder_versioned_multi: column(s) {all_null} have no "
+            "non-NULL values in the current snapshot — no z-order bounds "
+            "exist; use compact_versioned for a layout-only rewrite"
+        )
+    n_buckets = F.lit(1 << bits).cast("long")
+    qs = [
+        (
+            (F.col(c) - F.lit(b[f"min_{c}"]))
+            * n_buckets
+            / F.greatest(F.lit(b[f"max_{c}"] - b[f"min_{c}"] + 1), F.lit(1))
+        ).cast("long")
+        for c in cols
+    ]
+    clustered = (
+        snap.withColumn("_z", zorder_key_n(qs, bits))
+        .repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    return write_versioned(clustered, path, mode="overwrite", data_change=False)
+
+
 def _sql_zorder(qx: str, qy: str, bits: int = Z_BITS) -> str:
     terms = []
     for i in range(bits):

@@ -134,3 +134,34 @@ def test_scoped_zorder_all_null_bounds_raise(spark, tmp_path):
         L.zorder_versioned_scoped(
             spark, t, "x", "y", scope_col="k", lo=0, hi=10, n_files=2
         )
+
+
+def test_zorder_multi_three_columns_prunes_every_dim(spark, tmp_path):
+    """N-column OPTIMIZE ZORDER: after clustering on (x, y, w), a
+    selective range on EACH dimension skips files — the property no
+    single- or two-column sort gives all three."""
+    t = str(tmp_path / "z3")
+    df = spark.range(0, 4000).select(
+        ((F.col("id") * 7919) % 1000).alias("x"),
+        ((F.col("id") * 104729) % 1000).alias("y"),
+        ((F.col("id") * 131) % 1000).alias("w"),
+    )
+    V.write_versioned(df.repartition(8), t, mode="overwrite")
+    for c in ("x", "y", "w"):  # hash layout: nothing prunes
+        _, scanned, total = V.read_versioned_pruned(spark, t, c, 0, 40)
+        assert scanned == total == 8
+    L.zorder_versioned_multi(spark, t, ["x", "y", "w"], n_files=16)
+    snap = V.read_versioned(spark, t)
+    assert snap.count() == 4000  # row-preserving
+    for c in ("x", "y", "w"):
+        got, scanned, total = V.read_versioned_pruned(spark, t, c, 0, 40)
+        assert total == 16 and scanned < total, (c, scanned, total)
+        want = sum(1 for i in range(4000) if 0 <= (i * {"x": 7919, "y": 104729, "w": 131}[c]) % 1000 <= 40)
+        assert got.count() == want
+    # 20-bit z-key at 3 cols: bits auto-capped so 3*bits <= 62
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exceeds a long"):
+        L.zorder_key_n([F.lit(0).cast("long")] * 8, bits=8)
+    with _pytest.raises(ValueError, match="at least 2"):
+        L.zorder_key_n([F.lit(0).cast("long")], bits=4)
