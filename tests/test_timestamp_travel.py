@@ -108,3 +108,33 @@ def test_legacy_log_without_ts_raises_clearly(spark, tmp_path):
         json.dump(e, f)
     with pytest.raises(ValueError, match="predates commit timestamps"):
         V.version_at_timestamp(t, 1.0)
+
+
+def test_timestamp_resolution_property_over_random_history(spark, tmp_path):
+    """For EVERY commit of a mixed history (appends, DML, restore,
+    compaction, metadata): resolving its exact ts returns its version,
+    a midpoint between consecutive ts returns the earlier version, and
+    reads by ts equal reads by the resolved version."""
+    from f1_data_engineering_spark.sources import constraints as C
+    from f1_data_engineering_spark.sources import dml as D
+
+    t = str(tmp_path / "hist")
+    V.write_versioned(_df(spark, 0, 20), t, "overwrite")
+    V.write_versioned(_df(spark, 20, 30, "b").repartition(2), t, "append")
+    D.delete_where(spark, t, "k >= 25")
+    C.add_constraint(spark, t, "k_nonneg", "k >= 0")
+    D.update_where(spark, t, "k = 3", {"tag": "'upd'"})
+    V.restore_versioned(t, version=1)
+    V.compact_small_files(spark, t, target_rows_per_file=1000, small_rows=500)
+    es = V.table_history(t)
+    assert len(es) == 7
+    for e in es:
+        assert V.version_at_timestamp(t, e["ts"]) == e["version"]
+    for a, b in zip(es, es[1:]):
+        mid = (a["ts"] + b["ts"]) / 2
+        v = V.version_at_timestamp(t, mid)
+        assert v == a["version"], (a["version"], b["version"], v)
+        by_ts = V.read_versioned(spark, t, timestamp=mid)
+        by_v = V.read_versioned(spark, t, version=v)
+        assert by_ts.exceptAll(by_v).count() == 0
+        assert by_v.exceptAll(by_ts).count() == 0
