@@ -224,6 +224,11 @@ BENCH_QUERIES = (
     "lake_restore_orders",
     # round-9b: selective small-file compaction under live CDC
     "small_compaction_orders",
+    # round-11: lake management — zero-copy CLONE with divergence +
+    # source vacuum, and scoped OPTIMIZE ZORDER (sliver rewrite,
+    # everything else carried by reference)
+    "clone_diverge_orders",
+    "zorder_scoped_orders",
 )
 
 #: Scratch-lake builder queries (they seed a lake + run maintenance
@@ -241,6 +246,8 @@ LAKE_QUERIES = (
     "zorder_pruning_orders",
     "lake_restore_orders",
     "small_compaction_orders",
+    "clone_diverge_orders",
+    "zorder_scoped_orders",
 )
 
 #: Access-path queries whose registered wall time is ~95% harness
