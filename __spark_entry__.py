@@ -126,11 +126,16 @@ MAX_GREEN_AGE_ROUNDS = 4
 #: Round 11: ``cdc_apply_rollup_orders`` — rewritten in round 10 onto
 #: the native multi-clause conditional MERGE (sources/dml.py
 #: when_matched clause lists); its only driver-green row (r8) predates
-#: the rewrite.  ``curation_pipeline`` — oracle text extended this
-#: round with the PII-scrub stage (pii_survivors column).
+#: the rewrite.  The three ``curation_pipeline*`` queries — the PII
+#: scrub now runs at corpus ingestion (operators/curation.py
+#: pii_scrub_clean), so every stage fingerprints scrubbed text and the
+#: rollups gained an ``n_pii_redacted`` column: oracle text AND values
+#: changed.
 CHANGED: set[str] = {
     "cdc_apply_rollup_orders",
     "curation_pipeline",
+    "curation_pipeline_semantic",
+    "curation_pipeline_incremental",
 }
 
 #: Back-compat alias (pre-r11 name; semantics generalized above).
@@ -453,6 +458,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CLONE + divergence + source-vacuum survival, CHECK-constraint
         # lifecycle, DESCRIBE DETAIL, TIMESTAMP AS OF, VACUUM DRY RUN,
         # scoped OPTIMIZE ZORDER
+        # round-11: the PII-scrub transform's direct output oracle
+        # (the census pii_scrub_stats counts PII; this certifies the
+        # REDACTED corpus text via per-source checksums)
+        "pii_scrub_corpus": CU.pii_scrub_corpus,
         "clone_diverge_orders": LM.clone_diverge_orders,
         "check_constraints_orders": LM.check_constraints_orders,
         "describe_detail_orders": LM.describe_detail_orders,
@@ -666,6 +675,7 @@ def oracle_sql() -> dict[str, str]:
         "view_purchase_outer": JS.ORACLE_VIEW_PURCHASE_OUTER,
         "bpe_encode_corpus": TP.ORACLE_BPE_ENCODE,
         "cusum_event_drift": A7.ORACLE_CUSUM,
+        "pii_scrub_corpus": CU.ORACLE_PII_CORPUS,
         "clone_diverge_orders": LM.ORACLE_CLONE_DIVERGE,
         "check_constraints_orders": LM.ORACLE_CHECK_CONSTRAINTS,
         "describe_detail_orders": LM.ORACLE_DESCRIBE_DETAIL,

@@ -61,7 +61,13 @@ from .dedup import (
     estimate_pairs,
     signatures_df,
 )
-from .textops import _ALL_STOP, _sql_lang_case, _sql_lang_scores
+from .textops import (
+    _ALL_STOP,
+    _EMAIL_RE,
+    _URL_RE,
+    _sql_lang_case,
+    _sql_lang_scores,
+)
 
 #: Near-dup prune threshold on the MinHash-estimated Jaccard.  With
 #: K=16 the estimate is a multiple of 1/16, so 0.5 is exactly
@@ -83,6 +89,118 @@ def _curation_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return spread(d.unionByName(pert), "doc_id")
+
+
+#: PII redaction classes (VERDICT r10 item 5): class → (regex,
+#: replacement token), applied IN ORDER — URLs first so an email or
+#: IP embedded in a URL's query string is consumed by <URL> rather
+#: than leaving a torn URL; the IP class before the phone class so
+#: neither can see the other's digits.  Same Java/RE2-portable
+#: subset as ``textops.pii_scrub_stats`` (\\b and \\d behave
+#: identically in Spark's Java regex and DuckDB's RE2).
+_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_CLASSES = (
+    (_URL_RE, "<URL>"),
+    (_EMAIL_RE, "<EMAIL>"),
+    (_IP_RE, "<IP>"),
+    (_PHONE_RE, "<PHONE>"),
+)
+
+
+def pii_scrub_clean(corpus: DataFrame) -> DataFrame:
+    """The PII-scrub TRANSFORM (the census ``textops.pii_scrub_stats``
+    counts PII; this PRODUCES the redacted corpus): per-class regex
+    redaction with typed replacement tokens, chained at corpus
+    ingestion so every downstream curation stage — quality scoring,
+    fingerprints, MinHash signatures, decontam grams — operates on
+    scrubbed text, exactly where a production pipeline scrubs.
+
+    The synthetic corpus carries no real PII, so a deterministic
+    payload is injected first (doc_id % 10 == 0 → URL + email,
+    % 10 == 5 → phone + IPv4; both engines inject identically — the
+    ``textops.pii_scrub_stats`` convention) to keep the redaction
+    path provably exercised at every SF.  The planted near-dup copies
+    (doc_id + 1e6) key the payload on ``doc_id % 1e6`` so original
+    and copy receive the SAME suffix and stay near-dups.
+
+    Returns (doc_id, source, text, pii_hit) — expression-only, fully
+    scan-side; no shuffle, no UDF.
+    """
+    sid = (F.col("doc_id") % 1000000).cast("string")
+    oct3 = (F.col("doc_id") % 250).cast("string")
+    t0 = (
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" see https://example.com/x?id="), sid,
+                F.lit(" or mail u"), sid, F.lit("@test.org now"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 10 == 5,
+            F.concat(
+                F.col("text"),
+                F.lit(" call 555-123-4567 or ping 10.0."), oct3,
+                F.lit(".7 now"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    scrubbed = t0
+    for pat, tok in PII_CLASSES:
+        scrubbed = F.regexp_replace(scrubbed, pat, tok)
+    hit = None
+    for pat, _ in PII_CLASSES:
+        h = t0.rlike(pat)
+        hit = h if hit is None else (hit | h)
+    return corpus.select(
+        "doc_id",
+        "source",
+        scrubbed.alias("text"),
+        F.when(hit, 1).otherwise(0).alias("pii_hit"),
+    )
+
+
+def pii_scrub_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The redacted corpus itself, summarized per source — the direct
+    oracle on :func:`pii_scrub_clean`'s OUTPUT (the pipeline queries
+    only certify its downstream count effects): docs, redacted docs,
+    post-redaction characters, and an order-independent checksum of
+    every (doc_id, scrubbed text) pair, so a single wrong replacement
+    token or class ordering flips the hash.
+
+    Columns: source, n_docs, n_redacted, chars_after, text_checksum.
+    """
+    scrubbed = pii_scrub_clean(_curation_corpus(spark, sf_dir))
+    row_ck = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("pii#"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("#"),
+                    F.col("text"),
+                ).cast("binary")
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        scrubbed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("pii_hit").cast("bigint").alias("n_redacted"),
+            F.sum(F.length("text")).cast("bigint").alias("chars_after"),
+            F.sum(row_ck.cast("decimal(38,0)")).cast("string")
+            .alias("text_checksum"),
+        )
+        .orderBy("source")
+    )
 
 
 def assign_cells(sv: DataFrame, cent: DataFrame) -> DataFrame:
@@ -150,7 +268,12 @@ def _curation_stages(
     assignment under the same pinned quantizer — replaces the
     broadcast assignment pass (assignment is per-vector, so the
     restriction to survivors commutes the same way)."""
-    corpus = _curation_corpus(spark, sf_dir)
+    # round-11: the PII scrub runs AT INGESTION — every downstream
+    # stage (scores, fingerprints, signatures, decontam grams) sees
+    # scrubbed text, and the incremental pipeline's standing indexes
+    # are built over the same scrubbed corpus (pair-local properties
+    # commute with the restriction either way).
+    corpus = pii_scrub_clean(_curation_corpus(spark, sf_dir))
     # scored feeds four consumers (raw rollup + every downstream
     # stage); score/fingerprint once.  Fixed-width columns + text —
     # at 100 TB this cache would be a bronze parquet layer instead
@@ -159,6 +282,7 @@ def _curation_stages(
         "doc_id",
         "source",
         "text",
+        "pii_hit",
         token_count("text").alias("n_tok"),
         quality_score("text").alias("q"),
         language_id("text").alias("lp"),
@@ -311,16 +435,21 @@ def _curation_stages(
 
 def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per source: docs surviving each curation stage, and the total
-    whitespace tokens of the final clean set.
+    whitespace tokens of the final clean set.  The corpus is PII-
+    scrubbed at ingestion (round 11 — see :func:`pii_scrub_clean`);
+    ``n_pii_redacted`` counts the docs whose text was redacted.
 
-    Columns: source, n_raw, n_quality, n_exact, n_neardup, n_clean,
-    clean_tokens.
+    Columns: source, n_raw, n_pii_redacted, n_quality, n_exact,
+    n_neardup, n_clean, clean_tokens.
     """
     s = _curation_stages(spark, sf_dir)
     scored, passed, exact = s["scored"], s["passed"], s["exact"]
     neardup, clean = s["neardup"], s["clean"]
 
-    raw_c = scored.groupBy("source").agg(F.count(F.lit(1)).alias("n_raw"))
+    raw_c = scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum("pii_hit").cast("bigint").alias("n_pii_redacted"),
+    )
     qual_c = passed.groupBy("source").agg(F.count(F.lit(1)).alias("n_quality"))
     ex_c = exact.groupBy("source").agg(F.count(F.lit(1)).alias("n_exact"))
     nd_c = neardup.groupBy("source").agg(F.count(F.lit(1)).alias("n_neardup"))
@@ -335,6 +464,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             "n_raw",
+            "n_pii_redacted",
             F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
             F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
             F.coalesce("n_neardup", F.lit(0)).alias("n_neardup"),
@@ -349,13 +479,42 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # standalone oracles (quality scoring from ORACLE_QUALITY_GATE,
 # MinHash/LSH from ORACLE_MINHASH_LSH, grams from ORACLE_DECONTAM),
 # re-rooted on the augmented corpus and chained.
+#: DuckDB twins of the ingestion-time PII scrub (round 11): the
+#: deterministic payload injection, the ordered per-class redaction,
+#: and the any-class hit flag — shared by the pipeline, semantic, and
+#: standalone-corpus oracles.
+_SQL_PII_T0 = """CASE
+      WHEN doc_id % 10 = 0 THEN text
+        || ' see https://example.com/x?id=' || CAST(doc_id % 1000000 AS VARCHAR)
+        || ' or mail u' || CAST(doc_id % 1000000 AS VARCHAR) || '@test.org now'
+      WHEN doc_id % 10 = 5 THEN text
+        || ' call 555-123-4567 or ping 10.0.' || CAST(doc_id % 250 AS VARCHAR)
+        || '.7 now'
+      ELSE text END"""
+
+_SQL_PII_SCRUB = "t0"
+for _pat, _tok in PII_CLASSES:
+    _SQL_PII_SCRUB = f"regexp_replace({_SQL_PII_SCRUB}, '{_pat}', '{_tok}', 'g')"
+
+_SQL_PII_HIT = " OR ".join(
+    f"regexp_matches(t0, '{_pat}')" for _pat, _tok in PII_CLASSES
+)
+
 ORACLE_CURATION_PIPELINE = f"""
-WITH corpus AS (
+WITH corpus0 AS (
   SELECT doc_id, source, text FROM documents
   UNION ALL
   SELECT doc_id + 1000000 AS doc_id, source,
          substr(text, 1, (length(text) * 4) // 5) AS text
   FROM documents WHERE doc_id < 10
+),
+pii AS (
+  SELECT doc_id, source, {_SQL_PII_T0} AS t0 FROM corpus0
+),
+corpus AS (
+  SELECT doc_id, source, {_SQL_PII_SCRUB} AS text,
+    CASE WHEN {_SQL_PII_HIT} THEN 1 ELSE 0 END AS pii_hit
+  FROM pii
 ),
 base AS (
   SELECT doc_id, source, text, trim(text) AS t,
@@ -447,6 +606,10 @@ clean AS (
   SELECT * FROM train WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
 ),
 raw_counts AS (SELECT source, COUNT(*) AS n_raw FROM scored GROUP BY source),
+pii_counts AS (
+  SELECT source, CAST(SUM(pii_hit) AS BIGINT) AS n_pii_redacted
+  FROM corpus GROUP BY source
+),
 qual_counts AS (SELECT source, COUNT(*) AS n_quality FROM passed GROUP BY source),
 exact_counts AS (SELECT source, COUNT(*) AS n_exact FROM exact GROUP BY source),
 nd_counts AS (SELECT source, COUNT(*) AS n_neardup FROM neardup GROUP BY source),
@@ -455,17 +618,45 @@ clean_counts AS (
   FROM clean GROUP BY source
 )
 SELECT r.source, r.n_raw,
+  p.n_pii_redacted,
   COALESCE(q.n_quality, 0) AS n_quality,
   COALESCE(e.n_exact, 0) AS n_exact,
   COALESCE(n.n_neardup, 0) AS n_neardup,
   COALESCE(c.n_clean, 0) AS n_clean,
   COALESCE(c.clean_tokens, 0) AS clean_tokens
 FROM raw_counts r
+LEFT JOIN pii_counts p ON r.source = p.source
 LEFT JOIN qual_counts q ON r.source = q.source
 LEFT JOIN exact_counts e ON r.source = e.source
 LEFT JOIN nd_counts n ON r.source = n.source
 LEFT JOIN clean_counts c ON r.source = c.source
 ORDER BY r.source
+"""
+
+
+ORACLE_PII_CORPUS = f"""
+WITH corpus0 AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, source,
+         substr(text, 1, (length(text) * 4) // 5) AS text
+  FROM documents WHERE doc_id < 10
+),
+pii AS (
+  SELECT doc_id, source, {_SQL_PII_T0} AS t0 FROM corpus0
+),
+scrubbed AS (
+  SELECT doc_id, source, {_SQL_PII_SCRUB} AS text,
+    CASE WHEN {_SQL_PII_HIT} THEN 1 ELSE 0 END AS pii_hit
+  FROM pii
+)
+SELECT source, COUNT(*) AS n_docs,
+  CAST(SUM(pii_hit) AS BIGINT) AS n_redacted,
+  CAST(SUM(length(text)) AS BIGINT) AS chars_after,
+  CAST(SUM(CAST(CAST(('0x' || substr(md5('pii#' || CAST(doc_id AS VARCHAR)
+    || '#' || text), 1, 15)) AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR)
+    AS text_checksum
+FROM scrubbed GROUP BY source ORDER BY source
 """
 
 
@@ -531,10 +722,11 @@ def curation_pipeline_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate modern curation stacks run after lexical dedup (paraphrases
     and re-renders share embeddings but not shingles).
 
-    Columns: source, n_raw, n_quality, n_exact, n_neardup, n_semantic,
-    n_clean, clean_tokens.  Still ONE DataFrame plan: the semantic
-    stage adds a broadcast cell-assignment pass and one cell-local
-    equi-join over (id, vector) rows — document bodies never enter it.
+    Columns: source, n_raw, n_pii_redacted, n_quality, n_exact,
+    n_neardup, n_semantic, n_clean, clean_tokens.  Still ONE DataFrame
+    plan: the semantic stage adds a broadcast cell-assignment pass and
+    one cell-local equi-join over (id, vector) rows — document bodies
+    never enter it.
     """
     s = _curation_stages(spark, sf_dir, semantic=True)
     scored, passed, exact = s["scored"], s["passed"], s["exact"]
@@ -543,11 +735,15 @@ def curation_pipeline_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     def cnt(df: DataFrame, name: str) -> DataFrame:
         return df.groupBy("source").agg(F.count(F.lit(1)).alias(name))
 
+    raw_c = scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum("pii_hit").cast("bigint").alias("n_pii_redacted"),
+    )
     cl_c = clean.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_clean"), F.sum("n_tok").alias("clean_tokens")
     )
     return (
-        cnt(scored, "n_raw")
+        raw_c
         .join(cnt(passed, "n_quality"), "source", "left")
         .join(cnt(exact, "n_exact"), "source", "left")
         .join(cnt(neardup, "n_neardup"), "source", "left")
@@ -556,6 +752,7 @@ def curation_pipeline_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             "n_raw",
+            "n_pii_redacted",
             F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
             F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
             F.coalesce("n_neardup", F.lit(0)).alias("n_neardup"),
@@ -641,6 +838,10 @@ clean AS (
   SELECT * FROM train WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
 ),
 raw_counts AS (SELECT source, COUNT(*) AS n_raw FROM scored GROUP BY source),
+pii_counts AS (
+  SELECT source, CAST(SUM(pii_hit) AS BIGINT) AS n_pii_redacted
+  FROM corpus GROUP BY source
+),
 qual_counts AS (SELECT source, COUNT(*) AS n_quality FROM passed GROUP BY source),
 exact_counts AS (SELECT source, COUNT(*) AS n_exact FROM exact GROUP BY source),
 nd_counts AS (SELECT source, COUNT(*) AS n_neardup FROM neardup GROUP BY source),
@@ -650,6 +851,7 @@ clean_counts AS (
   FROM clean GROUP BY source
 )
 SELECT r.source, r.n_raw,
+  p.n_pii_redacted,
   COALESCE(q.n_quality, 0) AS n_quality,
   COALESCE(e.n_exact, 0) AS n_exact,
   COALESCE(n.n_neardup, 0) AS n_neardup,
@@ -657,6 +859,7 @@ SELECT r.source, r.n_raw,
   COALESCE(c.n_clean, 0) AS n_clean,
   COALESCE(c.clean_tokens, 0) AS clean_tokens
 FROM raw_counts r
+LEFT JOIN pii_counts p ON r.source = p.source
 LEFT JOIN qual_counts q ON r.source = q.source
 LEFT JOIN exact_counts e ON r.source = e.source
 LEFT JOIN nd_counts n ON r.source = n.source

@@ -68,6 +68,7 @@ from .curation import (
     _curation_corpus,
     _curation_stages,
     assign_cells,
+    pii_scrub_clean,
 )
 from .incremental_dedup import advance_dedup_index
 
@@ -160,8 +161,8 @@ def curation_pipeline_incremental(
     advance, then run the pipeline with the standing artifacts injected
     — must equal ``curation_pipeline_semantic`` exactly (shared oracle).
 
-    Columns: source, n_raw, n_quality, n_exact, n_neardup, n_semantic,
-    n_clean, clean_tokens.
+    Columns: source, n_raw, n_pii_redacted, n_quality, n_exact,
+    n_neardup, n_semantic, n_clean, clean_tokens.
 
     The scratch lake lives under ``work_dir`` (a temp dir by default,
     removed before returning — the ≤ n_sources-row rollup is pinned
@@ -177,7 +178,11 @@ def curation_pipeline_incremental(
         pairs_path = os.path.join(tmp, "pair_ledger")
         cells_path = os.path.join(tmp, "cell_index")
 
-        corpus = _curation_corpus(spark, sf_dir)
+        # round-11: scrub at ingestion — the standing signature index
+        # and pair ledger are built over the SCRUBBED corpus, matching
+        # what _curation_stages fingerprints (pair-local properties
+        # commute with the survivor restriction either way)
+        corpus = pii_scrub_clean(_curation_corpus(spark, sf_dir))
         advances = (
             corpus.filter(F.col("doc_id") % 3 != 2),
             corpus.filter(F.col("doc_id") % 3 == 2),
@@ -207,8 +212,12 @@ def curation_pipeline_incremental(
             F.count(F.lit(1)).alias("n_clean"),
             F.sum("n_tok").alias("clean_tokens"),
         )
+        raw_c = s["scored"].groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.sum("pii_hit").cast("bigint").alias("n_pii_redacted"),
+        )
         rollup = (
-            cnt(s["scored"], "n_raw")
+            raw_c
             .join(cnt(s["passed"], "n_quality"), "source", "left")
             .join(cnt(s["exact"], "n_exact"), "source", "left")
             .join(cnt(s["neardup"], "n_neardup"), "source", "left")
@@ -217,6 +226,7 @@ def curation_pipeline_incremental(
             .select(
                 "source",
                 "n_raw",
+                "n_pii_redacted",
                 F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
                 F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
                 F.coalesce("n_neardup", F.lit(0)).alias("n_neardup"),
