@@ -462,6 +462,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (the census pii_scrub_stats counts PII; this certifies the
         # REDACTED corpus text via per-source checksums)
         "pii_scrub_corpus": CU.pii_scrub_corpus,
+        # round-11: curation → versioned lake → CDF-maintained training
+        # shard manifest (incremental == from-scratch is the contract)
+        "curation_shards_cdf": CI.curation_shards_cdf,
         "clone_diverge_orders": LM.clone_diverge_orders,
         "check_constraints_orders": LM.check_constraints_orders,
         "describe_detail_orders": LM.describe_detail_orders,
@@ -676,6 +679,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode_corpus": TP.ORACLE_BPE_ENCODE,
         "cusum_event_drift": A7.ORACLE_CUSUM,
         "pii_scrub_corpus": CU.ORACLE_PII_CORPUS,
+        "curation_shards_cdf": CI.ORACLE_CURATION_SHARDS,
         "clone_diverge_orders": LM.ORACLE_CLONE_DIVERGE,
         "check_constraints_orders": LM.ORACLE_CHECK_CONSTRAINTS,
         "describe_detail_orders": LM.ORACLE_DESCRIBE_DETAIL,

@@ -229,6 +229,9 @@ BENCH_QUERIES = (
     # everything else carried by reference)
     "clone_diverge_orders",
     "zorder_scoped_orders",
+    # round-11b: the curation→lake→shard-manifest integration (runs
+    # the full curation chain + two CDF advances inside the query)
+    "curation_shards_cdf",
 )
 
 #: Scratch-lake builder queries (they seed a lake + run maintenance
@@ -248,6 +251,7 @@ LAKE_QUERIES = (
     "small_compaction_orders",
     "clone_diverge_orders",
     "zorder_scoped_orders",
+    "curation_shards_cdf",
 )
 
 #: Access-path queries whose registered wall time is ~95% harness
@@ -483,7 +487,12 @@ def main() -> None:
     spark.stop()
     import subprocess
 
-    remaining = max(45.0, budget - (time.time() - start))
+    # the child's floor must cover ONE full pass over LAKE_QUERIES
+    # (~10 scratch-lake builds): a slow-box day that eats the steady
+    # budget must degrade the lake set to single-pass timings, never
+    # to skipped queries (round-11: the 45 s floor skipped the three
+    # newest lake queries outright)
+    remaining = max(240.0, budget - (time.time() - start))
     env = dict(
         os.environ,
         SPARK_GRAFT_BENCH_ROLE="lake",
