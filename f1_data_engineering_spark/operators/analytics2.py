@@ -405,6 +405,19 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
     )
+    return _fuzzy_pairs(c)
+
+
+def _fuzzy_pairs(c: DataFrame, block: str | None = None) -> DataFrame:
+    """The deletion-neighborhood pair join over (id, name[, block])
+    rows.  ``block``: an optional second blocking column folded into
+    the join key (null-safe) — a caller whose MATCH RULE already
+    requires equality on that attribute (entity resolution's
+    market-segment conjunct) gets the same final pairs from ~1/NDV the
+    candidate volume, because the restriction moves from a post-join
+    filter into the shuffle key (measured: the sf1 memory audit's only
+    spilling stage was this join under ER; blocking on segment removes
+    the cross-segment candidates that spilled)."""
     keys = F.concat(
         F.array(F.struct(F.col("name").alias("key"), F.lit(0).alias("pos"))),
         F.transform(
@@ -418,23 +431,26 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     )
+    extra = [block] if block else []
     keyed = (
-        c.select("id", "name", F.explode(keys).alias("k"))
-        .groupBy("id", "name", F.col("k.key").alias("key"))
+        c.select("id", "name", *extra, F.explode(keys).alias("k"))
+        .groupBy("id", "name", *extra, F.col("k.key").alias("key"))
         .agg(F.collect_set("k.pos").alias("poss"))
     )
     a, b = keyed.alias("a"), keyed.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.id") < F.col("b.id"))
-            & (
-                F.arrays_overlap(F.col("a.poss"), F.col("b.poss"))
-                | F.array_contains(F.col("a.poss"), 0)
-                | F.array_contains(F.col("b.poss"), 0)
-            ),
+    cond = (
+        (F.col("a.key") == F.col("b.key"))
+        & (F.col("a.id") < F.col("b.id"))
+        & (
+            F.arrays_overlap(F.col("a.poss"), F.col("b.poss"))
+            | F.array_contains(F.col("a.poss"), 0)
+            | F.array_contains(F.col("b.poss"), 0)
         )
+    )
+    if block:
+        cond = cond & F.col(f"a.{block}").eqNullSafe(F.col(f"b.{block}"))
+    return (
+        a.join(b, cond)
         .select(
             F.col("a.id").alias("id1"),
             F.col("b.id").alias("id2"),

@@ -526,22 +526,23 @@ def entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     beyond the contraction fixpoint checksum.  Oracle: recursive-CTE
     transitive closure over the identical pair SQL.
     """
-    from .analytics2 import fuzzy_name_pairs
+    from .analytics2 import _fuzzy_pairs
 
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("node"),
         F.col("c_name").alias("name"),
         F.col("c_mktsegment").alias("seg"),
     )
-    seg = cust.select("node", "seg")
-    pairs = (
-        fuzzy_name_pairs(spark, sf_dir)
-        .select(F.col("id1").alias("u"), F.col("id2").alias("v"))
-        .join(seg.select(F.col("node").alias("u"), F.col("seg").alias("su")), "u")
-        .join(seg.select(F.col("node").alias("v"), F.col("seg").alias("sv")), "v")
-        .filter(F.col("su").eqNullSafe(F.col("sv")))
-        .select("u", "v")
-    )
+    # the segment conjunct is part of the MATCH RULE, so it folds into
+    # the blocking key (round 11 — the sf1 memory audit showed the
+    # unblocked pair join as the repo's only spilling stage: 4.9 GB
+    # spilled / 17.5 GB peak; segment-blocking removes the
+    # cross-segment candidates outright instead of filtering them
+    # after the shuffle, same final pairs by construction)
+    pairs = _fuzzy_pairs(
+        cust.select(F.col("node").alias("id"), F.col("name"), "seg"),
+        block="seg",
+    ).select(F.col("id1").alias("u"), F.col("id2").alias("v"))
     labels = star_contract_labels(cust.select("node"), pairs)
     return (
         labels.join(cust, "node")
