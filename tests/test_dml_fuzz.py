@@ -487,3 +487,168 @@ def test_multi_clause_merge_oracle(spark, fuzz_dir, case):
         head = V.read_versioned(spark, t).select("k", "v", "s")
         assert state.exceptAll(head).count() == 0
         assert head.exceptAll(state).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# round-11: constraint lifecycle woven into random DML histories
+
+
+#: (SQL expr, python evaluator returning True/False/None on (k, v, s))
+#: — a row VIOLATES iff the evaluator returns False (NULL satisfies).
+_CK_POOL = [
+    ("v >= 0", lambda k, v, s: None if v is None else v >= 0),
+    ("k IS NOT NULL", lambda k, v, s: k is not None),
+    ("v <= 1000", lambda k, v, s: None if v is None else v <= 1000),
+    ("s <> 'x'", lambda k, v, s: None if s is None else s != "x"),
+]
+
+#: predicates with python twins (NULL-propagating, coalesced FALSE)
+_CKF_PREDS = [
+    ("v > 15", lambda k, v, s: None if v is None else v > 15),
+    ("k % 3 = 0", lambda k, v, s: None if k is None else k % 3 == 0),
+    ("s = 'a'", lambda k, v, s: None if s is None else s == "a"),
+    ("v IS NULL", lambda k, v, s: v is None),
+]
+
+#: assignments with python twins over the OLD row; some are designed
+#: to violate pool constraints (negative v, s = 'x')
+_CKF_ASSIGNS = [
+    (
+        {"v": "v + 100"},
+        lambda k, v, s: (k, None if v is None else v + 100, s),
+    ),
+    (
+        {"v": "-COALESCE(v, 0) - 1"},
+        lambda k, v, s: (k, -(v or 0) - 1, s),
+    ),
+    ({"s": "'x'"}, lambda k, v, s: (k, v, "x")),
+    ({"v": "k"}, lambda k, v, s: (k, k, s)),
+]
+
+
+@st.composite
+def _ck_history(draw):
+    ops = []
+    for _ in range(draw(st.integers(3, 7))):
+        kind = draw(st.sampled_from(["append", "add", "drop", "update",
+                                     "delete"]))
+        if kind == "append":
+            ops.append(("append", draw(_table())))
+        elif kind == "add":
+            ops.append(("add", draw(st.integers(0, len(_CK_POOL) - 1))))
+        elif kind == "drop":
+            ops.append(("drop", draw(st.integers(0, len(_CK_POOL) - 1))))
+        elif kind == "update":
+            ops.append((
+                "update",
+                draw(st.integers(0, len(_CKF_PREDS) - 1)),
+                draw(st.integers(0, len(_CKF_ASSIGNS) - 1)),
+            ))
+        else:
+            ops.append(("delete", draw(st.integers(0, len(_CKF_PREDS) - 1))))
+    return {"rows": draw(_table()), "n_files": draw(st.integers(1, 3)),
+            "ops": ops}
+
+
+@settings(
+    max_examples=_n_examples(10),
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=_ck_history())
+def test_constraint_lifecycle_over_random_history(spark, fuzz_dir, case):
+    """CHECK constraints under a random append/add/drop/update/delete
+    history must match a pure-python model at every step: refusals
+    exactly where the model says (violating append / violated ADD /
+    violating update — all leaving NO commit), acceptances exactly
+    elsewhere, and the final snapshot + in-effect constraint set +
+    version count equal to the model's."""
+    from f1_data_engineering_spark.sources import constraints as C
+
+    _run_counter[0] += 1
+    t = os.path.join(str(fuzz_dir), f"ckfuzz_{_run_counter[0]}")
+    _seed(spark, case, t)
+
+    rows = list(case["rows"])
+    active: dict[str, int] = {}  # name -> pool idx
+    versions = 0  # commits past the seed
+
+    def violates(row, idxs) -> bool:
+        return any(_CK_POOL[i][1](*row) is False for i in idxs)
+
+    for step, op in enumerate(case["ops"]):
+        if op[0] == "append":
+            batch = op[1]
+            bad = any(violates(r, active.values()) for r in batch)
+            try:
+                V.write_versioned(
+                    spark.createDataFrame(batch, "k long, v long, s string")
+                    .coalesce(1),
+                    t,
+                    mode="append",
+                )
+                assert not bad, f"step {step}: violating append committed"
+                rows.extend(batch)
+                versions += 1
+            except C.ConstraintViolationError:
+                assert bad, f"step {step}: valid append refused"
+        elif op[0] == "add":
+            i = op[1]
+            name = f"ck_{i}"
+            expr, ev = _CK_POOL[i]
+            dup = name in active
+            bad = any(ev(*r) is False for r in rows)
+            try:
+                C.add_constraint(spark, t, name, expr)
+                assert not dup and not bad, f"step {step}: bad ADD accepted"
+                active[name] = i
+                versions += 1
+            except C.ConstraintViolationError:
+                assert not dup and bad, f"step {step}: ADD wrongly violated"
+            except ValueError:
+                assert dup, f"step {step}: ADD wrongly refused as duplicate"
+        elif op[0] == "drop":
+            name = f"ck_{op[1]}"
+            try:
+                C.drop_constraint(t, name)
+                assert name in active, f"step {step}: ghost DROP succeeded"
+                del active[name]
+                versions += 1
+            except ValueError:
+                assert name not in active, f"step {step}: DROP refused"
+        elif op[0] == "delete":
+            _, ev = _CKF_PREDS[op[1]]
+            D.delete_where(spark, t, _CKF_PREDS[op[1]][0])
+            matched = [r for r in rows if ev(*r) is True]
+            if matched:
+                versions += 1
+            rows = [r for r in rows if ev(*r) is not True]
+        else:  # update
+            _, pev = _CKF_PREDS[op[1]]
+            assign_sql, aev = _CKF_ASSIGNS[op[2]]
+            new_rows = [
+                aev(*r) if pev(*r) is True else r for r in rows
+            ]
+            touched = [aev(*r) for r in rows if pev(*r) is True]
+            bad = any(violates(r, active.values()) for r in touched)
+            try:
+                D.update_where(spark, t, _CKF_PREDS[op[1]][0], assign_sql)
+                assert not bad, f"step {step}: violating update committed"
+                if touched:
+                    versions += 1
+                rows = new_rows
+            except C.ConstraintViolationError:
+                assert bad, f"step {step}: valid update refused"
+
+    got = sorted(
+        ((r["k"], r["v"], r["s"]) for r in
+         V.read_versioned(spark, t).collect()),
+        key=lambda x: (x[0] is None, x[0], x[1] is None, x[1], x[2]),
+    )
+    want = sorted(
+        rows,
+        key=lambda x: (x[0] is None, x[0], x[1] is None, x[1], x[2]),
+    )
+    assert got == want
+    assert set(C.table_constraints(t)) == set(active)
+    assert V.latest_version(t) == versions
