@@ -326,9 +326,12 @@ def global_rank_by_range(
 ) -> tuple[DataFrame, int]:
     """Exact global row_number over ``order_cols`` without a
     single-partition window: range-repartition on the keys (partition
-    i's keys all sort before partition i+1's), pin the layout with an
-    eager localCheckpoint (range boundaries are SAMPLED — two separate
-    jobs over an unpinned plan could draw different boundaries), then
+    i's keys all sort before partition i+1's), pin the layout with a
+    localCheckpoint (range boundaries are SAMPLED — two separate
+    jobs over an unpinned plan could draw different boundaries; the
+    checkpoint is lazy, so the full sizes aggregate right below is
+    the job that materializes-and-pins it — one job, same guarantee,
+    guide §1.2), then
     global rank = per-partition row_number + the broadcast cumulative
     offset of the partitions before it.  The offset table is
     #partitions rows — driver metadata, like ranking.py's schemes."""
@@ -336,7 +339,7 @@ def global_rank_by_range(
     pinned = (
         df.repartitionByRange(parts, *cols)
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     sizes = {
         r["__pid"]: r["n"]
@@ -832,7 +835,8 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             WINS_RANGE_PARTS, F.col("g"), F.col("value"), F.col("event_id")
         )
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        # lazy: the sizes aggregate below materializes-and-pins it
+        .localCheckpoint(eager=False)
     )
     sizes = (
         pinned.groupBy("__pid", "g").agg(F.count(F.lit(1)).alias("n")).collect()

@@ -148,17 +148,22 @@ def pii_scrub_clean(corpus: DataFrame) -> DataFrame:
         )
         .otherwise(F.col("text"))
     )
-    scrubbed = t0
+    replaced = t0
     for pat, tok in PII_CLASSES:
-        scrubbed = F.regexp_replace(scrubbed, pat, tok)
-    hit = None
-    for pat, _ in PII_CLASSES:
-        h = t0.rlike(pat)
-        hit = h if hit is None else (hit | h)
+        replaced = F.regexp_replace(replaced, pat, tok)
+    # ONE regex pass decides the hit (alternation of the class patterns
+    # — a string matches the union iff it matches some class), and the
+    # 4-deep replace chain runs ONLY on hit rows: regexp_replace is the
+    # identity on a row no class matches, so guarding it changes
+    # nothing, and the 4 replace scans are skipped for the ~80% of
+    # docs with no PII (guide §1.2 per-task work; A/B in
+    # OPTIMIZATION_r11.md).  The oracle twin is untouched — values are
+    # identical by the identity argument.
+    hit = t0.rlike("|".join(f"(?:{pat})" for pat, _ in PII_CLASSES))
     return corpus.select(
         "doc_id",
         "source",
-        scrubbed.alias("text"),
+        F.when(hit, replaced).otherwise(t0).alias("text"),
         F.when(hit, 1).otherwise(0).alias("pii_hit"),
     )
 

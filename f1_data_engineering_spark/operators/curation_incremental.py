@@ -343,9 +343,13 @@ def curation_shards_cdf(
     try:
         clean_path = os.path.join(tmp, "clean_corpus")
         manifest_path = os.path.join(tmp, "shard_manifest")
+        # cached: the two ingest waves below each filter this frame —
+        # uncached the second wave re-runs the decontamination joins
+        # the stage caches don't cover (clean is derived, not cached,
+        # inside _curation_stages)
         clean = _curation_stages(spark, sf_dir)["clean"].select(
             "doc_id", "source", "text", "n_tok"
-        )
+        ).cache()
         V.write_versioned(
             clean.filter(F.col("doc_id") % 3 != 2), clean_path, mode="append"
         )

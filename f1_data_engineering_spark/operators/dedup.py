@@ -741,7 +741,7 @@ def _cluster_members(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
     )
     nodes = edges.select(F.col("d1").alias("node")).distinct()
-    labels = nodes.withColumn("label", F.col("node")).localCheckpoint(eager=True)
+    labels = nodes.withColumn("label", F.col("node")).localCheckpoint(eager=False)
     for _ in range(30):  # cap ≫ any real near-dup cluster diameter
         neighbor_min = (
             edges.join(labels, edges.d2 == labels.node)
@@ -760,7 +760,9 @@ def _cluster_members(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("label"),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)  # truncate lineage
+        # lazy: the changed-count action materializes the checkpoint —
+        # one job per round instead of two (guide §1.2)
+        new_labels = new_labels.localCheckpoint(eager=False)
         changed = new_labels.filter(F.col("label") != F.col("old_label")).count()
         labels = new_labels.select("node", "label")
         if changed == 0:

@@ -426,11 +426,11 @@ def bfs_hops_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("node"), "n_name"
     )
-    und = _sparse_und_edges(spark, sf_dir).localCheckpoint(eager=True)
+    und = _sparse_und_edges(spark, sf_dir).localCheckpoint(eager=False)
     dist = nation.select(
         "node",
         F.when(F.col("node") == BFS_SOURCE, F.lit(0)).alias("hops"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     for k in range(1, BFS_MAX_HOPS + 1):
         frontier = dist.filter(F.col("hops") == k - 1).select("node")
         reached = (
@@ -447,7 +447,11 @@ def bfs_hops_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.when(F.col("rnode").isNotNull(), F.lit(k)),
                 ).alias("hops"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: the hop bound is fixed (no per-hop action needed),
+            # so the single final action materializes the whole chain
+            # — one job instead of one per hop; each checkpoint still
+            # truncates the plan for the next hop's analysis
+            .localCheckpoint(eager=False)
         )
     return (
         dist.join(F.broadcast(nation), "node")
@@ -555,9 +559,12 @@ def star_contract_labels(
     themselves.  Alternating large-star/small-star rounds to a
     checksum fixpoint; ``localCheckpoint`` per round truncates the
     iterative lineage and the fixpoint test is a 1-row aggregate, not
-    an edge collect.  Shared by :func:`cc_star_contraction` and
+    an edge collect.  The checkpoints are LAZY (eager=False): the
+    round's checksum action is what materializes them, so each round
+    is ONE job, not an eager-checkpoint job plus the checksum (guide
+    §1.2).  Shared by :func:`cc_star_contraction` and
     analytics4.entity_resolution_clusters."""
-    edges = edges.filter(F.col("u") != F.col("v")).localCheckpoint(eager=True)
+    edges = edges.filter(F.col("u") != F.col("v")).localCheckpoint(eager=False)
 
     def checksum(e: DataFrame) -> tuple:
         row = e.agg(
@@ -573,7 +580,7 @@ def star_contract_labels(
 
     prev = None
     for _ in range(max_rounds):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         cur = checksum(edges)
         if cur == prev:
             break
@@ -618,7 +625,7 @@ def cc_star_contraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("u").alias("node"))
         .unionAll(pairs.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     labels = star_contract_labels(nodes, pairs)
     return (
@@ -692,12 +699,12 @@ def sssp_trade_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = (
         und.join(F.broadcast(nation_keys), und.src == F.col("nk"), "left_semi")
         .join(F.broadcast(nation_keys), F.col("dst") == F.col("nk"), "left_semi")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     dist = nation.select(
         "node",
         F.when(F.col("node") == SSSP_SOURCE, F.lit(0).cast("long")).alias("d"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     for _ in range(SSSP_ITERS):
         relax = (
             dist.filter(F.col("d").isNotNull())
@@ -715,7 +722,8 @@ def sssp_trade_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .otherwise(F.least(F.col("d"), F.col("nd")))
                 .alias("d"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: fixed iteration count — see the BFS loop note
+            .localCheckpoint(eager=False)
         )
     return (
         dist.join(F.broadcast(nation), "node")

@@ -719,25 +719,25 @@ def lake_restore_orders(
             raise AssertionError(
                 "restore must commit v3 referencing v1's files by name"
             )
-        outs = [
-            pre,
-            _pin(
-                spark,
-                _state_summary(
-                    V.read_versioned(spark, t), F.lit("02_after_restore"), "stage"
-                ),
-            ),
-            _pin(
-                spark,
-                _state_summary(
-                    V.read_versioned(spark, t, version=0),
-                    F.lit("03_original_v0"),
-                    "stage",
-                ),
-            ),
-        ]
+        # the two post-restore reads are independent jobs — overlap
+        # them (guide §2.6); output order is fixed by the orderBy
+        from concurrent.futures import ThreadPoolExecutor
         from functools import reduce
 
+        def summarize(item) -> DataFrame:
+            stage, ver = item
+            return _pin(
+                spark,
+                _state_summary(
+                    V.read_versioned(spark, t, version=ver),
+                    F.lit(stage), "stage",
+                ),
+            )
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            outs = [pre] + list(pool.map(
+                summarize, (("02_after_restore", None), ("03_original_v0", 0))
+            ))
         return _pin(spark, reduce(DataFrame.unionByName, outs).orderBy("stage"))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

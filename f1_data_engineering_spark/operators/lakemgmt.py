@@ -120,17 +120,26 @@ def clone_diverge_orders(
                 "source vacuum collected nothing — the clone-survival "
                 "assertion below would be vacuous"
             )
-        outs = [
-            _pin(spark, _state_summary(
-                V.read_versioned(spark, src), F.lit("1_source_head"), "stage")),
-            _pin(spark, _state_summary(
-                V.read_versioned(spark, dst), F.lit("2_clone_head"), "stage")),
-            # the clone's own history (v0 = the cloned snapshot) must
-            # survive the SOURCE's vacuum — hardlinked bytes stay alive
-            _pin(spark, _state_summary(
-                V.read_versioned(spark, dst, version=0),
-                F.lit("3_clone_seed"), "stage")),
-        ]
+        # the three state reads are independent snapshot scans —
+        # overlap their jobs from a driver pool (guide §2.6); the
+        # clone-seed read (v0 = the cloned snapshot) must survive the
+        # SOURCE's vacuum — hardlinked bytes stay alive
+        from concurrent.futures import ThreadPoolExecutor
+
+        reads = (
+            ("1_source_head", src, None),
+            ("2_clone_head", dst, None),
+            ("3_clone_seed", dst, 0),
+        )
+
+        def summarize(item) -> DataFrame:
+            stage, path, ver = item
+            return _pin(spark, _state_summary(
+                V.read_versioned(spark, path, version=ver),
+                F.lit(stage), "stage"))
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            outs = list(pool.map(summarize, reads))
         return _union_stages(spark, outs)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -624,15 +633,22 @@ def zorder_scoped_orders(
             raise AssertionError(
                 f"z-order custkey skip regression: {scanned_c}/{total_c}"
             )
-        summarize = lambda df, stage: _pin(
-            spark,
-            _state_summary(df.drop("day"), F.lit(stage), "stage"),
-        )
-        outs = [
-            summarize(V.read_versioned(spark, t), "1_head"),
-            summarize(scope_df, "2_scope_keys"),
-            summarize(cust_df, "3_custkey_slice"),
-        ]
+        # three independent summary jobs — overlap them (guide §2.6)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def summarize(item) -> DataFrame:
+            df, stage = item
+            return _pin(
+                spark,
+                _state_summary(df.drop("day"), F.lit(stage), "stage"),
+            )
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            outs = list(pool.map(summarize, (
+                (V.read_versioned(spark, t), "1_head"),
+                (scope_df, "2_scope_keys"),
+                (cust_df, "3_custkey_slice"),
+            )))
         return _union_stages(spark, outs)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

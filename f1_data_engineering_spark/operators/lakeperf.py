@@ -92,8 +92,7 @@ def bloom_point_lookup_orders(
         sentinel = (
             orders.agg(F.max("o_custkey")).first()[0] or 0
         ) + 999_983  # absent by construction
-        outs = []
-        for key in probes + [sentinel]:
+        def probe_one(key) -> DataFrame:
             df, scanned, total = BI.read_versioned_bloom_pruned(
                 spark, t, "o_custkey", key
             )
@@ -102,22 +101,29 @@ def bloom_point_lookup_orders(
                     f"bloom skip-path regression: absent key scanned "
                     f"{scanned}/{total} files"
                 )
-            outs.append(
-                _pin(
-                    spark,
-                    df.agg(
-                        F.lit(key).cast("long").alias("o_custkey"),
-                        F.count(F.lit(1)).alias("n_rows"),
-                        F.sum(_ck_hash().cast("decimal(38,0)"))
-                        .cast("string")
-                        .alias("checksum"),
-                        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-                        .cast("double")
-                        .alias("sum_price"),
-                    ),
-                )
+            return _pin(
+                spark,
+                df.agg(
+                    F.lit(key).cast("long").alias("o_custkey"),
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum(_ck_hash().cast("decimal(38,0)"))
+                    .cast("string")
+                    .alias("checksum"),
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                    .cast("double")
+                    .alias("sum_price"),
+                ),
             )
+
+        # the six per-key lookups are independent Spark jobs whose cost
+        # is ~all fixed scheduling + footer overhead; overlap them from
+        # a small driver pool (guide §2.6) — results are pinned frames,
+        # list order (and the final orderBy) keeps output deterministic
+        from concurrent.futures import ThreadPoolExecutor
         from functools import reduce
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            outs = list(pool.map(probe_one, probes + [sentinel]))
 
         out = _pin(
             spark, reduce(DataFrame.unionByName, outs).orderBy("o_custkey")
@@ -197,20 +203,22 @@ def zorder_pruning_orders(
             .cast("long")
             .alias("day"),
         )
-        n = orders.count()
-        n_files = _seed_files(n, floor=16)
+        # ONE stats pass serves both the file sizing and the probe
+        # bounds (was a count job + a min/max job over the same scan)
+        b = orders.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_custkey").alias("minc"),
+            F.max("o_custkey").alias("maxc"),
+            F.min("day").alias("mind"),
+            F.max("day").alias("maxd"),
+        ).first()
+        n_files = _seed_files(b["n"], floor=16)
         V.write_versioned(
             orders.repartition(n_files, "o_totalprice"), t, mode="overwrite"
         )
         t1 = _time.time()
         zorder_versioned(spark, t, "o_custkey", "day", n_files=n_files)
         t2 = _time.time()
-        b = orders.agg(
-            F.min("o_custkey").alias("minc"),
-            F.max("o_custkey").alias("maxc"),
-            F.min("day").alias("mind"),
-            F.max("day").alias("maxd"),
-        ).first()
         spans = {
             "01_custkey_range": (
                 "o_custkey",
@@ -223,16 +231,23 @@ def zorder_pruning_orders(
                 b["mind"] + (b["maxd"] - b["mind"]) // 16,
             ),
         }
-        outs = []
-        for stage, (col, lo, hi) in spans.items():
+        def probe_one(item) -> DataFrame:
+            stage, (col, lo, hi) = item
             df, scanned, total = V.read_versioned_pruned(spark, t, col, lo, hi)
             if scanned > (3 * total) // 4:
                 raise AssertionError(
                     f"z-order skip-path regression on {col}: scanned "
                     f"{scanned}/{total} files for a 1/16 range"
                 )
-            outs.append(_pin(spark, _state_summary(df, F.lit(stage), "stage")))
+            return _pin(spark, _state_summary(df, F.lit(stage), "stage"))
+
+        # the two range probes are independent jobs — overlap them
+        # (guide §2.6); the final orderBy("stage") fixes output order
+        from concurrent.futures import ThreadPoolExecutor
         from functools import reduce
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            outs = list(pool.map(probe_one, spans.items()))
 
         out = _pin(spark, reduce(DataFrame.unionByName, outs).orderBy("stage"))
         if phase_times is not None:

@@ -96,16 +96,27 @@ def zorder_versioned_multi(
     layout-only overwrite (data bit-identical, incremental readers
     skip); raises with the columns named if any has no non-NULL
     values (no z-space exists)."""
-    from ..sources.versioned import read_versioned, write_versioned
+    from ..sources.versioned import (
+        log_column_bounds,
+        read_versioned,
+        write_versioned,
+    )
 
     if bits is None:
         bits = min(Z_BITS, 62 // max(2, len(cols)))
     snap = read_versioned(spark, path)
-    aggs = []
-    for c in cols:
-        aggs.append(F.min(c).alias(f"min_{c}"))
-        aggs.append(F.max(c).alias(f"max_{c}"))
-    b = snap.agg(*aggs).first()
+    # log-stats bounds when complete (zero Spark jobs); scan otherwise
+    lb = log_column_bounds(path, tuple(cols))
+    if lb is not None:
+        b = {}
+        for c in cols:
+            b[f"min_{c}"], b[f"max_{c}"] = lb[c]
+    else:
+        aggs = []
+        for c in cols:
+            aggs.append(F.min(c).alias(f"min_{c}"))
+            aggs.append(F.max(c).alias(f"max_{c}"))
+        b = snap.agg(*aggs).first()
     all_null = [c for c in cols if b[f"min_{c}"] is None]
     if all_null:
         raise ValueError(
@@ -350,15 +361,29 @@ def zorder_versioned(
     shuffle on the z-key with an in-partition sort.  No global sort;
     cost is the same one-pass rewrite as compaction.
     """
-    from ..sources.versioned import read_versioned, write_versioned
+    from ..sources.versioned import (
+        log_column_bounds,
+        read_versioned,
+        write_versioned,
+    )
 
     snap = read_versioned(spark, path)
-    b = snap.agg(
-        F.min(col_x).alias("minx"),
-        F.max(col_x).alias("maxx"),
-        F.min(col_y).alias("miny"),
-        F.max(col_y).alias("maxy"),
-    ).first()
+    # bounds from the commit log's per-file stats when complete (zero
+    # Spark jobs — manifest arithmetic; DV-widened bounds still
+    # quantize a valid z-space), else one bounds scan as before
+    lb = log_column_bounds(path, (col_x, col_y))
+    if lb is not None:
+        b = {
+            "minx": lb[col_x][0], "maxx": lb[col_x][1],
+            "miny": lb[col_y][0], "maxy": lb[col_y][1],
+        }
+    else:
+        b = snap.agg(
+            F.min(col_x).alias("minx"),
+            F.max(col_x).alias("maxx"),
+            F.min(col_y).alias("miny"),
+            F.max(col_y).alias("maxy"),
+        ).first()
     # min/max of an entirely-NULL (or zero-row) column is NULL — there
     # is no z-space to quantize into, and silently proceeding would be
     # a TypeError on None arithmetic below.  Fail with the column

@@ -1312,12 +1312,19 @@ def kmeans_exact_lloyd(
     Inertia sums the per-vector min distance through decimal(38,10)
     before one final 4-dp round, so the reduce order can't leak in.
     """
+    # cached across the Lloyd iterations: every pass scans the SAME
+    # (vec_id, e) projection — without the cache each of the
+    # iters+2 actions (init collect, per-iter stats, final inertia)
+    # re-reads and re-casts the parquet (guide §5 caching: reused AND
+    # recomputation-heavy).  Fixed-width DIM-double rows — tiny
+    # relative to execution memory at any SF.
     e = (
         load_table(spark, sf_dir, "embeddings")
         .select(
             "vec_id",
             F.transform("embedding", lambda x: x.cast("double")).alias("e"),
         )
+        .cache()
     )
     cents = [list(r["e"]) for r in e.orderBy("vec_id").limit(k).collect()]
     if len(cents) < k:

@@ -484,6 +484,12 @@ def _bpe_learn(
     syms) — shared by :func:`bpe_train` (keeps the merges) and
     :func:`bpe_encode_corpus` (keeps the rewritten vocabulary)."""
     merges: list[tuple[int, str, str, int]] = []
+    #: the previous round's vocab, unpersisted only once the CURRENT
+    #: round's cache is provably populated — the top-pair collect below
+    #: materializes `vocab` as a side effect, so the per-round
+    #: materialize-only count() this replaces was a whole redundant job
+    #: (guide §1.2: don't compute things twice; 2 jobs/merge → 1).
+    parent: DataFrame | None = None
     for rank in range(n_merges):
         pairs = vocab.select(
             "wc",
@@ -503,6 +509,9 @@ def _bpe_learn(
             .limit(1)
             .collect()
         )
+        if parent is not None:  # this round's cache is populated now
+            parent.unpersist()
+            parent = None
         if not top or top[0]["n"] <= 0:
             break
         a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
@@ -527,9 +536,13 @@ def _bpe_learn(
             F.col("syms"), F.array().cast("array<string>"), _step
         )
         new_vocab = vocab.select("word", "wc", merged_syms.alias("syms")).cache()
-        new_vocab.count()  # materialize before unpersisting the parent
-        vocab.unpersist()
-        vocab = new_vocab
+        parent, vocab = vocab, new_vocab
+    if parent is not None:
+        # tail: the final rewrite was never pulled through by a collect
+        # — materialize it before releasing its parent so unpersist
+        # cannot reintroduce a recompute path
+        vocab.count()
+        parent.unpersist()
     return merges, vocab
 
 

@@ -124,15 +124,30 @@ def _scan_with_file(spark: SparkSession, path: str, files: list[str]) -> DataFra
     return df
 
 
-def _touched(df_with_file: DataFrame, affected: Column) -> list[str]:
-    """Distinct owning files of the affected rows (file-count sized)."""
-    return [
-        r["_dml_file"]
-        for r in df_with_file.filter(affected)
+def _touched(df_with_file: DataFrame, affected: Column) -> tuple[list[str], int]:
+    """(distinct owning files of the affected rows, affected-row count).
+
+    The count rides the same scan as an ``Observation`` (it used to be
+    a second full job per DELETE/UPDATE — guide §1.2: don't compute
+    things twice); the collect stays file-count sized."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    rows = (
+        df_with_file.filter(affected)
+        .observe(obs, F.count(F.lit(1)).alias("n_hit"))
         .select("_dml_file")
         .distinct()
         .collect()
-    ]
+    )
+    if not rows:
+        # no file owns an affected row ⇒ the count is 0 by definition;
+        # don't consult the observation — AQE's empty-relation
+        # propagation can fold the CollectMetrics node away, leaving
+        # Observation.get unreadable (Spark 4.1 behavior, pinned in
+        # tests/test_dml.py::test_delete_no_match_is_noop)
+        return [], 0
+    return [r["_dml_file"] for r in rows], int(obs.get["n_hit"])
 
 
 def _commit(
@@ -250,7 +265,7 @@ def delete_where(
     snap = _snapshot_files(path, None)
     df = _scan_with_file(spark, path, snap)
     hit = F.coalesce(cond, F.lit(False))
-    touched = _touched(df, hit)
+    touched, n_deleted = _touched(df, hit)
     if not touched:
         return {
             "version": _entries(path)[-1]["version"],
@@ -259,14 +274,22 @@ def delete_where(
             "files_total": len(snap),
         }
     scope = df.filter(F.col("_dml_file").isin(touched))
-    n_deleted = scope.filter(hit).count()
+    if capture_cdf:
+        # two consumers (survivor rewrite + deleted-row sidecars) —
+        # materialize the touched scope once instead of rescanning
+        scope = scope.cache()
     survivors = scope.filter(~hit).drop(*_META)
     cdf = (
         [(scope.filter(hit).drop(*_META), "delete")] if capture_cdf else None
     )
-    version = _commit_rewrite(
-        survivors, path, touched, {"op": "delete", "n_deleted": n_deleted}, cdf
-    )
+    try:
+        version = _commit_rewrite(
+            survivors, path, touched,
+            {"op": "delete", "n_deleted": n_deleted}, cdf,
+        )
+    finally:
+        if capture_cdf:
+            scope.unpersist()
     return {
         "version": version,
         "n_deleted": n_deleted,
@@ -294,7 +317,7 @@ def update_where(
     snap = _snapshot_files(path, None)
     df = _scan_with_file(spark, path, snap)
     hit = F.coalesce(cond, F.lit(False))
-    touched = _touched(df, hit)
+    touched, n_updated = _touched(df, hit)
     if not touched:
         return {
             "version": _entries(path)[-1]["version"],
@@ -303,7 +326,9 @@ def update_where(
             "files_total": len(snap),
         }
     scope = df.filter(F.col("_dml_file").isin(touched))
-    n_updated = scope.filter(hit).count()
+    if capture_cdf:
+        # three consumers (rewrite + pre-image + post-image sidecars)
+        scope = scope.cache()
     types = dict(scope.drop(*_META).dtypes)
     out_cols = []
     for c in scope.drop(*_META).columns:
@@ -318,9 +343,14 @@ def update_where(
         pre = scope.filter(hit).drop(*_META)
         post = scope.filter(hit).select(*out_cols).drop(*_META)
         cdf = [(pre, "update_preimage"), (post, "update_postimage")]
-    version = _commit_rewrite(
-        rewritten, path, touched, {"op": "update", "n_updated": n_updated}, cdf
-    )
+    try:
+        version = _commit_rewrite(
+            rewritten, path, touched,
+            {"op": "update", "n_updated": n_updated}, cdf,
+        )
+    finally:
+        if capture_cdf:
+            scope.unpersist()
     return {
         "version": version,
         "n_updated": n_updated,
@@ -483,7 +513,15 @@ def merge_into(
             s, [F.col(f"t.{k}") == F.col(f"s.{k}") for k in on], "left"
         )
         is_matched = F.col(f"s.{on[0]}").isNotNull()
-        joined = joined.withColumn("_dml_ci", _clause_idx(is_matched))
+        # cached: the clause-count aggregate, the rewrite staging, and
+        # (with CDF) three sidecar projections all consume this join —
+        # uncached each one re-runs the touched-scope ⋈ source join
+        # (guide §5 caching: reused and recomputation-heavy).  Scope is
+        # touched-files-sized, never table-sized.  Unpersisted after
+        # the commit.
+        joined = joined.withColumn(
+            "_dml_ci", _clause_idx(is_matched)
+        ).cache()
         ci = F.col("_dml_ci")
         counts = {
             r["_dml_ci"]: r["count"]
@@ -565,18 +603,22 @@ def merge_into(
         }
     if capture_cdf and inserts is not None:
         cdf.append((inserts, "insert"))
-    version = _commit_rewrite(
-        new_df,
-        path,
-        touched,
-        {
-            "op": "merge",
-            "n_updated": n_updated,
-            "n_deleted": n_deleted,
-            "n_inserted": n_inserted,
-        },
-        cdf if (capture_cdf and cdf) else None,
-    )
+    try:
+        version = _commit_rewrite(
+            new_df,
+            path,
+            touched,
+            {
+                "op": "merge",
+                "n_updated": n_updated,
+                "n_deleted": n_deleted,
+                "n_inserted": n_inserted,
+            },
+            cdf if (capture_cdf and cdf) else None,
+        )
+    finally:
+        if touched:
+            joined.unpersist()
     return {
         "version": version,
         "n_updated": n_updated,
@@ -617,27 +659,35 @@ def delete_where_mor(
     snap = _snapshot_files(path, None)
     df = _scan_with_file(spark, path, snap)
     hit = F.coalesce(cond, F.lit(False))
-    matched = df.filter(hit)
-    targeted = [
-        r["_dml_file"]
-        for r in matched.select("_dml_file").distinct().collect()
-    ]
-    if not targeted:
-        return {
-            "version": _entries(path)[-1]["version"],
-            "n_deleted": 0,
-            "files_targeted": 0,
-            "files_total": len(snap),
-        }
-    dv_df = matched.select(
-        F.col("_dml_file").alias("file"), F.col("_dml_ri").alias("row_index")
-    )
-    files, n_deleted, _ = _stage_files(dv_df, path, prefix="dv-")
-    cdf_files = (
-        _stage_cdf([(matched.drop(*_META), "delete")], path)
-        if capture_cdf
-        else []
-    )
+    # cached: the targeted-file collect, the DV staging, and (with CDF)
+    # the sidecar staging all consume the matched rows — uncached each
+    # re-scans the full snapshot.  Matched rows = deleted rows, the
+    # O(deleted) set this MoR path exists to keep small.
+    matched = df.filter(hit).cache()
+    try:
+        targeted = [
+            r["_dml_file"]
+            for r in matched.select("_dml_file").distinct().collect()
+        ]
+        if not targeted:
+            return {
+                "version": _entries(path)[-1]["version"],
+                "n_deleted": 0,
+                "files_targeted": 0,
+                "files_total": len(snap),
+            }
+        dv_df = matched.select(
+            F.col("_dml_file").alias("file"),
+            F.col("_dml_ri").alias("row_index"),
+        )
+        files, n_deleted, _ = _stage_files(dv_df, path, prefix="dv-")
+        cdf_files = (
+            _stage_cdf([(matched.drop(*_META), "delete")], path)
+            if capture_cdf
+            else []
+        )
+    finally:
+        matched.unpersist()
     entry = {
         "action": "dv",
         "files": files,

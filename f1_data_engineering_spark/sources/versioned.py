@@ -374,23 +374,74 @@ def _stage_files(
             os.replace(os.path.join(stage, f), os.path.join(path, final))
             names.append(final)
     # row count + skipping stats from the committed files' footers
-    # (cheap, driver-side, one metadata read per file)
+    # (driver-side, one metadata read per file — read concurrently: a
+    # commit of N files paid N sequential opens, pure I/O latency)
     import pyarrow.parquet as pq
+    from concurrent.futures import ThreadPoolExecutor
 
-    stats: dict = {}
-    for f in names:
+    def _one(f: str) -> tuple[str, dict, int]:
         pf = pq.ParquetFile(os.path.join(path, f))
-        n_rows += pf.metadata.num_rows
-        stats[f] = _file_stats(pf)
+        st = _file_stats(pf)
         # per-file row count under a reserved pseudo-column key, so
         # maintenance ops (small-file compaction) can size files from
         # the log alone — no footer sweep at 10⁵ files
-        stats[f]["::rows"] = [pf.metadata.num_rows, pf.metadata.num_rows]
+        st["::rows"] = [pf.metadata.num_rows, pf.metadata.num_rows]
+        return f, st, pf.metadata.num_rows
+
+    stats: dict = {}
+    if names:
+        with ThreadPoolExecutor(max_workers=min(8, len(names))) as pool:
+            for f, st, rows in pool.map(_one, names):
+                stats[f] = st
+                n_rows += rows
     # clean the stage dir (success markers etc.)
     for f in os.listdir(stage):
         os.remove(os.path.join(stage, f))
     os.rmdir(stage)
     return names, n_rows, stats
+
+
+def log_column_bounds(
+    path: str, cols: tuple[str, ...], version: int | None = None
+) -> dict | None:
+    """Numeric [min, max] per column over the snapshot's files, derived
+    from the commit log's per-file stats alone — zero Spark jobs, the
+    manifest-arithmetic answer real formats give for a bounds query.
+
+    Returns ``{col: (lo, hi)}`` or None when any snapshot file lacks
+    complete NUMERIC stats for any requested column (legacy files,
+    all-NULL or non-numeric columns) — callers fall back to a scan.
+    Conservative with deletion vectors: DV-deleted rows still widen
+    the bounds (callers here quantize a z-space, where wider-is-valid;
+    do NOT use this where exact live-row extremes are required).
+    """
+    es = _entries(path)
+    if version is not None:
+        es = [e for e in es if e["version"] <= version]
+    stats: dict[str, dict] = {}
+    for e in es:
+        stats.update(e.get("file_stats") or {})
+    files = _snapshot_files(path, version)
+    if not files:
+        return None
+    out: dict = {}
+    num = (int, float)
+    for c in cols:
+        lo = hi = None
+        for f in files:
+            s = stats.get(f, {}).get(c)
+            if (
+                not s
+                or not isinstance(s[0], num)
+                or not isinstance(s[1], num)
+                or isinstance(s[0], bool)
+                or isinstance(s[1], bool)
+            ):
+                return None  # incomplete/non-numeric → caller scans
+            lo = s[0] if lo is None else min(lo, s[0])
+            hi = s[1] if hi is None else max(hi, s[1])
+        out[c] = (lo, hi)
+    return out
 
 
 def write_versioned(
@@ -1297,7 +1348,22 @@ def compact_versioned(
     for the metadata-only planning variant this executes.
     """
     snap = read_versioned(spark, path)
-    n_rows = snap.count()
+    # sizing row count from the log's per-file ::rows stats when exact
+    # (no in-effect deletion vectors, every file statted) — drops a
+    # full-snapshot count job; any uncertainty falls back to the scan
+    n_rows = None
+    if not _dv_files(path, None):
+        es = _entries(path)
+        stats: dict = {}
+        for e in es:
+            stats.update(e.get("file_stats") or {})
+        per_file = [
+            stats.get(f, {}).get("::rows") for f in _snapshot_files(path, None)
+        ]
+        if all(r is not None for r in per_file):
+            n_rows = sum(r[0] for r in per_file)
+    if n_rows is None:
+        n_rows = snap.count()
     n_files = max(1, -(-n_rows // target_rows_per_file))
     return write_versioned(
         snap.repartition(n_files), path, mode="overwrite", data_change=False
@@ -1428,11 +1494,18 @@ def rewrite_subset_layout(
         ]
 
     read_dvs = _dv_fingerprint(es)
+    # cached: the sizing count, any bounds aggregate the caller's
+    # ``shape`` runs (scoped ZORDER), and the staging write all scan
+    # the subset — subset-sized by contract, so the cache is bounded
+    # by the sliver being rewritten, never the table
     df = _apply_dvs(
         spark, path, _read_with_log_schema(spark, path, subset, None), None
-    )
-    n_rows = df.count()
-    files, _, stats = _stage_files(shape(df, n_rows), path)
+    ).cache()
+    try:
+        n_rows = df.count()
+        files, _, stats = _stage_files(shape(df, n_rows), path)
+    finally:
+        df.unpersist()
     log = _log_path(path)
     tmp = os.path.join(log, f"_tmp_{uuid.uuid4().hex}.json")
     try:
