@@ -254,6 +254,7 @@ def _curation_stages(
     semantic: bool = False,
     neardup_pairs: DataFrame | None = None,
     cells: DataFrame | None = None,
+    corpus: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """The per-stage survivor frames, shared by the count rollup
     (``curation_pipeline``) and the clean-corpus sink
@@ -277,8 +278,14 @@ def _curation_stages(
     # stage (scores, fingerprints, signatures, decontam grams) sees
     # scrubbed text, and the incremental pipeline's standing indexes
     # are built over the same scrubbed corpus (pair-local properties
-    # commute with the restriction either way).
-    corpus = pii_scrub_clean(_curation_corpus(spark, sf_dir))
+    # commute with the restriction either way).  TWO consumers read
+    # it (the scored projection and the decontam gram pass), so the
+    # scrub + injection regexes run once via a cache; a caller that
+    # already holds (and cached) the identical frame passes it in
+    # (curation_pipeline_incremental — its ingest waves are a third
+    # and fourth consumer).
+    if corpus is None:
+        corpus = pii_scrub_clean(_curation_corpus(spark, sf_dir)).cache()
     # scored feeds four consumers (raw rollup + every downstream
     # stage); score/fingerprint once.  Fixed-width columns + text —
     # at 100 TB this cache would be a bronze parquet layer instead

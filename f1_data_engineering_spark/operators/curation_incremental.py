@@ -183,8 +183,11 @@ def curation_pipeline_incremental(
         # round-11: scrub at ingestion — the standing signature index
         # and pair ledger are built over the SCRUBBED corpus, matching
         # what _curation_stages fingerprints (pair-local properties
-        # commute with the survivor restriction either way)
-        corpus = pii_scrub_clean(_curation_corpus(spark, sf_dir))
+        # commute with the survivor restriction either way).  Cached:
+        # both ingest waves filter it and _curation_stages consumes it
+        # twice more (scored + grams) — uncached, the scrub regexes
+        # re-run for each consumer.
+        corpus = pii_scrub_clean(_curation_corpus(spark, sf_dir)).cache()
         advances = (
             corpus.filter(F.col("doc_id") % 3 != 2),
             corpus.filter(F.col("doc_id") % 3 == 2),
@@ -204,7 +207,8 @@ def curation_pipeline_incremental(
         ledger = V.read_versioned(spark, pairs_path).select("d1", "d2")
         cells = V.read_versioned(spark, cells_path).select("vec_id", "cell")
         s = _curation_stages(
-            spark, sf_dir, semantic=True, neardup_pairs=ledger, cells=cells
+            spark, sf_dir, semantic=True, neardup_pairs=ledger, cells=cells,
+            corpus=corpus,
         )
 
         def cnt(df: DataFrame, name: str) -> DataFrame:

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from ..sources import dml as D
 from ..sources import versioned as V
-from ..sources.registry import load_table
+from ..sources.registry import load_table, table_row_count
 
 _SEP = "\x1f"
 _NULL = "\x00null"
@@ -811,7 +811,8 @@ def small_compaction_orders(
         V.write_versioned(small, t, mode="append")
         D.delete_where_mor(spark, t, "o_orderkey % 8 = 4", capture_cdf=True)
         before = set(V._snapshot_files(t, None))
-        n_total = orders.count()
+        # footer-count sizing: no Spark job (registry.table_row_count)
+        n_total = table_row_count(sf_dir, "orders")
         # threshold sized between the small files (~n/128 rows each)
         # and the big ones (~3n/16): big files must NOT qualify
         r = V.compact_small_files(

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..sources import bloomindex as BI
 from ..sources import versioned as V
-from ..sources.registry import load_table
+from ..sources.registry import load_table, table_row_count
 from .lakedml import _ck_hash, _pin, _state_summary
 from .layout import zorder_versioned
 
@@ -71,7 +71,8 @@ def bloom_point_lookup_orders(
         t0 = _time.time()
         t = os.path.join(tmp, "orders_lake")
         orders = load_table(spark, sf_dir, "orders")
-        n = orders.count()
+        # footer-count sizing: no Spark job (registry.table_row_count)
+        n = table_row_count(sf_dir, "orders")
         V.write_versioned(
             orders.repartition(_seed_files(n), "o_totalprice"),
             t,

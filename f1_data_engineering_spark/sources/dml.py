@@ -456,11 +456,13 @@ def merge_into(
             .filter(F.col("count") > 1)
             .limit(1)
         )
-        if dup.count() > 0:
-            raise ValueError(
-                "source has multiple rows matching the same target merge "
-                "key — resolve (e.g. latest-wins dedup) before merging"
-            )
+        # the guard is independent of the touched-file probe below —
+        # overlap the two jobs (guide §2.6); the result is checked
+        # before anything is staged or committed
+        from concurrent.futures import ThreadPoolExecutor
+
+        _guard_pool = ThreadPoolExecutor(max_workers=1)
+        _dup_fut = _guard_pool.submit(dup.count)
     tcols = [c for c in df.columns if c not in _META]
     types = dict(df.drop(*_META).dtypes)
 
@@ -499,6 +501,15 @@ def merge_into(
             .distinct()
             .collect()
         ]
+        try:
+            if _dup_fut.result() > 0:
+                raise ValueError(
+                    "source has multiple rows matching the same target "
+                    "merge key — resolve (e.g. latest-wins dedup) before "
+                    "merging"
+                )
+        finally:
+            _guard_pool.shutdown()
 
     # rewrite touched files: unmatched rows (and matched rows no clause
     # applies to) pass through; clause-hit rows update or delete.

@@ -126,6 +126,27 @@ def default_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def table_row_count(sf_dir: str, name: str) -> int:
+    """Exact row count of a test table from its parquet footers —
+    driver-side metadata arithmetic, no Spark job.  Used where a count
+    only SIZES something (scratch-lake seed file counts): the footer
+    number equals ``df.count()`` by the parquet contract, at ~ms
+    instead of a scheduled scan."""
+    if name not in TEST_TABLES:
+        raise KeyError(f"unknown test table {name!r}; known: {TEST_TABLE_NAMES}")
+    import glob
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    parts = (
+        sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    return sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table as a DataFrame with its declared schema."""
     if name not in TEST_TABLES:
