@@ -426,6 +426,13 @@ def log_column_bounds(
         return None
     out: dict = {}
     num = (int, float)
+    # zero-row files carry no column stats and cannot move a min/max —
+    # skip them instead of conservatively refusing the whole table
+    files = [
+        f for f in files if stats.get(f, {}).get("::rows", (1,))[0] != 0
+    ]
+    if not files:
+        return None
     for c in cols:
         lo = hi = None
         for f in files:
