@@ -9,6 +9,8 @@ text, a per-row Python UDF here would dominate the job.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -20,6 +22,7 @@ __all__ = [
     "language_id",
     "doc_fingerprint",
     "shingles",
+    "memo_col",
     "STOPWORDS",
 ]
 
@@ -28,6 +31,29 @@ def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+def memo_col(fn):
+    """Memoize a Column-builder for STRING column-name args (Column
+    args pass through unmemoized — they are not hashable keys).
+
+    Unresolved Columns are immutable expression trees resolved by name
+    at analysis time, so one built tree is reusable across any number
+    of DataFrames and plans.  The deep builders here cost dozens-to-
+    hundreds of py4j round trips each (pure driver latency, guide §7.3);
+    queries invoke them repeatedly — per stage, per loop iteration, per
+    bench pass — so construction is paid once per process instead.
+    """
+    cached = functools.lru_cache(maxsize=None)(fn)
+
+    @functools.wraps(fn)
+    def wrap(*a, **kw):
+        if not kw and all(isinstance(x, (str, int, bool)) for x in a):
+            return cached(*a)
+        return fn(*a, **kw)
+
+    return wrap
+
+
+@memo_col
 def tokens(c: Column | str) -> Column:
     """Whitespace tokens, lower-cased, empty-string-free.
 
@@ -42,6 +68,7 @@ def tokens(c: Column | str) -> Column:
     )
 
 
+@memo_col
 def token_count(c: Column | str) -> Column:
     """Whitespace token count; empty/NULL text → 0."""
     return F.coalesce(F.size(tokens(c)), F.lit(0)).cast("long")
@@ -52,6 +79,7 @@ def token_count(c: Column | str) -> Column:
 _BPE_ISH = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
 
 
+@memo_col
 def bpe_ish_token_count(c: Column | str) -> Column:
     """Approximate BPE token count: matches of a GPT-2-ish pretokenizer
     regex.  A cheap, deterministic stand-in for a real tokenizer that
@@ -69,6 +97,7 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 }
 
 
+@memo_col
 def language_id(c: Column | str) -> Column:
     """Stopword-vote language ID: the language whose stopword list hits the
     most tokens wins; no hits → 'und' (undetermined).
@@ -94,6 +123,7 @@ def language_id(c: Column | str) -> Column:
     return out
 
 
+@memo_col
 def quality_score(c: Column | str) -> Column:
     """Heuristic document quality in [0, 1]: blends length, alpha ratio,
     punctuation-burst penalty, stopword ratio, and mean word length —
@@ -129,6 +159,7 @@ def quality_score(c: Column | str) -> Column:
     return F.when(t.isNull() | (n_chars == 0), F.lit(0.0)).otherwise(F.round(raw, 6))
 
 
+@memo_col
 def doc_fingerprint(c: Column | str) -> Column:
     """64-bit content fingerprint of whitespace/case-normalized text
     (xxhash64).  Equal fingerprints ⇔ texts equal modulo whitespace/case —
@@ -137,6 +168,7 @@ def doc_fingerprint(c: Column | str) -> Column:
     return F.xxhash64(norm)
 
 
+@memo_col
 def shingles(c: Column | str, n: int = 3) -> Column:
     """Word n-gram shingle array (for MinHash / Jaccard dedup).
 

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..sources.registry import load_table, spread
 from .dedup import MINHASH_P, SHINGLE_C, _md5_int, _sql_md5_int, _SQL_TOKS
-from ..functions.text import tokens
+from ..functions.text import memo_col, tokens
 
 #: Contamination gram width.  5 word-grams is the common published
 #: choice (e.g. GPT-3 appendix used 13-gram / 8-gram variants; small
@@ -39,6 +39,7 @@ NGRAM_N = 5
 CONTAM_THRESHOLD = 0.30
 
 
+@memo_col
 def _gram5_hashes() -> Column:
     """th (token-hash array) + k (its size) → distinct 5-gram rolling
     hashes; docs with < 5 tokens fall back to the whole-text hash so
@@ -61,13 +62,17 @@ def grams_for(docs: DataFrame) -> DataFrame:
     per document — shared by the one-shot decontamination queries and
     the composed curation pipeline (operators/curation.py)."""
     d = docs.select("doc_id", tokens("text").alias("toks"))
-    d = d.select(
-        "doc_id",
-        "toks",
-        F.transform("toks", lambda t: _md5_int("ng#", t) % MINHASH_P).alias("th"),
-    )
+    d = d.select("doc_id", "toks", _gram_token_hashes().alias("th"))
     d = d.select("doc_id", "toks", "th", F.size("th").alias("k"))
     return d.select("doc_id", _gram5_hashes().alias("grams"))
+
+
+@memo_col
+def _gram_token_hashes() -> Column:
+    """Per-token md5 hash transform over ``toks`` — constant tree,
+    built once per process (memo_col; the gram pass runs per advance
+    in the incremental pipelines)."""
+    return F.transform("toks", lambda t: _md5_int("ng#", t) % MINHASH_P)
 
 
 def _gram_df(spark: SparkSession, sf_dir: str) -> DataFrame:

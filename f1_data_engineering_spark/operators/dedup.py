@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import shingles, tokens
+from ..functions.text import memo_col, shingles, tokens
 from ..sources.registry import load_table, spread
 from .pandas_ops import _oracle_round6
 
@@ -245,6 +245,32 @@ def _base_hashes(sh: Column) -> Column:
 SHINGLE_C = 8191
 
 
+@memo_col
+def _shingle_hash_cols() -> tuple[Column, Column, Column]:
+    """The three constant Column trees of ``_shingle_hash_df`` (token-
+    hash transform, rolling 3-gram combine, whole-text fallback),
+    built once per process — they reference only fixed column names,
+    and rebuilding them costs ~300 py4j round trips per call (the
+    signature build runs per advance in the incremental pipelines)."""
+    th = F.transform("toks", lambda t: _md5_int("mh#", t) % MINHASH_P)
+    grams = F.zip_with(
+        F.zip_with(
+            F.expr("slice(th, 1, k-2)"),
+            F.expr("slice(th, 2, k-2)"),
+            lambda a, b: (a * SHINGLE_C + b) % MINHASH_P,
+        ),
+        F.expr("slice(th, 3, k-2)"),
+        lambda ab, c: (ab * SHINGLE_C + c) % MINHASH_P,
+    )
+    whole = F.array(_md5_int("mh#", F.concat_ws(" ", F.col("toks"))) % MINHASH_P)
+    hb = F.array_distinct(
+        F.when(F.col("k") >= 3, grams)
+        .when(F.col("k") > 0, whole)
+        .otherwise(F.array().cast("array<long>"))
+    ).alias("hb")
+    return th, grams, hb
+
+
 def _shingle_hash_df(df: DataFrame) -> DataFrame:
     """(doc_id, text) → (doc_id, hb): 3-gram shingle hashes WITHOUT
     building shingle strings — hash each token once (md5 → mod P), then
@@ -263,37 +289,17 @@ def _shingle_hash_df(df: DataFrame) -> DataFrame:
     # Spread BEFORE hashing: the md5-per-token stage is compute-bound,
     # and scan parallelism follows input bytes, not compute cost (a
     # single-row-group file would pin the whole hash pass to one core).
+    th, _grams, hb = _shingle_hash_cols()
     d0 = spread(df, "doc_id").select("doc_id", tokens("text").alias("toks"))
-    d1 = d0.select(
-        "doc_id",
-        "toks",
-        F.transform("toks", lambda t: _md5_int("mh#", t) % MINHASH_P).alias("th"),
-    )
+    d1 = d0.select("doc_id", "toks", th.alias("th"))
     d2 = d1.select("doc_id", "toks", "th", F.size("th").alias("k"))
-    grams = F.zip_with(
-        F.zip_with(
-            F.expr("slice(th, 1, k-2)"),
-            F.expr("slice(th, 2, k-2)"),
-            lambda a, b: (a * SHINGLE_C + b) % MINHASH_P,
-        ),
-        F.expr("slice(th, 3, k-2)"),
-        lambda ab, c: (ab * SHINGLE_C + c) % MINHASH_P,
-    )
-    whole = F.array(_md5_int("mh#", F.concat_ws(" ", F.col("toks"))) % MINHASH_P)
     # zero-token docs get an EMPTY hash set, same as the SQL twin's
     # ELSE [] branch and the shingles() contract — the old otherwise()
     # fallback hashed '' for them, giving every empty doc an identical
     # signature: at scale a million empty docs would band into one
     # bucket and emit ~10^12 bogus pairs (found by the differential
     # fuzzer on a NULL-text corpus)
-    return d2.select(
-        "doc_id",
-        F.array_distinct(
-            F.when(F.col("k") >= 3, grams)
-            .when(F.col("k") > 0, whole)
-            .otherwise(F.array().cast("array<long>"))
-        ).alias("hb"),
-    )
+    return d2.select("doc_id", hb)
 
 
 _SQL_SHINGLE_HASHES = (
@@ -305,8 +311,18 @@ _SQL_SHINGLE_HASHES = (
 )
 
 
-def _sig_array(hb: Column) -> Column:
+@memo_col
+def _sig_array_named(hb_name: str) -> Column:
+    """K minhash components over a NAMED base-hash column — the
+    memoized canonical form (~950 py4j round trips to build; invoked
+    per advance / per pipeline stage)."""
+    return _sig_array(F.col(hb_name))
+
+
+def _sig_array(hb: Column | str) -> Column:
     """K minhash components over precomputed base hashes."""
+    if isinstance(hb, str):
+        return _sig_array_named(hb)
 
     def _comp(j: int) -> Column:
         a, b = _mh_a(j), _mh_b(j)
@@ -338,7 +354,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _shingle_hash_df(
         load_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
-    sig = d.select("doc_id", F.posexplode(_sig_array(F.col("hb"))).alias("h", "sig"))
+    sig = d.select("doc_id", F.posexplode(_sig_array("hb")).alias("h", "sig"))
     # No final orderBy: range-partitioner sampling re-runs the K·shingle
     # hash stage; the differential check is order-insensitive.
     return sig.select("doc_id", F.col("h").cast("long").alias("h"), "sig")
@@ -413,7 +429,7 @@ def signatures_df(docs: DataFrame) -> DataFrame:
     the shared build used by the one-shot pair query and the
     incremental dedup index (operators/incremental_dedup.py)."""
     c = _shingle_hash_df(docs)
-    return c.select("doc_id", _sig_array(F.col("hb")).alias("sig"))
+    return c.select("doc_id", _sig_array("hb").alias("sig"))
 
 
 def band_keys_df(sig: DataFrame) -> DataFrame:
@@ -426,26 +442,32 @@ def band_keys_df(sig: DataFrame) -> DataFrame:
     pass the equi-join).
     """
     sig = sig.filter(F.col("sig")[0].isNotNull())
-    return sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "_",
-                            F.transform(
-                                F.slice("sig", b * LSH_ROWS + 1, LSH_ROWS),
-                                lambda x: x.cast("string"),
-                            ),
-                        ).alias("key"),
-                    )
-                    for b in range(LSH_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.key")
+    return sig.select("doc_id", _band_explode_col().alias("bk")).select(
+        "doc_id", "bk.band", "bk.key"
+    )
+
+
+@memo_col
+def _band_explode_col() -> Column:
+    """The constant per-band (band, key) explode tree over the ``sig``
+    column — built once per process (≈700 py4j round trips)."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        "_",
+                        F.transform(
+                            F.slice("sig", b * LSH_ROWS + 1, LSH_ROWS),
+                            lambda x: x.cast("string"),
+                        ),
+                    ).alias("key"),
+                )
+                for b in range(LSH_BANDS)
+            ]
+        )
+    )
 
 
 def estimate_pairs(cand: DataFrame, sig: DataFrame) -> DataFrame:
@@ -453,20 +475,23 @@ def estimate_pairs(cand: DataFrame, sig: DataFrame) -> DataFrame:
     (d1, d2) candidate frame from a (doc_id, sig) signature frame."""
     s1 = sig.select(F.col("doc_id").alias("d1"), F.col("sig").alias("sig1"))
     s2 = sig.select(F.col("doc_id").alias("d2"), F.col("sig").alias("sig2"))
+    return (
+        cand.join(s1, "d1")
+        .join(s2, "d2")
+        .select("d1", "d2", _est_jaccard_col().alias("est_jaccard"))
+    )
+
+
+@memo_col
+def _est_jaccard_col() -> Column:
+    """Matching-component ratio over (sig1, sig2) — constant tree,
+    built once per process."""
     matches = F.aggregate(
         F.zip_with("sig1", "sig2", lambda x, y: F.when(x == y, 1).otherwise(0)),
         F.lit(0),
         lambda acc, x: acc + x,
     )
-    return (
-        cand.join(s1, "d1")
-        .join(s2, "d2")
-        .select(
-            "d1",
-            "d2",
-            F.round(matches.cast("double") / MINHASH_K, 6).alias("est_jaccard"),
-        )
-    )
+    return F.round(matches.cast("double") / MINHASH_K, 6)
 
 
 ORACLE_MINHASH_LSH = f"""
@@ -1600,7 +1625,7 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signatures from the CACHED hash sets (min over the distinct set
     # equals min over the multiset) — signatures_df(corpus) would re-run
     # the md5-per-token pass, measured ~5 s of the audit at sf0.1
-    sig = hb.select("doc_id", _sig_array(F.col("hb")).alias("sig"))
+    sig = hb.select("doc_id", _sig_array("hb").alias("sig"))
     bands = band_keys_df(sig)
     ba, bb = bands.alias("a"), bands.alias("b")
     cand = (

@@ -1341,8 +1341,23 @@ def kmeans_exact_lloyd(
         # (same IEEE ops, same order; CORRECTNESS hash unchanged).
         # O(k) literals + O(1) lambdas replace O(k·DIM) codegen'd
         # arithmetic nodes: the unrolled form was plan-compile-bound
-        # (~20 s flat at every SF).
-        carr = F.array(*[F.lit([float(v) for v in c]) for c in cents])
+        # (~20 s flat at every SF).  The literal itself is ONE parsed
+        # expression string — built element-wise it was k·DIM F.lit
+        # py4j round trips per call (~8.4k of the query's 33k driver
+        # calls; guide §7.3 driver-side work).  CAST(<repr> AS DOUBLE)
+        # round-trips exactly: repr is the shortest string that parses
+        # back to the same double, and both Python float() and Java
+        # Double.parseDouble are correctly rounded.
+        carr = F.expr(
+            "array(%s)"
+            % ",".join(
+                "array(%s)"
+                % ",".join(
+                    f"CAST('{float(v)!r}' AS DOUBLE)" for v in c
+                )
+                for c in cents
+            )
+        )
         dists = F.transform(
             carr,
             lambda c: F.aggregate(
@@ -1359,24 +1374,24 @@ def kmeans_exact_lloyd(
             )
         )
 
+    # the per-iteration mean aggregate never references the centroids —
+    # build its DIM agg Columns ONCE and reuse them every iteration
+    # (unresolved Columns are immutable expression trees; rebuilding
+    # them per pass was ~15k py4j round trips of pure driver latency)
+    # each column is ONE parsed expression (the Column-API form was
+    # ~70 py4j round trips per dimension); array subscript e[d] is
+    # 0-based exactly like Column.getItem, count(1) ≡ count(lit(1))
+    mean_cols = [
+        F.expr(
+            f"round(cast(sum(cast(e[{d}] as decimal(38,10))) as double)"
+            f" / count(1), 6) AS c{d}"
+        )
+        for d in range(DIM)
+    ]
+
     for _ in range(iters):
         assigned = e.select("e", best().getField("j").alias("cluster"))
-        stats = (
-            assigned.groupBy("cluster")
-            .agg(
-                *[
-                    F.round(
-                        F.sum(
-                            F.col("e").getItem(d).cast("decimal(38,10)")
-                        ).cast("double")
-                        / F.count(F.lit(1)),
-                        6,
-                    ).alias(f"c{d}")
-                    for d in range(DIM)
-                ],
-            )
-            .collect()
-        )
+        stats = assigned.groupBy("cluster").agg(*mean_cols).collect()
         by_cluster = {r["cluster"]: r for r in stats}
         cents = [
             [by_cluster[j][f"c{d}"] for d in range(DIM)]
