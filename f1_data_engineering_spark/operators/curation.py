@@ -370,7 +370,11 @@ def _curation_stages(
                 "vec_id", "embedding", "enorm", "cell"
             ).cache()
         else:
-            nlist = coarse_nlist(load_table(spark, sf_dir, "embeddings").count())
+            # footer-count: the count() only sizes the quantizer and
+            # footers give the identical number without a Spark job
+            from ..sources.registry import table_row_count
+
+            nlist = coarse_nlist(table_row_count(sf_dir, "embeddings"))
             cent = emb.filter(F.col("vec_id") < nlist).select(
                 F.col("vec_id").alias("cent_id"),
                 F.col("embedding").alias("cvec"),

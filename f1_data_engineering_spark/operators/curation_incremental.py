@@ -62,7 +62,7 @@ from pyspark.sql import functions as F
 from ..functions.vectors import l2_norm
 from ..sources import dml as D
 from ..sources import versioned as V
-from ..sources.registry import load_table
+from ..sources.registry import load_table, table_row_count
 from .curation import (
     NEAR_DUP_TAU,
     ORACLE_CURATION_SEMANTIC,
@@ -86,7 +86,14 @@ ORACLE_CURATION_INCREMENTAL = ORACLE_CURATION_SEMANTIC
 
 
 def cell_index_base_version(spark: SparkSession, cells_path: str) -> int:
-    """Corpus version the cell index covers (-1 for an empty index)."""
+    """Corpus version the cell index covers (-1 for an empty index).
+
+    Log-stat arithmetic first (zero Spark jobs — the index is append/
+    overwrite-only so live-file [min, max] bounds are exact); scan
+    fallback for stat-less logs."""
+    b = V.log_column_bounds(cells_path, ("base_version",))
+    if b is not None:
+        return int(b["base_version"][1])
     try:
         idx = V.read_versioned(spark, cells_path)
     except ValueError:
@@ -118,7 +125,10 @@ def advance_cell_index(
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", l2_norm("embedding").alias("enorm")
     )
-    nlist = coarse_nlist(load_table(spark, sf_dir, "embeddings").count())
+    # footer-count the quantizer input (√N rule): a per-advance count()
+    # job only SIZES nlist — parquet footers give the identical number
+    # driver-side (registry.table_row_count contract)
+    nlist = coarse_nlist(table_row_count(sf_dir, "embeddings"))
 
     rebuild = last < 0
     if not rebuild:
@@ -127,11 +137,17 @@ def advance_cell_index(
         except ValueError:  # overwrite in range → index invalid
             rebuild = True
     if not rebuild:
-        pinned = (
-            V.read_versioned(spark, cells_path)
-            .agg(F.max("nlist"))
-            .collect()[0][0]
-        )
+        # pinned quantizer width from log stats (min must equal max —
+        # ONE nlist per index generation); scan fallback if stat-less
+        nb = V.log_column_bounds(cells_path, ("nlist",))
+        if nb is not None and nb["nlist"][0] == nb["nlist"][1]:
+            pinned = int(nb["nlist"][1])
+        else:
+            pinned = (
+                V.read_versioned(spark, cells_path)
+                .agg(F.max("nlist"))
+                .collect()[0][0]
+            )
         if pinned != nlist:  # quantizer drift → scheduled rebuild
             rebuild = True
     if rebuild:
@@ -150,7 +166,9 @@ def advance_cell_index(
         F.lit(head).cast("long").alias("base_version"),
     )
     V.write_versioned(
-        assigned, cells_path, mode="overwrite" if rebuild else "append"
+        assigned.hint("rebalance"),
+        cells_path,
+        mode="overwrite" if rebuild else "append",
     )
 
 
@@ -192,13 +210,22 @@ def curation_pipeline_incremental(
             corpus.filter(F.col("doc_id") % 3 != 2),
             corpus.filter(F.col("doc_id") % 3 == 2),
         )
+        # rebalance before every ingest write (guide §6): the waves
+        # inherit the scan's 32 map partitions, committing 32 tiny
+        # files per advance at bench scale — every later log/footer/
+        # listing/DML pass then pays per-file overhead ~30×.  The AQE
+        # REBALANCE hint sizes output partitions by BYTES (advisory
+        # size), so the same code writes 1 file here and right-sized
+        # files at 100 TB.
         for delta in advances:
-            V.write_versioned(delta, corpus_path, mode="append")
+            V.write_versioned(
+                delta.hint("rebalance"), corpus_path, mode="append"
+            )
             pairs = advance_dedup_index(
                 spark, corpus_path, index_path, threshold=NEAR_DUP_TAU
             )
             V.write_versioned(
-                pairs.select("d1", "d2", "est_jaccard"),
+                pairs.select("d1", "d2", "est_jaccard").hint("rebalance"),
                 pairs_path,
                 mode="append",
             )
@@ -276,7 +303,14 @@ def _advance_shard_manifest(
     head = V.latest_version(clean_path)
     try:
         man = V.read_versioned(spark, manifest_path)
-        last = man.agg(F.max("base_version")).first()[0]
+        # covered version from log stats (zero jobs; the manifest is a
+        # single-file overwrite so bounds are exact); scan fallback
+        mb = V.log_column_bounds(manifest_path, ("base_version",))
+        last = (
+            int(mb["base_version"][1])
+            if mb is not None
+            else man.agg(F.max("base_version")).first()[0]
+        )
         old = man.select("shard", "n_docs", "total_tokens")
     except ValueError:
         last, old = -1, None
@@ -355,11 +389,15 @@ def curation_shards_cdf(
             "doc_id", "source", "text", "n_tok"
         ).cache()
         V.write_versioned(
-            clean.filter(F.col("doc_id") % 3 != 2), clean_path, mode="append"
+            clean.filter(F.col("doc_id") % 3 != 2).hint("rebalance"),
+            clean_path,
+            mode="append",
         )
         _advance_shard_manifest(spark, clean_path, manifest_path)
         V.write_versioned(
-            clean.filter(F.col("doc_id") % 3 == 2), clean_path, mode="append"
+            clean.filter(F.col("doc_id") % 3 == 2).hint("rebalance"),
+            clean_path,
+            mode="append",
         )
         r_del = D.delete_where(
             spark, clean_path, "doc_id % 17 = 4", capture_cdf=True
@@ -378,7 +416,12 @@ def curation_shards_cdf(
             )
         _advance_shard_manifest(spark, clean_path, manifest_path)
         man = V.read_versioned(spark, manifest_path)
-        base = man.agg(F.max("base_version")).first()[0]
+        mb = V.log_column_bounds(manifest_path, ("base_version",))
+        base = (
+            int(mb["base_version"][1])
+            if mb is not None
+            else man.agg(F.max("base_version")).first()[0]
+        )
         if base != V.latest_version(clean_path):
             raise AssertionError(
                 f"manifest base_version {base} did not reach the corpus "

@@ -46,6 +46,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.text import memo_col
 from ..sources.registry import load_table
 
 __all__ = [
@@ -503,6 +504,30 @@ ORDER BY node
 CC_STAR_MAX_ROUNDS = 20
 
 
+@memo_col
+def _star_cols() -> dict:
+    """Constant Column trees shared by the star-contraction rounds —
+    each round rebuilt ~270 py4j round trips of identical expressions;
+    built once per process instead (Columns are immutable trees)."""
+    return {
+        "uv": F.col("u").alias("v"),
+        "vu": F.col("v").alias("u"),
+        "min_v_mv": F.min("v").alias("mv"),
+        "min_v_m": F.min("v").alias("m"),
+        "least_mv_u_v": F.least(F.col("mv"), F.col("u")).alias("v"),
+        "v_gt_u": F.col("v") > F.col("u"),
+        "u_ne_v": F.col("u") != F.col("v"),
+        "greatest_u": F.greatest("u", "v").alias("u"),
+        "least_v": F.least("u", "v").alias("v"),
+        "mv_as_v": F.col("m").alias("v"),
+        "checksum_n": F.count(F.lit(1)).alias("n"),
+        "checksum_h": F.coalesce(
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("h"),
+    }
+
+
 def _large_star(edges: DataFrame) -> DataFrame:
     """One large-star round (Kiveris et al. 2014, "Connected
     Components in MapReduce and Beyond"): every node u connects its
@@ -515,16 +540,14 @@ def _large_star(edges: DataFrame) -> DataFrame:
     set with bounded-size shuffle records, which is what survives a
     power-law degree distribution at 100 TB).
     """
-    nbrs = edges.select("u", "v").unionAll(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
-    mins = nbrs.groupBy("u").agg(F.min("v").alias("mv"))
-    m = F.least(F.col("mv"), F.col("u"))
+    c = _star_cols()
+    nbrs = edges.select("u", "v").unionAll(edges.select(c["vu"], c["uv"]))
+    mins = nbrs.groupBy("u").agg(c["min_v_mv"])
     return (
         nbrs.join(mins, "u")
-        .filter(F.col("v") > F.col("u"))
-        .select(F.col("v").alias("u"), m.alias("v"))
-        .filter(F.col("u") != F.col("v"))
+        .filter(c["v_gt_u"])
+        .select(c["vu"], c["least_mv_u_v"])
+        .filter(c["u_ne_v"])
         .distinct()
     )
 
@@ -533,19 +556,12 @@ def _small_star(edges: DataFrame) -> DataFrame:
     """One small-star round: orient each edge (u, v) with u > v; every
     node u connects all its smaller neighbors AND ITSELF to
     m = min(N(u)) — same aggregate+join shape as :func:`_large_star`."""
-    o = edges.select(
-        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-    ).filter(F.col("u") != F.col("v"))
-    mins = o.groupBy("u").agg(F.min("v").alias("m"))
-    nbr_edges = o.join(mins, "u").select(
-        F.col("v").alias("u"), F.col("m").alias("v")
-    )
-    self_edges = mins.select("u", F.col("m").alias("v"))
-    return (
-        nbr_edges.unionAll(self_edges)
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-    )
+    c = _star_cols()
+    o = edges.select(c["greatest_u"], c["least_v"]).filter(c["u_ne_v"])
+    mins = o.groupBy("u").agg(c["min_v_m"])
+    nbr_edges = o.join(mins, "u").select(c["vu"], c["mv_as_v"])
+    self_edges = mins.select("u", c["mv_as_v"])
+    return nbr_edges.unionAll(self_edges).filter(c["u_ne_v"]).distinct()
 
 
 def star_contract_labels(
@@ -567,15 +583,10 @@ def star_contract_labels(
     edges = edges.filter(F.col("u") != F.col("v")).localCheckpoint(eager=False)
 
     def checksum(e: DataFrame) -> tuple:
-        row = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            # decimal(38,0) accumulator: a long sum of 64-bit hashes
-            # overflows under ANSI semantics
-            F.coalesce(
-                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
-                F.lit(0).cast("decimal(38,0)"),
-            ).alias("h"),
-        ).collect()[0]
+        # decimal(38,0) accumulator: a long sum of 64-bit hashes
+        # overflows under ANSI semantics
+        c = _star_cols()
+        row = e.agg(c["checksum_n"], c["checksum_h"]).collect()[0]
         return (row["n"], row["h"])
 
     prev = None

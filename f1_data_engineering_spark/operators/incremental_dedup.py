@@ -39,7 +39,14 @@ __all__ = ["advance_dedup_index", "index_base_version"]
 
 
 def index_base_version(spark: SparkSession, index_path: str) -> int:
-    """Corpus version the index covers (-1 for an empty/new index)."""
+    """Corpus version the index covers (-1 for an empty/new index).
+
+    Answered from the commit log's per-file [min, max] stats when they
+    are complete (zero Spark jobs — the index is append/overwrite-only
+    so live-file bounds are exact); falls back to a scan otherwise."""
+    b = V.log_column_bounds(index_path, ("base_version",))
+    if b is not None:
+        return int(b["base_version"][1])
     try:
         idx = V.read_versioned(spark, index_path)
     except ValueError:
@@ -79,7 +86,14 @@ def advance_dedup_index(
         old_sigs = V.read_versioned(spark, index_path).select("doc_id", "sig")
 
     new_docs = delta.select("doc_id", "text")
-    if new_docs.isEmpty():
+    # emptiness from the commit log's ::rows stats — zero Spark jobs
+    # for the common non-empty advance (the isEmpty job was one whole
+    # scheduling round trip per advance); stat-less/rebuild ranges
+    # fall back to the scan
+    n_new = (
+        V.delta_row_count(corpus_path, last, head) if not rebuild else None
+    )
+    if n_new == 0 or (n_new is None and new_docs.isEmpty()):
         return empty
     # signatures are K longs/doc — cache: consumed by banding, the
     # estimate join, and the index append
@@ -110,8 +124,11 @@ def advance_dedup_index(
         F.col("est_jaccard") >= threshold
     )
 
+    # rebalance: the signature frame inherits the delta scan's
+    # partitioning — K-long rows commit as ~32 tiny files otherwise
+    # (guide §6); AQE sizes the write by bytes at any scale
     V.write_versioned(
-        new_sigs.withColumn("base_version", F.lit(head)),
+        new_sigs.withColumn("base_version", F.lit(head)).hint("rebalance"),
         index_path,
         mode="overwrite" if rebuild else "append",
     )

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.text import token_count, tokens
+from ..functions.text import memo_col, token_count, tokens
 from ..sources.registry import load_table, spread
 from .ranking import bucketed_topk_rank
 
@@ -476,6 +476,24 @@ def _bpe_vocab(d: DataFrame) -> DataFrame:
     )
 
 
+@memo_col
+def _bpe_pair_cols() -> dict:
+    """Constant Column trees of the BPE merge loop."""
+    return {
+        "explode_pairs": F.explode(
+            F.expr(
+                "CASE WHEN size(syms) > 1 THEN "
+                "transform(sequence(1, size(syms)-1), "
+                "i -> struct(syms[i-1] AS a, syms[i] AS b)) "
+                "ELSE array() END"
+            )
+        ).alias("p"),
+        "sum_wc": F.sum("wc").alias("n"),
+        "n_desc": F.col("n").desc(),
+        "empty_syms": F.array().cast("array<string>"),
+    }
+
+
 def _bpe_learn(
     vocab: DataFrame, n_merges: int
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
@@ -484,6 +502,10 @@ def _bpe_learn(
     syms) — shared by :func:`bpe_train` (keeps the merges) and
     :func:`bpe_encode_corpus` (keeps the rewritten vocabulary)."""
     merges: list[tuple[int, str, str, int]] = []
+    # per-merge constant Column trees, built once per process
+    # (memo_col): the adjacent-pair explode and the ranked-count sort
+    # were rebuilt every merge round — pure py4j driver latency
+    ec = _bpe_pair_cols()
     #: the previous round's vocab, unpersisted only once the CURRENT
     #: round's cache is provably populated — the top-pair collect below
     #: materializes `vocab` as a side effect, so the per-round
@@ -491,21 +513,11 @@ def _bpe_learn(
     #: (guide §1.2: don't compute things twice; 2 jobs/merge → 1).
     parent: DataFrame | None = None
     for rank in range(n_merges):
-        pairs = vocab.select(
-            "wc",
-            F.explode(
-                F.expr(
-                    "CASE WHEN size(syms) > 1 THEN "
-                    "transform(sequence(1, size(syms)-1), "
-                    "i -> struct(syms[i-1] AS a, syms[i] AS b)) "
-                    "ELSE array() END"
-                )
-            ).alias("p"),
-        )
+        pairs = vocab.select("wc", ec["explode_pairs"])
         top = (
             pairs.groupBy("p.a", "p.b")
-            .agg(F.sum("wc").alias("n"))
-            .orderBy(F.col("n").desc(), "a", "b")
+            .agg(ec["sum_wc"])
+            .orderBy(ec["n_desc"], "a", "b")
             .limit(1)
             .collect()
         )
@@ -532,9 +544,7 @@ def _bpe_learn(
                 F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))),
             ).otherwise(F.concat(acc, F.array(x)))
 
-        merged_syms = F.aggregate(
-            F.col("syms"), F.array().cast("array<string>"), _step
-        )
+        merged_syms = F.aggregate(F.col("syms"), ec["empty_syms"], _step)
         new_vocab = vocab.select("word", "wc", merged_syms.alias("syms")).cache()
         parent, vocab = vocab, new_vocab
     if parent is not None:

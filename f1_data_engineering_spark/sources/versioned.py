@@ -879,6 +879,35 @@ def read_version_delta(
     return _read_with_log_schema(spark, path, files, to_version)
 
 
+def delta_row_count(
+    path: str, from_version: int, to_version: int
+) -> int | None:
+    """Row count of the ``(from_version, to_version]`` append delta
+    from the commit log's per-file ``::rows`` stats alone — zero Spark
+    jobs (guide §7.3 driver-side arithmetic; the manifest answer for
+    "did anything land?").  Returns None when the range crosses a
+    non-append commit or any file lacks recorded stats — callers fall
+    back to reading the delta (``read_version_delta`` raises its own,
+    clearer error for the non-append case)."""
+    all_es = _entries(path)
+    hi = all_es[-1]["version"] if all_es else -1
+    if to_version > hi:
+        return None
+    es = [e for e in all_es if from_version < e["version"] <= to_version]
+    es = [e for e in es if e.get("data_change", True)]
+    total = 0
+    for e in es:
+        if e["action"] in ("overwrite", "rewrite", "dv", "restore"):
+            return None
+        st = e.get("file_stats") or {}
+        for f in e["files"]:
+            r = st.get(f, {}).get("::rows")
+            if not r:
+                return None
+            total += r[0]
+    return total
+
+
 def vacuum(
     path: str,
     retain_versions: int = 0,

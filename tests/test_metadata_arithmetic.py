@@ -65,3 +65,34 @@ def test_table_row_count_matches_count(spark, sf_dir, name):
     assert table_row_count(sf_dir, name) == load_table(
         spark, sf_dir, name
     ).count()
+
+
+def test_delta_row_count_matches_delta_read(spark, tmp_path):
+    t = str(tmp_path / "lake_delta")
+    a = spark.createDataFrame([(i, i * 10) for i in range(7)], "k long, v long")
+    b = spark.createDataFrame([(i, i) for i in range(7, 12)], "k long, v long")
+    V.write_versioned(a, t, mode="append")
+    V.write_versioned(b, t, mode="append")
+    head = V.latest_version(t)
+    # append-only range: arithmetic count ≡ the delta read's count
+    assert V.delta_row_count(t, -1, head) == V.read_version_delta(
+        spark, t, -1, head
+    ).count() == 12
+    assert V.delta_row_count(t, 0, head) == 5
+    # empty range
+    assert V.delta_row_count(t, head, head) == 0
+    # nonexistent head → None (read_version_delta raises; callers fall
+    # back to the read and get its clearer error)
+    assert V.delta_row_count(t, 0, head + 5) is None
+
+
+def test_delta_row_count_refuses_non_append(spark, tmp_path):
+    from f1_data_engineering_spark.sources import dml as D
+
+    t = str(tmp_path / "lake_delta_dml")
+    a = spark.createDataFrame([(i, i) for i in range(10)], "k long, v long")
+    V.write_versioned(a, t, mode="append")
+    D.delete_where(spark, t, "k % 2 = 0")
+    head = V.latest_version(t)
+    # the rewrite commit invalidates append arithmetic → None
+    assert V.delta_row_count(t, -1, head) is None
