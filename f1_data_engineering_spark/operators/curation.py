@@ -46,7 +46,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.text import language_id, quality_score, token_count, tokens
+from ..functions.text import (
+    language_id,
+    memo_col,
+    quality_score,
+    token_count,
+    tokens,
+)
 from ..sources.registry import load_table, spread
 from .decontam import CONTAM_THRESHOLD, _SQL_TH, _sql_gram5, grams_for
 from .dedup import (
@@ -108,25 +114,12 @@ PII_CLASSES = (
 )
 
 
-def pii_scrub_clean(corpus: DataFrame) -> DataFrame:
-    """The PII-scrub TRANSFORM (the census ``textops.pii_scrub_stats``
-    counts PII; this PRODUCES the redacted corpus): per-class regex
-    redaction with typed replacement tokens, chained at corpus
-    ingestion so every downstream curation stage — quality scoring,
-    fingerprints, MinHash signatures, decontam grams — operates on
-    scrubbed text, exactly where a production pipeline scrubs.
-
-    The synthetic corpus carries no real PII, so a deterministic
-    payload is injected first (doc_id % 10 == 0 → URL + email,
-    % 10 == 5 → phone + IPv4; both engines inject identically — the
-    ``textops.pii_scrub_stats`` convention) to keep the redaction
-    path provably exercised at every SF.  The planted near-dup copies
-    (doc_id + 1e6) key the payload on ``doc_id % 1e6`` so original
-    and copy receive the SAME suffix and stay near-dups.
-
-    Returns (doc_id, source, text, pii_hit) — expression-only, fully
-    scan-side; no shuffle, no UDF.
-    """
+@memo_col
+def _pii_scrub_cols() -> list:
+    """The constant 4-column select of :func:`pii_scrub_clean` —
+    payload injection, guarded redaction chain, hit flag — built once
+    per process (memo_col): every curation query re-ran ~200 py4j
+    round trips of identical expression construction per invocation."""
     sid = (F.col("doc_id") % 1000000).cast("string")
     oct3 = (F.col("doc_id") % 250).cast("string")
     t0 = (
@@ -160,12 +153,34 @@ def pii_scrub_clean(corpus: DataFrame) -> DataFrame:
     # OPTIMIZATION_r11.md).  The oracle twin is untouched — values are
     # identical by the identity argument.
     hit = t0.rlike("|".join(f"(?:{pat})" for pat, _ in PII_CLASSES))
-    return corpus.select(
-        "doc_id",
-        "source",
+    return [
+        F.col("doc_id"),
+        F.col("source"),
         F.when(hit, replaced).otherwise(t0).alias("text"),
         F.when(hit, 1).otherwise(0).alias("pii_hit"),
-    )
+    ]
+
+
+def pii_scrub_clean(corpus: DataFrame) -> DataFrame:
+    """The PII-scrub TRANSFORM (the census ``textops.pii_scrub_stats``
+    counts PII; this PRODUCES the redacted corpus): per-class regex
+    redaction with typed replacement tokens, chained at corpus
+    ingestion so every downstream curation stage — quality scoring,
+    fingerprints, MinHash signatures, decontam grams — operates on
+    scrubbed text, exactly where a production pipeline scrubs.
+
+    The synthetic corpus carries no real PII, so a deterministic
+    payload is injected first (doc_id % 10 == 0 → URL + email,
+    % 10 == 5 → phone + IPv4; both engines inject identically — the
+    ``textops.pii_scrub_stats`` convention) to keep the redaction
+    path provably exercised at every SF.  The planted near-dup copies
+    (doc_id + 1e6) key the payload on ``doc_id % 1e6`` so original
+    and copy receive the SAME suffix and stay near-dups.
+
+    Returns (doc_id, source, text, pii_hit) — expression-only, fully
+    scan-side; no shuffle, no UDF.
+    """
+    return corpus.select(*_pii_scrub_cols())
 
 
 def pii_scrub_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -208,15 +223,10 @@ def pii_scrub_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def assign_cells(sv: DataFrame, cent: DataFrame) -> DataFrame:
-    """Nearest-centroid cell per vector: 9-dp cosine key against the
-    broadcast centroid set, ties toward the lower cent_id —
-    similarity.semdedup_prune's assignment rule, factored out so the
-    one-shot pipeline and the versioned cell index
-    (curation_incremental.advance_cell_index) run the IDENTICAL
-    expression tree.  Input ``sv``: (vec_id, embedding, enorm);
-    ``cent``: (cent_id, cvec, cnorm).  Output: (vec_id, embedding,
-    enorm, cell)."""
+@memo_col
+def _assign_cells_cols() -> dict:
+    """Constant Column trees of :func:`assign_cells` (memo_col — the
+    assignment runs per advance in the incremental pipelines)."""
     from ..functions.vectors import dot
 
     cdenom = F.col("enorm") * F.col("cnorm")
@@ -229,11 +239,15 @@ def assign_cells(sv: DataFrame, cent: DataFrame) -> DataFrame:
         ),
         F.lit(-2.0),
     )
-    return (
-        sv.join(F.broadcast(cent))
-        .select("vec_id", "embedding", "enorm", "cent_id", ckey.alias("ckey"))
-        .groupBy("vec_id")
-        .agg(
+    return {
+        "scored": [
+            F.col("vec_id"),
+            F.col("embedding"),
+            F.col("enorm"),
+            F.col("cent_id"),
+            ckey.alias("ckey"),
+        ],
+        "aggs": [
             F.max(
                 F.struct(
                     F.col("ckey"),
@@ -243,9 +257,133 @@ def assign_cells(sv: DataFrame, cent: DataFrame) -> DataFrame:
             ).alias("b"),
             F.first("embedding").alias("embedding"),
             F.first("enorm").alias("enorm"),
-        )
-        .select("vec_id", "embedding", "enorm", F.col("b.cent_id").alias("cell"))
+        ],
+        "out": [
+            F.col("vec_id"),
+            F.col("embedding"),
+            F.col("enorm"),
+            F.col("b.cent_id").alias("cell"),
+        ],
+    }
+
+
+def assign_cells(sv: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid cell per vector: 9-dp cosine key against the
+    broadcast centroid set, ties toward the lower cent_id —
+    similarity.semdedup_prune's assignment rule, factored out so the
+    one-shot pipeline and the versioned cell index
+    (curation_incremental.advance_cell_index) run the IDENTICAL
+    expression tree.  Input ``sv``: (vec_id, embedding, enorm);
+    ``cent``: (cent_id, cvec, cnorm).  Output: (vec_id, embedding,
+    enorm, cell)."""
+    ac = _assign_cells_cols()
+    return (
+        sv.join(F.broadcast(cent))
+        .select(*ac["scored"])
+        .groupBy("vec_id")
+        .agg(*ac["aggs"])
+        .select(*ac["out"])
     )
+
+
+@memo_col
+def _stage_cols() -> dict:
+    """Constant Column trees of the curation stage chain and its count
+    rollups, built once per process (memo_col) — four queries build
+    this chain, twice each per bench run."""
+    return {
+        "scored": [
+            F.col("doc_id"),
+            F.col("source"),
+            F.col("text"),
+            F.col("pii_hit"),
+            token_count("text").alias("n_tok"),
+            quality_score("text").alias("q"),
+            language_id("text").alias("lp"),
+            F.md5(F.concat_ws(" ", tokens("text")).cast("binary")).alias("fp"),
+        ],
+        "passed_pred": (F.col("q") >= 0.4) & (F.col("lp") != "und"),
+        "rn": F.row_number().over(W.partitionBy("fp").orderBy("doc_id")),
+        "rn_is_1": F.col("rn") == 1,
+        "d2_as_doc": F.col("d2").alias("doc_id"),
+        "eval_gram": F.explode("grams").alias("gram"),
+        "is_eval": F.col("doc_id") % 50 == 0,
+        "not_eval": F.col("doc_id") % 50 != 0,
+        "surv_grams": [
+            F.col("doc_id"),
+            F.size("grams").cast("bigint").alias("n_grams"),
+            F.explode("grams").alias("gram"),
+        ],
+        "n_hit": F.count(F.lit(1)).alias("n_hit"),
+        "contam_pred": (
+            F.col("n_hit").cast("double") / F.col("n_grams")
+            >= CONTAM_THRESHOLD
+        ),
+        "raw_aggs": [
+            F.count(F.lit(1)).alias("n_raw"),
+            F.sum("pii_hit").cast("bigint").alias("n_pii_redacted"),
+        ],
+        "clean_aggs": [
+            F.count(F.lit(1)).alias("n_clean"),
+            F.sum("n_tok").alias("clean_tokens"),
+        ],
+        "rollup": [
+            F.col("source"),
+            F.col("n_raw"),
+            F.col("n_pii_redacted"),
+            F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
+            F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
+            F.coalesce("n_neardup", F.lit(0)).alias("n_neardup"),
+            F.coalesce("n_clean", F.lit(0)).alias("n_clean"),
+            F.coalesce("clean_tokens", F.lit(0)).alias("clean_tokens"),
+        ],
+        "rollup_sem": [
+            F.col("source"),
+            F.col("n_raw"),
+            F.col("n_pii_redacted"),
+            F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
+            F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
+            F.coalesce("n_neardup", F.lit(0)).alias("n_neardup"),
+            F.coalesce("n_semantic", F.lit(0)).alias("n_semantic"),
+            F.coalesce("n_clean", F.lit(0)).alias("n_clean"),
+            F.coalesce("clean_tokens", F.lit(0)).alias("clean_tokens"),
+        ],
+    }
+
+
+@memo_col
+def _cnt_col(name: str):
+    """count(1) aliased — memoized per alias (the per-stage rollups)."""
+    return F.count(F.lit(1)).alias(name)
+
+
+@memo_col
+def _sem_pair_cols() -> dict:
+    """Constant Column trees of the SemDeDup same-cell pair scorer."""
+    from ..functions.vectors import dot
+    from .similarity import SEMDEDUP_TAU
+
+    pdenom = F.col("n1") * F.col("n2")
+    psim = F.when(pdenom > 0, dot("v1", "v2") / pdenom).otherwise(
+        F.lit(None).cast("double")
+    )
+    return {
+        "pa": [
+            F.col("vec_id").alias("jd"),
+            F.col("embedding").alias("v1"),
+            F.col("enorm").alias("n1"),
+            F.col("cell"),
+        ],
+        "pb": [
+            F.col("vec_id"),
+            F.col("embedding").alias("v2"),
+            F.col("enorm").alias("n2"),
+            F.col("cell"),
+        ],
+        "jd_lt_vec": F.col("jd") < F.col("vec_id"),
+        "sim_pred": F.round(psim, 9) >= SEMDEDUP_TAU,
+        "vec_as_doc": F.col("vec_id").alias("doc_id"),
+    }
 
 
 def _curation_stages(
@@ -284,28 +422,18 @@ def _curation_stages(
     # already holds (and cached) the identical frame passes it in
     # (curation_pipeline_incremental — its ingest waves are a third
     # and fourth consumer).
+    sc = _stage_cols()
     if corpus is None:
         corpus = pii_scrub_clean(_curation_corpus(spark, sf_dir)).cache()
     # scored feeds four consumers (raw rollup + every downstream
     # stage); score/fingerprint once.  Fixed-width columns + text —
     # at 100 TB this cache would be a bronze parquet layer instead
     # (sources/parquetio), same plan shape.
-    scored = corpus.select(
-        "doc_id",
-        "source",
-        "text",
-        "pii_hit",
-        token_count("text").alias("n_tok"),
-        quality_score("text").alias("q"),
-        language_id("text").alias("lp"),
-        F.md5(F.concat_ws(" ", tokens("text")).cast("binary")).alias("fp"),
-    ).cache()
-    passed = scored.filter((F.col("q") >= 0.4) & (F.col("lp") != "und"))
+    scored = corpus.select(*sc["scored"]).cache()
+    passed = scored.filter(sc["passed_pred"])
     exact = (
-        passed.withColumn(
-            "rn", F.row_number().over(W.partitionBy("fp").orderBy("doc_id"))
-        )
-        .filter(F.col("rn") == 1)
+        passed.withColumn("rn", sc["rn"])
+        .filter(sc["rn_is_1"])
         .drop("rn")
     )
 
@@ -320,7 +448,7 @@ def _curation_stages(
                 ids.withColumnRenamed("doc_id", "d1"), "d1", "left_semi"
             )
             .join(ids.withColumnRenamed("doc_id", "d2"), "d2", "left_semi")
-            .select(F.col("d2").alias("doc_id"))
+            .select(sc["d2_as_doc"])
             .distinct()
         )
     else:
@@ -340,7 +468,7 @@ def _curation_stages(
         drop = (
             estimate_pairs(cand, sig)
             .filter(F.col("est_jaccard") >= NEAR_DUP_TAU)
-            .select(F.col("d2").alias("doc_id"))
+            .select(sc["d2_as_doc"])
             .distinct()
         )
     neardup = exact.join(drop, "doc_id", "left_anti").cache()
@@ -356,8 +484,8 @@ def _curation_stages(
     # derived cell count); bodies never join — only (id, vector) rows.
     semantic_stage = None
     if semantic:
-        from ..functions.vectors import dot, l2_norm
-        from .similarity import SEMDEDUP_TAU, coarse_nlist
+        from ..functions.vectors import l2_norm
+        from .similarity import coarse_nlist
 
         emb = load_table(spark, sf_dir, "embeddings").select(
             "vec_id", "embedding", l2_norm("embedding").alias("enorm")
@@ -384,23 +512,14 @@ def _curation_stages(
             # anti-join a third time): cache or the broadcast
             # assignment pass re-runs per consumer
             assigned = assign_cells(sv, cent).cache()
-        pa = assigned.select(
-            F.col("vec_id").alias("jd"),
-            F.col("embedding").alias("v1"),
-            F.col("enorm").alias("n1"),
-            "cell",
-        )
-        pb = assigned.select("vec_id", F.col("embedding").alias("v2"),
-                             F.col("enorm").alias("n2"), "cell")
-        pdenom = F.col("n1") * F.col("n2")
-        psim = F.when(pdenom > 0, dot("v1", "v2") / pdenom).otherwise(
-            F.lit(None).cast("double")
-        )
+        smc = _sem_pair_cols()
+        pa = assigned.select(*smc["pa"])
+        pb = assigned.select(*smc["pb"])
         sem_drop = (
             pa.join(pb, "cell")
-            .filter(F.col("jd") < F.col("vec_id"))
-            .filter(F.round(psim, 9) >= SEMDEDUP_TAU)
-            .select(F.col("vec_id").alias("doc_id"))
+            .filter(smc["jd_lt_vec"])
+            .filter(smc["sim_pred"])
+            .select(smc["vec_as_doc"])
             .distinct()
         )
         semantic_stage = neardup.join(sem_drop, "doc_id", "left_anti").cache()
@@ -417,23 +536,17 @@ def _curation_stages(
     # gram computation at test scale, and when to flip it).
     grams = grams_for(corpus.select("doc_id", "text")).cache()
     eval_grams = (
-        grams.filter(F.col("doc_id") % 50 == 0)
-        .select(F.explode("grams").alias("gram"))
-        .distinct()
+        grams.filter(sc["is_eval"]).select(sc["eval_gram"]).distinct()
     )
-    train = decontam_base.filter(F.col("doc_id") % 50 != 0)
+    train = decontam_base.filter(sc["not_eval"])
     surv_grams = train.select("doc_id").join(grams, "doc_id").select(
-        "doc_id",
-        F.size("grams").cast("bigint").alias("n_grams"),
-        F.explode("grams").alias("gram"),
+        *sc["surv_grams"]
     )
     contaminated = (
         surv_grams.join(F.broadcast(eval_grams), "gram")
         .groupBy("doc_id", "n_grams")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
-        .filter(
-            F.col("n_hit").cast("double") / F.col("n_grams") >= CONTAM_THRESHOLD
-        )
+        .agg(sc["n_hit"])
+        .filter(sc["contam_pred"])
         .select("doc_id")
     )
     clean = train.join(contaminated, "doc_id", "left_anti")
@@ -459,34 +572,21 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_neardup, n_clean, clean_tokens.
     """
     s = _curation_stages(spark, sf_dir)
+    sc = _stage_cols()
     scored, passed, exact = s["scored"], s["passed"], s["exact"]
     neardup, clean = s["neardup"], s["clean"]
 
-    raw_c = scored.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_raw"),
-        F.sum("pii_hit").cast("bigint").alias("n_pii_redacted"),
-    )
-    qual_c = passed.groupBy("source").agg(F.count(F.lit(1)).alias("n_quality"))
-    ex_c = exact.groupBy("source").agg(F.count(F.lit(1)).alias("n_exact"))
-    nd_c = neardup.groupBy("source").agg(F.count(F.lit(1)).alias("n_neardup"))
-    cl_c = clean.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_clean"), F.sum("n_tok").alias("clean_tokens")
-    )
+    raw_c = scored.groupBy("source").agg(*sc["raw_aggs"])
+    qual_c = passed.groupBy("source").agg(_cnt_col("n_quality"))
+    ex_c = exact.groupBy("source").agg(_cnt_col("n_exact"))
+    nd_c = neardup.groupBy("source").agg(_cnt_col("n_neardup"))
+    cl_c = clean.groupBy("source").agg(*sc["clean_aggs"])
     return (
         raw_c.join(qual_c, "source", "left")
         .join(ex_c, "source", "left")
         .join(nd_c, "source", "left")
         .join(cl_c, "source", "left")
-        .select(
-            "source",
-            "n_raw",
-            "n_pii_redacted",
-            F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
-            F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
-            F.coalesce("n_neardup", F.lit(0)).alias("n_neardup"),
-            F.coalesce("n_clean", F.lit(0)).alias("n_clean"),
-            F.coalesce("clean_tokens", F.lit(0)).alias("clean_tokens"),
-        )
+        .select(*sc["rollup"])
         .orderBy("source")
     )
 
@@ -745,19 +845,15 @@ def curation_pipeline_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     never enter it.
     """
     s = _curation_stages(spark, sf_dir, semantic=True)
+    sc = _stage_cols()
     scored, passed, exact = s["scored"], s["passed"], s["exact"]
     neardup, semantic, clean = s["neardup"], s["semantic"], s["clean"]
 
     def cnt(df: DataFrame, name: str) -> DataFrame:
-        return df.groupBy("source").agg(F.count(F.lit(1)).alias(name))
+        return df.groupBy("source").agg(_cnt_col(name))
 
-    raw_c = scored.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_raw"),
-        F.sum("pii_hit").cast("bigint").alias("n_pii_redacted"),
-    )
-    cl_c = clean.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_clean"), F.sum("n_tok").alias("clean_tokens")
-    )
+    raw_c = scored.groupBy("source").agg(*sc["raw_aggs"])
+    cl_c = clean.groupBy("source").agg(*sc["clean_aggs"])
     return (
         raw_c
         .join(cnt(passed, "n_quality"), "source", "left")
@@ -765,17 +861,7 @@ def curation_pipeline_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cnt(neardup, "n_neardup"), "source", "left")
         .join(cnt(semantic, "n_semantic"), "source", "left")
         .join(cl_c, "source", "left")
-        .select(
-            "source",
-            "n_raw",
-            "n_pii_redacted",
-            F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
-            F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
-            F.coalesce("n_neardup", F.lit(0)).alias("n_neardup"),
-            F.coalesce("n_semantic", F.lit(0)).alias("n_semantic"),
-            F.coalesce("n_clean", F.lit(0)).alias("n_clean"),
-            F.coalesce("clean_tokens", F.lit(0)).alias("clean_tokens"),
-        )
+        .select(*sc["rollup_sem"])
         .orderBy("source")
     )
 
