@@ -96,9 +96,12 @@ GROUP BY 1, 2
 """
 
 
+@memo_col
 def _sorted_fold_sum(order_col: str, value_col: str) -> Column:
     """Deterministic double sum: left fold over values sorted by
-    ``order_col`` (parity twin of DuckDB ``list_sum(list(v ORDER BY o))``)."""
+    ``order_col`` (parity twin of DuckDB ``list_sum(list(v ORDER BY o))``).
+    memo_col: rebuilt per PageRank iteration otherwise (~130 py4j round
+    trips each) — the tree is constant per (order, value) name pair."""
     return F.aggregate(
         F.transform(
             F.array_sort(F.collect_list(F.struct(order_col, value_col))),

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from ..sources import dml as D
 from ..sources import versioned as V
+from ..functions.text import memo_col
 from ..sources.registry import load_table, table_row_count
 
 _SEP = "\x1f"
@@ -44,6 +45,7 @@ _NULL = "\x00null"
 _CK_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
 
 
+@memo_col
 def _ck_hash() -> F.Column:
     canon = F.concat_ws(
         _SEP,
@@ -56,17 +58,21 @@ def _ck_hash() -> F.Column:
     ).cast("long")
 
 
+@memo_col
+def _state_aggs() -> list:
+    """The three constant summary aggregates (memo_col — every lake
+    query builds several state summaries per invocation)."""
+    return [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(_ck_hash().cast("decimal(38,0)")).cast("string").alias("checksum"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    ]
+
+
 def _state_summary(df: DataFrame, label_col: F.Column, label_name: str) -> DataFrame:
-    return (
-        df.groupBy(label_col.alias(label_name))
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(_ck_hash().cast("decimal(38,0)")).cast("string").alias("checksum"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("sum_price"),
-        )
-    )
+    return df.groupBy(label_col.alias(label_name)).agg(*_state_aggs())
 
 
 def _pin(spark: SparkSession, df: DataFrame) -> DataFrame:
