@@ -68,6 +68,14 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
+    # deployment-tunable overrides without code changes: a
+    # comma-separated k=v list (e.g. production sets shuffle codec /
+    # join-strategy preferences per fleet; defaults above are the
+    # measured local posture).  Explicit extra_conf wins over env.
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for item in filter(None, (s.strip() for s in env_conf.split(","))):
+        k, _, v = item.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
