@@ -10,6 +10,7 @@ text, a per-row Python UDF here would dominate the job.
 from __future__ import annotations
 
 import functools
+import inspect
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -32,8 +33,8 @@ def _col(c: Column | str) -> Column:
 
 
 def memo_col(fn):
-    """Memoize a Column-builder for STRING column-name args (Column
-    args pass through unmemoized — they are not hashable keys).
+    """Memoize a Column-builder for STRING/int/bool args (Column args
+    pass through unmemoized — they are not hashable keys).
 
     Unresolved Columns are immutable expression trees resolved by name
     at analysis time, so one built tree is reusable across any number
@@ -41,14 +42,44 @@ def memo_col(fn):
     hundreds of py4j round trips each (pure driver latency, guide §7.3);
     queries invoke them repeatedly — per stage, per loop iteration, per
     bench pass — so construction is paid once per process instead.
-    """
-    cached = functools.lru_cache(maxsize=None)(fn)
+
+    MUST-NOT-MUTATE contract: a memoized builder returns the SAME
+    object (Column / dict / list) to every caller for the process
+    lifetime, and any Alias nodes inside carry fixed expression IDs.
+    Callers must treat the result as frozen — never append/assign into
+    a returned container — and must not build df1[c] == df2[c]-style
+    self-join conditions from two frames that share one memoized alias
+    (plan-corruption risk).  Current call sites use each alias once per
+    plan and pass returned containers straight to select()/agg().
+
+    Keyword calls are canonicalized into positional form before the
+    cache lookup (``shingles('text', n=3)`` hits the same entry as
+    ``shingles('text', 3)``), and the cache key carries each argument's
+    TYPE so bool/int values that compare equal (True == 1) do not
+    collide."""
+    sig = inspect.signature(fn)
+    cache: dict = {}
 
     @functools.wraps(fn)
     def wrap(*a, **kw):
-        if not kw and all(isinstance(x, (str, int, bool)) for x in a):
-            return cached(*a)
-        return fn(*a, **kw)
+        try:
+            bound = sig.bind(*a, **kw)
+        except TypeError:
+            return fn(*a, **kw)  # let fn raise its own signature error
+        bound.apply_defaults()
+        vals = tuple(bound.arguments.items())
+        if any(
+            not isinstance(v, (str, int, bool)) for _, v in vals
+        ) or any(
+            p.kind
+            in (inspect.Parameter.VAR_POSITIONAL, inspect.Parameter.VAR_KEYWORD)
+            for p in sig.parameters.values()
+        ):
+            return fn(*a, **kw)
+        key = tuple((n, type(v).__name__, v) for n, v in vals)
+        if key not in cache:
+            cache[key] = fn(*a, **kw)
+        return cache[key]
 
     return wrap
 

@@ -23,6 +23,7 @@ Scale notes
 from __future__ import annotations
 
 import os
+import sys
 
 from pyspark.sql import SparkSession
 
@@ -74,7 +75,18 @@ def get_spark(
     # measured local posture).  Explicit extra_conf wins over env.
     env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
     for item in filter(None, (s.strip() for s in env_conf.split(","))):
-        k, _, v = item.partition("=")
+        k, sep, v = item.partition("=")
+        if not sep or not k.strip():
+            # a typo'd override (missing '=') would otherwise silently
+            # set the key to '' and could flip query semantics untraced
+            raise ValueError(
+                f"SPARK_GRAFT_EXTRA_CONF item {item!r} is not k=v "
+                "(values containing ',' cannot be expressed here)"
+            )
+        print(
+            f"session: extra conf override {k.strip()}={v.strip()}",
+            file=sys.stderr,
+        )
         builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

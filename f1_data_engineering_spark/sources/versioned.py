@@ -411,10 +411,18 @@ def log_column_bounds(
     Returns ``{col: (lo, hi)}`` or None when any snapshot file lacks
     complete NUMERIC stats for any requested column (legacy files,
     all-NULL or non-numeric columns) — callers fall back to a scan.
-    Conservative with deletion vectors: DV-deleted rows still widen
-    the bounds (callers here quantize a z-space, where wider-is-valid;
-    do NOT use this where exact live-row extremes are required).
+    Also returns None when any deletion vector is in effect on the
+    snapshot: DV-deleted rows would still widen file-level bounds, so
+    the fast path cannot promise live-row extremes (the incremental
+    index base-version callers need exactly those; a stale-high
+    base_version would silently skip advances) — callers fall back to
+    the live-row scan, which applies the DVs.
     """
+    try:
+        if _dv_files(path, version):
+            return None
+    except ValueError:
+        return None  # vacuumed DV history → let the scan path report it
     es = _entries(path)
     if version is not None:
         es = [e for e in es if e["version"] <= version]

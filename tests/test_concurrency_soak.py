@@ -14,6 +14,10 @@ from pyspark.sql import functions as F
 
 from f1_data_engineering_spark.sources import bloomindex as B
 from f1_data_engineering_spark.sources import versioned as V
+import pytest
+
+
+pytestmark = pytest.mark.soak
 
 
 def test_concurrent_appends_compaction_bloom_vacuum(spark, tmp_path):

@@ -587,6 +587,8 @@ def test_text_extended_differential_fuzz(spark, fuzz_dir, corpus):
 from f1_data_engineering_spark.operators import curation as _CU
 from f1_data_engineering_spark.operators import curation_incremental as _CI
 
+pytestmark = pytest.mark.soak
+
 
 def _det_vec(i: int):
     """Deterministic float32-exact embedding for doc_id i — integer

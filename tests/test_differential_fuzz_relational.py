@@ -176,6 +176,7 @@ def _keep_mask(rng, n, frac):
     return rng.random_sample(n) < frac
 
 
+@pytest.mark.soak
 @settings(
     max_examples=_n_examples(5),
     deadline=None,

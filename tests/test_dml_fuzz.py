@@ -25,6 +25,8 @@ from pyspark.sql import functions as F
 from f1_data_engineering_spark.sources import dml as D
 from f1_data_engineering_spark.sources import versioned as V
 
+pytestmark = pytest.mark.soak
+
 _SPEC = importlib.util.spec_from_file_location(
     "oracle_check",
     os.path.join(
