@@ -59,6 +59,23 @@ def test_bench_stdout_line_fits_tail_capture():
     assert set(detail["errors"]) == set(errors)
 
 
+def test_bench_stdout_line_carries_sentinels():
+    """The stdout line must carry every pinned sentinel that has a
+    timing (round-11 verdict: the slowest-8-only slice made queries
+    that got FASTER read as dropped, and starved the scaling probe of
+    parallelizable members).  Sentinels must also all be registered
+    bench queries."""
+    bench = _load_bench()
+    assert set(bench.SENTINEL_QUERIES) <= set(bench.BENCH_QUERIES)
+
+    times = {name: 1.0 for name in bench.BENCH_QUERIES}
+    line, _ = bench.build_summary(times, {}, sf=0.1)
+    parsed = json.loads(line)
+    missing = [n for n in bench.SENTINEL_QUERIES if n not in parsed["queries"]]
+    assert not missing, f"sentinels absent from stdout line: {missing}"
+    assert len(line) <= bench.MAX_LINE_CHARS
+
+
 def test_bench_detail_has_full_query_map():
     """The committed per-round detail record must carry every bench
     query (the stdout line intentionally truncates to the slowest 8 —
